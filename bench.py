@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect). One warmup of the flagship query absorbs JVM/codegen
+startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from kafka_stream_service_spark.queries import QUERIES  # noqa: E402
+from kafka_stream_service_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders_by_revenue",
+    "q05_regional_supplier_volume",
+    "q06_forecast_revenue_filter",
+    "q10_returned_items",
+    "q_window_topk_per_group",
+    "q_window_running_sum",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_asof_join",
+    "q_dedup_exact_hash",
+    "q_dedup_minhash_lsh",
+    "q_knn_cosine_bruteforce",
+    "q_cosine_pairs_blocked",
+    "q_text_wordcount",
+    "q_text_token_stats",
+    "q_codec_roundtrip",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    force(QUERIES["q02_revenue_by_nation"].spark_fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].spark_fn
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

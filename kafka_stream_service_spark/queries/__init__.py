@@ -1,0 +1,22 @@
+"""Declared query/operator catalog (SURVEY.md §2.2).
+
+Every module in this package registers queries via ``registry.query``.
+Importing the package imports all modules, populating the registry that
+``__spark_entry__.py`` exposes to the driver.
+"""
+
+from __future__ import annotations
+
+from .registry import QUERIES, oracle_sql_dict, queries_dict, query  # noqa: F401
+
+# Import for registration side effects — order defines catalog order.
+from . import relational  # noqa: E402,F401
+from . import scalar  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import setops  # noqa: E402,F401
+from . import events_q  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import codec_q  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401

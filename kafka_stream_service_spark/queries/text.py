@@ -1,0 +1,250 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.2 LLM-data ops):
+tokenization, n-gram frequencies, quality scoring, language-ID heuristic,
+document fingerprinting. All built-in expressions — row-parallel, no UDFs,
+no shuffle except the explicit frequency group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from .registry import query
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+    "fr": ["le", "la", "de", "et", "un"],
+}
+
+
+@query(
+    "q_text_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, text FROM documents)
+    SELECT doc_id, lang,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_distinct_tokens,
+      round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+      length(text) AS n_chars,
+      round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 6) AS space_ratio,
+      round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+    tags=("text", "llm-data"),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type-token ratio + length stats per document."""
+    d = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    tok_lens = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text"),
+            6,
+        ).alias("space_ratio"),
+        F.round(tok_lens.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 100
+    """,
+    tags=("text", "wordcount", "llm-data"),
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count (the canonical explode -> groupBy): token
+    frequencies and document frequencies."""
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@query(
+    "q_text_bigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE lang = 'en'),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    HAVING COUNT(*) >= 20
+    """,
+    tags=("text", "ngram", "llm-data"),
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies over the English slice of the corpus."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("lang") == "en")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+def _stopword_ratio(toks: F.Column, words: list[str]) -> F.Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("double") / F.size(toks)
+
+
+@query(
+    "q_text_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, text FROM documents)
+    SELECT doc_id, lang,
+      round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+      round(CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks), 6) AS short_token_ratio,
+      round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS diversity,
+      (len(toks) BETWEEN 50 AND 1000) AS length_ok,
+      CASE WHEN len(toks) BETWEEN 50 AND 1000
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+           THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t
+    """,
+    tags=("text", "quality", "llm-data"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (stopword / short-token /
+    diversity ratios + a keep/drop verdict) — the pre-training filter
+    pattern."""
+    d = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    length_ok = F.size(toks).between(50, 1000)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(_stopword_ratio(toks, STOPWORDS["en"]), 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / F.size(toks), 6
+        ).alias("short_token_ratio"),
+        F.round(diversity, 6).alias("diversity"),
+        length_ok.alias("length_ok"),
+        F.when(length_ok & (diversity > 0.05), "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(toks) AS s_en,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ein'], x))) AS DOUBLE) / len(toks) AS s_de,
+        CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','un'], x))) AS DOUBLE) / len(toks) AS s_es,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','un'], x))) AS DOUBLE) / len(toks) AS s_fr
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_en, s_de, s_es, s_fr) < 0.01 THEN 'und'
+           WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+           WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+    tags=("text", "langid", "llm-data"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (n-gram heuristic tier).
+
+    Ties break by the fixed priority en > de > es > fr in both engines.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    s = {k: _stopword_ratio(toks, v) for k, v in STOPWORDS.items()}
+    pred = (
+        F.when(F.greatest(s["en"], s["de"], s["es"], s["fr"]) < 0.01, "und")
+        .when(s["en"] >= F.greatest(s["de"], s["es"], s["fr"]), "en")
+        .when(s["de"] >= F.greatest(s["es"], s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      md5(text) AS exact_hash,
+      sha256(substr(text, 1, 64)) AS head_hash
+    FROM documents
+    """,
+    tags=("text", "fingerprint", "llm-data"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content hash, sorted-vocabulary fingerprint
+    (word-order-insensitive), and head hash — md5/sha256 are identical
+    across engines, so fingerprints are portable."""
+    d = tables(spark, sf_dir)["documents"]
+    vocab_fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split(F.col("text"), " "))), " "))
+    return d.select(
+        "doc_id",
+        vocab_fp.alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+        F.sha2(F.substring(F.col("text"), 1, 64), 256).alias("head_hash"),
+    )
+
+
+@query(
+    "q_lang_source_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+    GROUP BY lang, source
+    """,
+    tags=("text", "agg", "llm-data"),
+)
+def q_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter + per (lang, source) corpus profile."""
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        d.filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Local mode is one JVM with N executor threads; on a real cluster the same
+configs apply per-executor. Everything here is sized so the same logical
+plans scale from the sf0.001 smoke tables to a 1000-executor 100 TB run:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast)
+- shuffle partitions ~ cores locally; AQE coalesces, and on a cluster the
+  initial number is raised via ``spark.sql.adaptive.coalescePartitions.
+  initialPartitionNum`` rather than hand-tuning per query
+- Arrow enabled for every Python<->JVM boundary (pandas UDFs, toPandas)
+- session timezone pinned to UTC so results are oracle-comparable
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return 8
+
+
+def get_spark(
+    app_name: str = "kafka_stream_service_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    The defaults favor the driver's local[N] environment; on a cluster pass
+    ``master=None`` with an external master URL in spark-submit and the same
+    session-level SQL configs hold.
+    """
+    cores = cpu_count()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

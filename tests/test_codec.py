@@ -1,0 +1,115 @@
+"""Codec unit tests — ports the reference's round-trip test
+(MessageSerializerTests.java:37-49) and adds randomized + wire-structure
+coverage per SURVEY.md §5 item 1.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import struct
+
+import pytest
+
+from kafka_stream_service_spark.codec import decode_py, encode_py
+
+
+def test_golden_cycle_reference_parity():
+    """The reference's exact golden message: payload "World", headers
+    Accept=["*/*"], Content-Type=["text/plain"]; serialize→deserialize is
+    identity (MessageSerializerTests.java:37-49)."""
+    headers = {"Accept": ["*/*"], "Content-Type": ["text/plain"]}
+    payload = "World".encode("utf-8")
+    wire = encode_py(headers, payload)
+    h2, p2 = decode_py(wire)
+    assert h2 == headers
+    assert p2 == payload
+
+
+def test_wire_structure():
+    """Byte-level layout per MessageSerializer.java:42-74: 0xff marker,
+    header-count byte, len-prefixed names, 4-byte BE JSON blob sizes."""
+    wire = encode_py({"k": ["a", "b"]}, b"xyz")
+    assert wire[0] == 0xFF
+    assert wire[1] == 1  # one header
+    assert wire[2] == 1  # name length
+    assert wire[3:4] == b"k"
+    (blob_len,) = struct.unpack(">i", wire[4:8])
+    blob = wire[8 : 8 + blob_len]
+    assert json.loads(blob) == ["a", "b"]
+    assert wire[8 + blob_len :] == b"xyz"
+
+
+def test_empty_message():
+    wire = encode_py({}, b"")
+    assert wire == b"\xff\x00"
+    assert decode_py(wire) == ({}, b"")
+
+
+def test_payload_only():
+    wire = encode_py(None, b"\x00\x01\xfe\xff")
+    h, p = decode_py(wire)
+    assert h == {}
+    assert p == b"\x00\x01\xfe\xff"
+
+
+def test_bad_marker_rejected():
+    """Decode asserts the 0xff start marker (MessageDeserializer.java:52)."""
+    with pytest.raises(ValueError):
+        decode_py(b"\x00\x01abc")
+
+
+def test_limits_enforced():
+    """<=127 headers, names <=127 bytes (1-byte length fields,
+    MessageSerializer.java:54,59)."""
+    with pytest.raises(ValueError):
+        encode_py({f"h{i}": ["v"] for i in range(128)}, b"")
+    with pytest.raises(ValueError):
+        encode_py({"n" * 128: ["v"]}, b"")
+
+
+def test_randomized_roundtrips():
+    rng = random.Random(42)
+    for _ in range(200):
+        n_headers = rng.randint(0, 20)
+        headers = {}
+        for i in range(n_headers):
+            name = "".join(rng.choices("abcdefghijklmnop-_", k=rng.randint(1, 30)))
+            values = [
+                "".join(rng.choices("abc XYZ0123/*;=,\"'é", k=rng.randint(0, 20)))
+                for _ in range(rng.randint(0, 5))
+            ]
+            headers[name] = values
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 500)))
+        h2, p2 = decode_py(encode_py(headers, payload))
+        assert h2 == headers
+        assert p2 == payload
+
+
+def test_spark_udf_roundtrip(spark):
+    """The Arrow/pandas UDF path preserves the same identity on a DataFrame."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.codec import decode_message, encode_message, message_struct
+
+    df = spark.createDataFrame(
+        [
+            (1, {"Accept": ["*/*"], "Content-Type": ["text/plain"]}, bytearray(b"World")),
+            (2, {}, bytearray(b"")),
+            (3, {"x": []}, bytearray(b"\x00\xff\x10")),
+        ],
+        "id long, headers map<string,array<string>>, payload binary",
+    )
+    out = (
+        df.select("id", encode_message(message_struct(F.col("headers"), F.col("payload"))).alias("wire"))
+        .select("id", decode_message(F.col("wire")).alias("msg"))
+        .select("id", "msg.headers", "msg.payload")
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0].headers == {"Accept": ["*/*"], "Content-Type": ["text/plain"]}
+    assert bytes(out[0].payload) == b"World"
+    assert out[1].headers == {}
+    assert bytes(out[1].payload) == b""
+    assert out[2].headers == {"x": []}
+    assert bytes(out[2].payload) == b"\x00\xff\x10"
