@@ -1,0 +1,137 @@
+"""The streaming spine: source -> decode -> transform -> encode -> sink.
+
+This is the reference's entire dataflow (StreamsApplication.java:146-163)
+as a composable Spark pipeline:
+
+    Kafka/file source (R1-R5)
+      -> decode_message over `value` (R6)
+      -> project to Message (R7)
+      -> transform slot: mapInPandas function / identity bypass (R8-R9)
+      -> null key + encode_message (R10-R11)
+      -> sink: Kafka at-least-once, or foreachBatch exactly-once (R12)
+
+Ordering semantics delta (documented, SURVEY.md §7 "What's hard" #2): the
+reference is globally ordered (single thread + sequential concatMap); Spark
+preserves order per Kafka partition and parallelizes across partitions —
+the intentional scale upgrade.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import decode_message, encode_message
+from .eos import ForeachBatchIdempotentWriter
+from .sources import stream_file_source, stream_kafka_source, write_kafka_sink, write_memory_sink
+from .transform import FunctionConfig, MessageFunction, transform_messages
+
+
+@dataclass
+class PipelineConfig:
+    """Boot configuration — the Spark analog of the reference's Spring
+    config surface (grpc.host/port/enabled + spring.kafka.bootstrap-servers,
+    StreamsApplication.java:42-64, streams.yaml:27-28)."""
+
+    source: str = "kafka"  # kafka | files
+    sink: str = "kafka"  # kafka | memory | eos-files
+    bootstrap_servers: str = "localhost:9092"
+    input_topic: str = "uppercase"
+    output_topic: str = "replies"
+    source_path: str = ""  # for files source
+    output_dir: str = ""  # for eos-files sink
+    checkpoint_dir: str = "/tmp/kssp-checkpoints/pipeline"
+    query_name: str = "kssp_pipeline"
+    function: FunctionConfig = field(default_factory=FunctionConfig)
+    degraded_ordering: bool = False  # R15 after-failure mode
+    max_offsets_per_trigger: int | None = None
+
+
+WIRE_FRAME_DDL = "key binary, value binary"
+
+
+def decode_stage(frames: DataFrame) -> DataFrame:
+    """R6+R7: wire frames -> Message columns (headers, payload).
+
+    Keeps only the decoded value, dropping the envelope — exactly
+    ``records.map(ConsumerRecord::value)`` (StreamsApplication.java:176).
+    """
+    return frames.select(decode_message(F.col("value")).alias("msg")).select(
+        "msg.headers", "msg.payload"
+    )
+
+
+def encode_stage(messages: DataFrame) -> DataFrame:
+    """R10+R11: Message columns -> (null key, framed value) — the
+    ``new ProducerRecord<>("replies", null, record)`` shape
+    (StreamsApplication.java:194)."""
+    return messages.select(
+        F.lit(None).cast("binary").alias("key"),
+        encode_message(F.struct("headers", "payload")).alias("value"),
+    )
+
+
+def build_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    fn: MessageFunction | None = None,
+) -> DataFrame:
+    """Assemble the full (streaming) dataflow; returns the sink-ready frame."""
+    if cfg.source == "kafka":
+        frames = stream_kafka_source(
+            spark,
+            cfg.bootstrap_servers,
+            cfg.input_topic,
+            max_offsets_per_trigger=cfg.max_offsets_per_trigger,
+        )
+    elif cfg.source == "files":
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("key", T.BinaryType()), T.StructField("value", T.BinaryType())]
+        )
+        frames = stream_file_source(spark, cfg.source_path, schema)
+    else:
+        raise ValueError(f"unknown source {cfg.source!r}")
+
+    messages = decode_stage(frames)
+    transformed = transform_messages(messages, fn, enabled=cfg.function.enabled)
+    return encode_stage(transformed)
+
+
+def start_pipeline(spark: SparkSession, cfg: PipelineConfig, fn: MessageFunction | None = None):
+    """Start the streaming query (the analog of the runner thread at
+    StreamsApplication.java:117-130; StreamingQuery is already async)."""
+    out = build_pipeline(spark, cfg, fn)
+    if cfg.sink == "kafka":
+        writer = write_kafka_sink(
+            out,
+            cfg.bootstrap_servers,
+            cfg.output_topic,
+            checkpoint_dir=cfg.checkpoint_dir,
+            degraded_ordering=cfg.degraded_ordering,
+        )
+    elif cfg.sink == "memory":
+        writer = write_memory_sink(out, cfg.query_name).option(
+            "checkpointLocation", cfg.checkpoint_dir
+        )
+    elif cfg.sink == "eos-files":
+        eos = ForeachBatchIdempotentWriter(cfg.output_dir)
+        writer = out.writeStream.foreachBatch(eos).option(
+            "checkpointLocation", cfg.checkpoint_dir
+        )
+    else:
+        raise ValueError(f"unknown sink {cfg.sink!r}")
+    return writer.start()
+
+
+def run_pipeline_batch(
+    frames: DataFrame,
+    fn: MessageFunction | None = None,
+    enabled: bool = True,
+) -> DataFrame:
+    """The same dataflow on a bounded frame (finite replay) — used by the
+    parity tests and by any backfill over landed data."""
+    return encode_stage(transform_messages(decode_stage(frames), fn, enabled=enabled))
