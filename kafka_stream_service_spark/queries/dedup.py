@@ -26,23 +26,15 @@ from .registry import query
 
 # --- shared shingle helpers -------------------------------------------------
 
+from ..operators.dedup import word_shingles as _op_word_shingles  # noqa: E402
+
 
 def _tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
 def _word_shingles(n: int = 3, col: str = "text") -> F.Column:
-    """Distinct word n-gram shingles as array<string> (built-in exprs only)."""
-    toks = _tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
+    return _op_word_shingles(F.col(col), n)
 
 
 SHINGLES_SQL = """
@@ -150,86 +142,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash parameters: 16 hashes = 4 bands x 4 rows. xxhash64 is a Spark
-# built-in (JVM-side, no Python): h_i(s) = xxhash64(s, seed=i).
-MINHASH_K = 16
-MINHASH_BANDS = 4
-MINHASH_ROWS = 4  # K / BANDS
-
-
-def minhash_signature(shingles: F.Column) -> F.Column:
-    """array<long> of MINHASH_K min-hashes over the shingle set."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(MINHASH_K)
-        ]
-    )
-
-
 @query(
     "q_dedup_minhash_lsh",
     oracle=None,  # xxhash64 has no DuckDB equivalent — driver rows-only check
     tags=("dedup", "lsh", "llm-data"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
-    shingle -> 16 minhashes -> 4 bands of 4 -> groupBy band bucket ->
-    candidate pairs -> exact Jaccard >= 0.1 verify. Every stage is a
-    DataFrame op; deterministic (xxhash64 fixed seeds). At 100 TB the band
-    join is the only quadratic-risk stage and is bounded by bucket size;
-    hot buckets (boilerplate docs) get salted or capped in practice.
+    hashed shingles (int64) -> 16 minhashes -> 4 bands -> band-bucket
+    self-join over (doc_id, band, bucket) ONLY -> candidate pairs -> exact
+    Jaccard >= 0.1 on the re-joined shingle sets. Deterministic (xxhash64,
+    fixed seeds); shingle arrays never enter the band-join shuffle (see
+    operators/dedup.py scale notes).
     """
+    from ..operators import lsh_candidate_pairs, shingle_frame
+    from ..operators.dedup import jaccard
+
     d = tables(spark, sf_dir)["documents"]
-    sh = d.select("doc_id", _word_shingles(3).alias("shingles")).filter(F.size("shingles") > 0)
-    sig = sh.select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
-
-    bands = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * MINHASH_ROWS + r + 1).cast("string")
-                                for r in range(MINHASH_ROWS)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    # persist: the shingle sets feed both the band join and the exact
+    # verify rejoin — one Arrow pass instead of three recomputations
+    sh = shingle_frame(d, n=3).filter(F.size("shingles") > 0).persist()
+    cand = lsh_candidate_pairs(sh, id_col="doc_id", shingle_col="shingles", k=16, bands=4)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
-    return cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")).filter(
-        F.col("jaccard") >= 0.1
-    ).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -238,33 +185,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "llm-data"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document + bucket sizes.
+    """64-bit SimHash fingerprint per document + a 16-bit blocking bucket.
 
-    Each token hashes to 64 bits (xxhash64); the fingerprint takes the sign
-    of the per-bit vote sum. Buckets on the top 16 bits give the blocking
-    key used for near-dup candidate generation at scale. Pure built-in
-    expressions — the bit loop unrolls into the plan once, row-parallel.
+    The bit loop unrolls into 64 JVM expressions — row-parallel, no
+    shuffle (operators/dedup.py:simhash64).
     """
+    from ..operators import simhash64
+
     d = tables(spark, sf_dir)["documents"]
-    toks = F.array_distinct(_tokens())
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # vote for bit i: sum over tokens of (bit set ? 1 : -1); bit i of
-    # fingerprint = vote > 0
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1),
-        )
-        for i in range(64)
-    ]
-    fingerprint = None
-    for i, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return (
-        d.select("doc_id", fingerprint.alias("simhash"))
+        d.select("doc_id", simhash64(F.array_distinct(_tokens())).alias("simhash"))
         .withColumn("bucket", F.shiftrightunsigned("simhash", 48))
         .orderBy("doc_id")
     )

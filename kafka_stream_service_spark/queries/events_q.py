@@ -174,33 +174,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     range cross-join blowup (reference pattern: pd.merge_asof, generalized
     distributively).
     """
+    from ..operators import asof_join
+
     e = tables(spark, sf_dir)["events"]
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("ev_ts"), F.col("event_id").alias("ev_id"), F.lit(1).alias("is_click")
-    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("ev_ts"), F.col("event_id").alias("ev_id"), F.lit(0).alias("is_click")
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
     )
-    # clicks sort before purchases at identical ts (is_click desc) so a
-    # click at exactly purchase_ts is eligible ("at-or-before").
-    unioned = clicks.unionByName(purchases)
-    w = W.partitionBy("user_id").orderBy(
-        "ev_ts", F.col("is_click").desc(), F.col("ev_id")
-    ).rowsBetween(W.unboundedPreceding, W.currentRow)
-    click_id = F.when(F.col("is_click") == 1, F.col("ev_id"))
-    click_ts = F.when(F.col("is_click") == 1, F.col("ev_ts"))
-    return (
-        unioned.withColumn("click_id", F.last(click_id, ignorenulls=True).over(w))
-        .withColumn("click_ts", F.last(click_ts, ignorenulls=True).over(w))
-        .filter(F.col("is_click") == 0)
-        .select(
-            F.col("ev_id").alias("purchase_id"),
-            "user_id",
-            F.col("ev_ts").alias("purchase_ts"),
-            "click_id",
-            "click_ts",
-        )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=("click_id",),
+        suffix="",
+    )
+    return joined.select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 
 @query(

@@ -16,22 +16,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.similarity import blocked_cosine_pairs, dot_col as dot, knn_bruteforce, norm_col as norm
 from ..tables import tables
 from .registry import query
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Exact sequential-fold dot product in double (matches the oracle's
-    left-to-right list_sum order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
 
 
 COSINE_SQL = """
@@ -63,21 +50,8 @@ def q_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 8 query vectors (broadcast the
     queries, stream the corpus once, per-query top-k via window)."""
     e = tables(spark, sf_dir)["embeddings"]
-    q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (norm(F.col("q_emb")) * norm(F.col("c_emb")))
-    pairs = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("cosine"))
-    )
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return knn_bruteforce(e, q, k=5)
 
 
 @query(
@@ -98,14 +72,8 @@ def q_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves any blocking key (LSH bucket, shard, time window) at scale.
     """
     e = tables(spark, sf_dir)["embeddings"]
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b"))
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.2)
-        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
+    return blocked_cosine_pairs(e, block_col="label", threshold=0.2).select(
+        "vec_a", "vec_b", "label", "cosine"
     )
 
 

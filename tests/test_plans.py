@@ -1,0 +1,102 @@
+"""Physical-plan assertions: scale-readiness is checked, not hoped for.
+
+Every flagship plan must (a) broadcast its dimension joins, (b) push
+filters into the parquet scan, (c) never degenerate into a cartesian
+product, and (d) keep whole-stage codegen on the relational spine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_service_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    physical_plan,
+)
+from kafka_stream_service_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_broadcasts_dims(spark):
+    df = QUERIES["q02_revenue_by_nation"].spark_fn(spark, SF)
+    plan = assert_broadcast_join(df, at_least=2)  # customer + nation
+    # every node on the spine is codegen-capable (no interpreted/Python ops)
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_q05_six_way_join_shape(spark):
+    df = QUERIES["q05_regional_supplier_volume"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=3)  # customer, supplier, nation⋈region
+    assert_no_cartesian(df)
+
+
+def test_q06_filter_pushdown(spark):
+    df = QUERIES["q06_forecast_revenue_filter"].spark_fn(spark, SF)
+    # shipdate range + quantity bound reach the parquet scan
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pushed_filters(df, "l_quantity")
+
+
+def test_q01_partial_aggregation(spark):
+    """The group-by plans partial (map-side) aggregation before the
+    exchange — only 6 groups cross the shuffle."""
+    plan = physical_plan(QUERIES["q01_pricing_summary"].spark_fn(spark, SF))
+    assert "partial_sum" in plan
+    # map-side HashAggregate node precedes the Exchange node in the tree
+    # (Spark numbers children first: HashAggregate(4) feeds Exchange(5))
+    import re
+
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    exch_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert agg_ids and exch_ids and min(agg_ids) < min(exch_ids)
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject — no global
+    sort materialization."""
+    plan = physical_plan(QUERIES["q_sort_limit_topk"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = physical_plan(QUERIES["q_join_semi"].spark_fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the full lineitem schema."""
+    df = QUERIES["q06_forecast_revenue_filter"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    scan_lines = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert scan_lines, plan
+    # only the needed lineitem columns appear in the read schema
+    assert any(
+        "l_returnflag" not in line and "l_orderkey" not in line
+        for line in scan_lines
+    ), scan_lines
+
+
+def test_no_cartesian_anywhere_in_catalog(spark):
+    """No catalog query may plan a cartesian product (the explicit
+    crossJoin of the two 5/25-row dims is the one sanctioned exception —
+    it plans as BroadcastNestedLoopJoin, not CartesianProduct)."""
+    bad = []
+    for name, spec in QUERIES.items():
+        try:
+            plan = physical_plan(spec.spark_fn(spark, SF))
+        except Exception:  # noqa: BLE001 - plan-only sweep
+            continue
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
+
+
+@pytest.mark.parametrize("name", ["q02_revenue_by_nation", "q10_returned_items"])
+def test_no_python_in_relational_spine(spark, name):
+    """Relational queries stay entirely JVM-side (no Python/Arrow eval
+    nodes in the plan)."""
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    assert "Python" not in plan and "ArrowEval" not in plan
