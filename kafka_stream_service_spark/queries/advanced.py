@@ -1,0 +1,501 @@
+"""Advanced operator coverage: exact percentiles, correlation, subqueries,
+collect_list/set, explode variants, UDF surfaces (scalar pandas UDF,
+grouped-map applyInPandas, UDTF-style 1->N), approx aggregates, and more
+TPC-H query shapes (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import tables
+from ._util import REVENUE_SQL, dec, dsum, revenue_expr
+from .registry import query
+
+
+@query(
+    "q_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+      round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+      round(quantile_disc(l_extendedprice, 0.5), 6) AS median_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: Spark `percentile` (interpolated, = quantile_cont)
+    and `median`; the discrete variant via percentile_approx with exact
+    accuracy bound."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(
+            F.expr("percentile_approx(l_extendedprice, 0.5, 2147483647)").cast("double"), 6
+        ).alias("median_price_disc"),
+    )
+
+
+@query(
+    "q_corr_covar",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+      FROM lineitem
+    )
+    SELECT
+      COUNT(*) AS n,
+      round((CAST(SUM(q*p) AS DOUBLE) - CAST(SUM(q) AS DOUBLE)*CAST(SUM(p) AS DOUBLE)/COUNT(*)) / (COUNT(*)-1), 6) AS covar_qp,
+      round(((CAST(SUM(q*p) AS DOUBLE) - CAST(SUM(q) AS DOUBLE)*CAST(SUM(p) AS DOUBLE)/COUNT(*)))
+            / sqrt((CAST(SUM(q*q) AS DOUBLE) - CAST(SUM(q) AS DOUBLE)*CAST(SUM(q) AS DOUBLE)/COUNT(*))
+                 * (CAST(SUM(p*p) AS DOUBLE) - CAST(SUM(p) AS DOUBLE)*CAST(SUM(p) AS DOUBLE)/COUNT(*))), 6) AS corr_qp
+    FROM d
+    """,
+    tags=("agg", "stats"),
+)
+def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation via exact decimal moments
+    (bit-identical across engines; the engines' own streaming covar/corr
+    differ in last ulps)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    q = dec("l_quantity", 18, 2)
+    p = dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq, sp = F.sum(q).cast("double"), F.sum(p).cast("double")
+    sqp = F.sum(q * p).cast("double")
+    sqq, spp = F.sum(q * q).cast("double"), F.sum(p * p).cast("double")
+    cov = (sqp - sq * sp / n) / (n - F.lit(1))
+    corr = (sqp - sq * sp / n) / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n))
+    return li.agg(n.alias("n"), F.round(cov, 6).alias("covar_qp"), F.round(corr, 6).alias("corr_qp"))
+
+
+@query(
+    "q_collect_list_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           list_sort(list(DISTINCT n_nationkey % 5)) AS key_mods
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def q_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set surfaced deterministically (sorted)."""
+    nt = tables(spark, sf_dir)["nation"]
+    return nt.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set(F.col("n_nationkey") % 5)).alias("key_mods"),
+    )
+
+
+@query(
+    "q_approx_aggregates",
+    oracle=None,  # approximate by construction — driver rows-only check
+    tags=("agg", "approx"),
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct + t-digest percentile_approx, with exact
+    counterparts alongside for error inspection."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 100).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 2x the mean price).
+
+    avg() appears only inside an inequality against data far from the
+    threshold — last-ulp engine differences cannot flip row membership
+    here (verified: no order sits within 1e-6 of the cut)."""
+    t = tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "q_correlated_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "tpch"),
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — planned as a left-semi join."""
+    t = tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_shipmode_buckets",
+    oracle="""
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "case-when", "tpch"),
+)
+def q_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional-sum bucketing after a fact-fact join."""
+    t = tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_promo_revenue_ratio",
+    oracle=f"""
+    SELECT round(
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END) AS DOUBLE)
+      / CAST(SUM({REVENUE_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    tags=("agg", "ratio", "tpch"),
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share with a broadcast part join."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = revenue_expr()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * promo / F.sum(rev).cast("double"), 6).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q_explode_variants",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, token
+    FROM (SELECT doc_id, unnest(toks) AS token,
+                 generate_subscripts(toks, 1) AS pos FROM t)
+    WHERE pos - 1 < 5
+    """,
+    tags=("scalar", "explode"),
+)
+def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-style 1->N with position) over tokenized text."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+    )
+
+
+@query(
+    "q_levenshtein_similarity",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 300 AND b.p_partkey < 300
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("text", "similarity", "llm-data"),
+)
+def q_levenshtein_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs within brand blocks (fuzzy dedup
+    tier for short strings; blocked to stay linear-ish)."""
+    p = tables(spark, sf_dir)["part"].filter(F.col("p_partkey") < 300)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "p_brand")
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+                 F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("p_brand") == F.col("brand_b")) & (F.col("key_a") < F.col("key_b")))
+        .filter(dist <= 4)
+        .select("key_a", "key_b", "name_a", "name_b", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "q_udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens_py,
+           CAST(round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS DOUBLE) AS chars_per_token
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("udf", "pandas-udf"),
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python scalar-UDF surface (Arrow-vectorized pandas_udf) with an
+    oracle: token counting done in Python must equal SQL splitting."""
+
+    @F.pandas_udf(T.IntegerType())
+    def n_tokens_udf(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").map(len).astype("int32")
+
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 3 == 0)
+    nt = n_tokens_udf(F.col("text"))
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens_py"),
+        F.round(F.col("n_chars").cast("double") / nt, 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_grouped_map_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt((CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, round((value - mu) / sigma, 6) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    """,
+    tags=("udf", "grouped-map"),
+)
+def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization (the
+    canonical per-group pandas computation), oracle-checked against the
+    window/moment formulation."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"].to_numpy(dtype="float64")
+        mu = v.sum() / len(v)
+        sigma = float(np.sqrt(((v * v).sum() - v.sum() * v.sum() / len(v)) / (len(v) - 1)))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((v - mu) / sigma).round(6),
+            }
+        )
+
+    e = tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, zscore double"
+    )
+
+
+@query(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           regexp_extract_all(text, '\\b[bs][a-z]+')[1] AS first_bs_word,
+           CAST(regexp_matches(text, 'spark') AS BOOLEAN) AS mentions_spark
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+    tags=("scalar", "regex", "text"),
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token extraction (the BPE-ish regex-tokenizer tier)."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 11 == 0)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("([a-z]+)"), 1)).alias("n_word_tokens"),
+        F.try_element_at(F.regexp_extract_all(F.col("text"), F.lit(r"(\b[bs][a-z]+)"), 1), F.lit(1)).alias(
+            "first_bs_word"
+        ),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+    )
+
+
+@query(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment join (events x customer
+    dim, broadcast) — the streaming form is tests/test_streaming.py."""
+    t = tables(spark, sf_dir)
+    dim = t["customer"].select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        t["events"]
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "sum_value"))
+    )
+
+
+@query(
+    "q_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+      o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+      o_orderdate - INTERVAL 45 DAY AS minus_45d,
+      CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS months_to_y2k,
+      CAST((o_orderdate + INTERVAL 100 DAY > TIMESTAMP '1999-12-31 00:00:00') AS BOOLEAN) AS due_after_y2k
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    tags=("scalar", "interval"),
+)
+def q_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on timestamps (add/subtract months and days)."""
+    o = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 25 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 45 DAYS")).alias("minus_45d"),
+        (
+            (F.year(F.lit("2000-01-01").cast("date")) - F.year("o_orderdate")) * 12
+            + (F.month(F.lit("2000-01-01").cast("date")) - F.month("o_orderdate"))
+        ).alias("months_to_y2k"),
+        (
+            (F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"))
+            > F.lit("1999-12-31").cast("timestamp")
+        ).alias("due_after_y2k"),
+    )
+
+
+@query(
+    "q_hash_functions",
+    oracle="""
+    SELECT s_suppkey,
+           md5(s_name) AS name_md5,
+           sha256(s_name) AS name_sha256,
+           CAST(length(md5(s_name)) AS INT) AS md5_len
+    FROM supplier
+    """,
+    tags=("scalar", "hash"),
+)
+def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash functions (md5 / sha-256) — identical hex across
+    engines, the basis of all content-addressed dedup."""
+    s = tables(spark, sf_dir)["supplier"]
+    return s.select(
+        "s_suppkey",
+        F.md5(F.col("s_name")).alias("name_md5"),
+        F.sha2(F.col("s_name"), 256).alias("name_sha256"),
+        F.length(F.md5(F.col("s_name"))).alias("md5_len"),
+    )
+
+
+@query(
+    "q_union_missing_columns",
+    oracle="""
+    SELECT keysrc, nationkey, acctbal FROM (
+      SELECT 'cust' AS keysrc, c_nationkey AS nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+      UNION ALL
+      SELECT 'nation' AS keysrc, n_nationkey AS nationkey, NULL AS acctbal FROM nation
+    )
+    """,
+    tags=("setop", "union"),
+)
+def q_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-evolving union where
+    the missing column null-fills."""
+    t = tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.lit("cust").alias("keysrc"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    n = t["nation"].select(F.lit("nation").alias("keysrc"), F.col("n_nationkey").alias("nationkey"))
+    return c.unionByName(n, allowMissingColumns=True)
+
+
+@query(
+    "q_cume_dist_percentiles",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+      round(CAST(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS DOUBLE), 6) AS bal_cume,
+      NTILE(3) OVER (ORDER BY s_acctbal, s_suppkey) AS bal_tercile
+    FROM supplier
+    """,
+    tags=("window", "rank"),
+)
+def q_cume_dist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + global ntile (single-partition window over the small
+    supplier dim — explicitly NOT a pattern for fact tables)."""
+    from pyspark.sql import Window as W
+
+    s = tables(spark, sf_dir)["supplier"]
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        F.ntile(3).over(w).alias("bal_tercile"),
+    )
