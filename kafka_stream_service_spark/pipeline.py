@@ -52,12 +52,23 @@ class PipelineConfig:
 WIRE_FRAME_DDL = "key binary, value binary"
 
 
-def decode_stage(frames: DataFrame) -> DataFrame:
+def decode_stage(frames: DataFrame, observe: bool = True) -> DataFrame:
     """R6+R7: wire frames -> Message columns (headers, payload).
 
     Keeps only the decoded value, dropping the envelope — exactly
     ``records.map(ConsumerRecord::value)`` (StreamsApplication.java:176).
+
+    ``observe`` attaches row-level metrics (record count, payload bytes)
+    to each micro-batch — the Spark-native form of the reference's
+    ``records.log()`` tap (R17, StreamsApplication.java:147): metrics
+    surface in every QueryProgressEvent under observedMetrics["decoded"].
     """
+    if observe:
+        frames = frames.observe(
+            "decoded",
+            F.count(F.lit(1)).alias("n_records"),
+            F.coalesce(F.sum(F.length("value")), F.lit(0)).alias("wire_bytes"),
+        )
     return frames.select(decode_message(F.col("value")).alias("msg")).select(
         "msg.headers", "msg.payload"
     )

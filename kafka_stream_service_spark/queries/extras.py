@@ -1,0 +1,114 @@
+"""Coverage completions: unpivot/stack, from_json struct parsing,
+GROUPING() indicators, salted skew join (SURVEY.md §2.2 remainder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import tables
+from ._util import dec, dsum
+from .registry import query
+
+
+@query(
+    "q_unpivot_stack",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+    ) WHERE p_partkey % 9 = 0
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via the native unpivot/melt operator."""
+    p = tables(spark, sf_dir)["part"].filter(F.col("p_partkey") % 9 == 0)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "q_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+           CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled,
+           (CAST(json_extract(props, '$.k') AS INT) IS NOT NULL) AS parsed_ok
+    FROM events WHERE event_type = 'signup'
+    """,
+    tags=("scalar", "json"),
+)
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing (from_json -> typed struct, not string
+    extraction) — the structured counterpart of get_json_object."""
+    e = tables(spark, sf_dir)["events"].filter(F.col("event_type") == "signup")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = F.from_json(F.col("props"), schema)
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+        parsed.getField("k").isNotNull().alias("parsed_ok"),
+    )
+
+
+@query(
+    "q_rollup_grouping_id",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(c_nationkey % 3 AS INT) AS nation_mod,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+           CAST(GROUPING(c_nationkey % 3) AS INT) AS g_mod,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey % 3)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators (distinguish real NULL groups
+    from subtotal rows)."""
+    tables(spark, sf_dir)["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(c_nationkey % 3 AS INT) AS nation_mod,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(c_nationkey % 3) AS INT) AS g_mod,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY ROLLUP (c_mktsegment, c_nationkey % 3)
+        """
+    )
+
+
+@query(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator must be *semantically invisible*: same
+    result as the plain equi-join (oracle), different physical
+    distribution (hot keys scattered across 8 salt buckets)."""
+    from ..operators.salted import salted_join
+
+    t = tables(spark, sf_dir)
+    joined = salted_join(
+        t["lineitem"], t["orders"], big_key="l_orderkey", small_key="o_orderkey", salt_buckets=8
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(dec("l_quantity", 18, 2), "sum_qty")
+    )
