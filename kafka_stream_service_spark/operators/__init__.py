@@ -15,11 +15,14 @@ from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
     hashed_word_shingles,
     lsh_candidate_pairs,
+    minhash_frame,
     minhash_signature,
     shingle_frame,
     simhash64,
+    simhash_frame,
     word_shingles,
 )
+from .salted import salted_join  # noqa: F401
 from .similarity import (  # noqa: F401
     blocked_cosine_pairs,
     cosine_col,

@@ -156,14 +156,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed seeds); shingle arrays never enter the band-join shuffle (see
     operators/dedup.py scale notes).
     """
-    from ..operators import lsh_candidate_pairs, shingle_frame
+    from ..operators import lsh_candidate_pairs, minhash_frame
     from ..operators.dedup import jaccard
 
     d = tables(spark, sf_dir)["documents"]
-    # persist: the shingle sets feed both the band join and the exact
-    # verify rejoin — one Arrow pass instead of three recomputations
-    sh = shingle_frame(d, n=3).filter(F.size("shingles") > 0).persist()
-    cand = lsh_candidate_pairs(sh, id_col="doc_id", shingle_col="shingles", k=16, bands=4)
+    # one Arrow pass computes shingle sets AND minhash signatures;
+    # persisted because both the band join and the exact-verify rejoin
+    # read it
+    sh = minhash_frame(d, n=3, k=16).filter(F.size("shingles") > 0).persist()
+    cand = lsh_candidate_pairs(
+        sh, id_col="doc_id", shingle_col="shingles", k=16, bands=4, sig_col="sig"
+    )
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -187,14 +190,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document + a 16-bit blocking bucket.
 
-    The bit loop unrolls into 64 JVM expressions — row-parallel, no
-    shuffle (operators/dedup.py:simhash64).
+    Vectorized numpy bit votes in one Arrow pass
+    (operators/dedup.py:simhash_frame); the pure-JVM ``simhash64``
+    formulation exists for expression-only contexts.
     """
-    from ..operators import simhash64
+    from ..operators.dedup import simhash_frame
 
     d = tables(spark, sf_dir)["documents"]
     return (
-        d.select("doc_id", simhash64(F.array_distinct(_tokens())).alias("simhash"))
+        simhash_frame(d)
         .withColumn("bucket", F.shiftrightunsigned("simhash", 48))
         .orderBy("doc_id")
     )
