@@ -48,6 +48,36 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def pipeline_throughput(spark, sf_dir: str, tmp_dir: str) -> dict:
+    """Messages/sec through the full reference pipeline
+    (decode -> uppercase -> encode) over wire-framed events rows.
+
+    Frame materialization is untimed; the timed section is exactly the
+    reference's data path (StreamsApplication.java:146-150 equivalent).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.codec import encode_message, message_struct
+    from kafka_stream_service_spark.pipeline import run_pipeline_batch
+    from kafka_stream_service_spark.tables import tables
+    from kafka_stream_service_spark.transform import uppercase_function
+
+    events = tables(spark, sf_dir)["events"]
+    headers = F.create_map(F.lit("type"), F.array(F.col("event_type")))
+    frames = events.select(
+        F.lit(None).cast("binary").alias("key"),
+        encode_message(message_struct(headers, F.encode(F.col("props"), "utf-8"))).alias("value"),
+    )
+    frames.write.mode("overwrite").parquet(tmp_dir)
+    framed = spark.read.parquet(tmp_dir)
+    n = framed.count()
+
+    t0 = time.time()
+    force(run_pipeline_batch(framed, uppercase_function))
+    sec = time.time() - t0
+    return {"msgs": n, "sec": round(sec, 3), "msgs_per_sec": round(n / sec)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -63,6 +93,11 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pipe = pipeline_throughput(spark, sf_dir, os.path.join(td, "frames"))
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -72,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pipeline_throughput": pipe,
             }
         )
     )
