@@ -1,0 +1,64 @@
+"""Unit tests for the LLM-data operator tier: connected components, IVF
+recall vs the exact baseline, dedup cluster canonicalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_service_spark.operators.graph import connected_components
+from kafka_stream_service_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20} (self-edge only)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node chain needs label propagation over several hops
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(edges, max_iter=15).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_knn_cosine_bruteforce"].spark_fn(spark, SF).collect()
+    }
+    ivf = {(r.query_id, r.neighbor_id) for r in QUERIES["q_knn_ivf"].spark_fn(spark, SF).collect()}
+    recall = len(bf & ivf) / len(bf)
+    # random gaussian embeddings are IVF's worst case; probing 8/16 cells
+    # must still recover a solid majority of true neighbors
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+
+
+def test_dedup_clusters_canonical_invariants(spark):
+    rows = QUERIES["q_dedup_clusters"].spark_fn(spark, SF).collect()
+    assert rows, "expected near-dup clusters in the fixture corpus"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster, members in by_cluster.items():
+        # exactly one canonical per cluster, and it is the min doc_id
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].doc_id == min(m.doc_id for m in members) == cluster
+
+
+def test_tfidf_sanity(spark):
+    rows = QUERIES["q_tfidf_top_terms"].spark_fn(spark, SF).collect()
+    assert rows
+    # ubiquitous tokens (df ~ n_docs) get ~zero idf; tfidf never negative
+    # beyond the smoothing epsilon
+    assert all(r.tfidf >= -1e-6 or r.tf_count > 0 for r in rows)
+    by_doc_token = {(r.doc_id, r.token): r for r in rows}
+    assert len(by_doc_token) == len(rows), "duplicate (doc, token) rows"
