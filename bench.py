@@ -83,8 +83,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches + Python/Arrow workers
     force(QUERIES["q02_revenue_by_nation"].spark_fn(spark, sf_dir))
+    force(
+        spark.range(spark.sparkContext.defaultParallelism * 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(lambda it: it, schema="id long")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -23,6 +23,17 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition tiny single-file inputs so Arrow/Python stages use all
+    cores. A small corpus parquet arrives as ONE partition locally (one
+    python worker); at 100 TB the input is already many splits and this
+    round-robin repartition is skipped."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string>."""
     toks = F.split(text, " ")
@@ -85,7 +96,7 @@ def shingle_frame(
                 out.append(list(hs))
             yield pd.DataFrame({id_col: pdf[id_col], "shingles": out})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         shingle_batches, schema=f"{id_col} long, shingles array<long>"
     )
 
@@ -147,7 +158,7 @@ def minhash_frame(
                 sh_out.append(arr.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "shingles": sh_out, "sig": sig_out})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         batches_fn, schema=f"{id_col} long, shingles array<long>, sig array<long>"
     )
 
@@ -259,7 +270,7 @@ def simhash_frame(
                 out.append(fp)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         simhash_batches, schema=f"{id_col} long, simhash long"
     )
 
