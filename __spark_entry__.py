@@ -30,9 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     Revenue by customer nation: scan → filter → fact-fact join → broadcast
     dim joins → partial+final agg (SURVEY.md §7 step 2).
     """
-    from kafka_stream_service_spark.queries.relational import q02_revenue_by_nation
-
-    return q02_revenue_by_nation(spark, "/root/testdata/sf0.001")
+    return queries_dict()["q02_revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

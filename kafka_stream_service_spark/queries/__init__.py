@@ -19,6 +19,7 @@ from . import advanced  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import llm_extra  # noqa: E402,F401
+from . import scalar2  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401

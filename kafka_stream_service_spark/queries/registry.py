@@ -36,13 +36,33 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Oracle-critical session confs, applied defensively on every query
+    call: the driver's harness owns its SparkSession and may not set
+    these. UTC pins every session-tz-sensitive expression
+    (unix_timestamp/unix_micros on NTZ, LTZ<->NTZ casts in the events
+    loader) to the values DuckDB computes; nanosAsLong lets the events
+    parquet (TIMESTAMP_NANOS) load at all.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
     """Decorator registering a catalog query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, tags, doc or (fn.__doc__ or ""))
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = QuerySpec(name, wrapped, oracle, tags, doc or (fn.__doc__ or ""))
         return fn
 
     return deco
