@@ -18,6 +18,7 @@ from . import events_q  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import extras  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
+from . import tpch_extra2  # noqa: E402,F401
 from . import llm_extra  # noqa: E402,F401
 from . import scalar2  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
