@@ -78,6 +78,41 @@ def q_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT qa.vec_id AS vec_a, ca.vec_id AS vec_b, qa.label,
+             round({COSINE_SQL}, 6) AS cosine
+      FROM embeddings qa
+      JOIN embeddings ca ON qa.label = ca.label AND qa.vec_id < ca.vec_id
+      WHERE {COSINE_SQL} >= 0.3
+    )
+    SELECT label, vec_b AS dup_id, MIN(vec_a) AS canonical_id,
+           MAX(cosine) AS best_cosine
+    FROM pairs
+    GROUP BY label, vec_b
+    """,
+    tags=("similarity", "dedup", "llm-data"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop any vector with an
+    earlier (lower vec_id) neighbor at cosine >= 0.3 in its label block;
+    emit the dropped→canonical mapping (single-pass semantics — the
+    transitive-closure variant is q_dedup_clusters).
+
+    Same one-shuffle blocked-matmul plan as q_cosine_pairs_blocked plus a
+    groupBy on the dup id; at 100 TB the block key becomes an LSH bucket
+    so the pair space stays bounded.
+    """
+    e = tables(spark, sf_dir)["embeddings"]
+    pairs = blocked_cosine_pairs(e, block_col="label", threshold=0.3)
+    return pairs.groupBy("label", F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("canonical_id"),
+        F.max("cosine").alias("best_cosine"),
+    )
+
+
+@query(
     "q_embedding_stats_by_label",
     oracle="""
     SELECT label,

@@ -10,6 +10,7 @@ itself), fresh group per query (:95 — Spark generates one per query).
 """
 
 from .readers import (  # noqa: F401
+    read_binary_files,
     read_csv,
     read_json,
     read_parquet,

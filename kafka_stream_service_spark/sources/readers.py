@@ -22,6 +22,31 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool 
     return spark.read.schema(schema).csv(path, header=header)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes_per_file: int | None = None,
+) -> DataFrame:
+    """Multimodal raw-file ingest via the built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content binary)
+    — the on-ramp that turns image/audio/video files into the opaque
+    binary columns the multimodal operators consume (SURVEY.md §2.2).
+
+    At 100 TB: files >> executors, so parallelism is per-file; keep media
+    shards in the low hundreds of MB, filter on ``length``/``path`` (both
+    served from file metadata, no content read), and project ``content``
+    only in the stage that decodes it.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes_per_file is not None:
+        df = df.filter(df["length"] <= max_bytes_per_file)
+    return df
+
+
 def stream_kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -18,7 +18,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kafka_stream_service_spark.codec import encode_py
 from kafka_stream_service_spark.pipeline import PipelineConfig, start_pipeline
-from kafka_stream_service_spark.sources import read_csv, read_json, stream_file_source, stream_rate_source
+from kafka_stream_service_spark.sources import (
+    read_binary_files,
+    read_csv,
+    read_json,
+    stream_file_source,
+    stream_rate_source,
+)
 from kafka_stream_service_spark.tables import tables
 from kafka_stream_service_spark.transform import uppercase_function
 
@@ -151,6 +157,24 @@ def test_schema_json_csv_sources(spark, tmp_path):
     assert [r.id for r in j.orderBy("id").collect()] == [1, 2]
     assert [r.score for r in c.orderBy("id").collect()] == [3.5, 4.5]
     assert j.schema == schema and c.schema == schema
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile ingest: one row per media file, glob + size filters
+    served from file metadata, content arrives as an opaque binary column
+    (the multimodal on-ramp)."""
+    (tmp_path / "a.bin").write_bytes(b"\xff\x00media-a" * 10)
+    (tmp_path / "b.bin").write_bytes(b"\xff\x00media-bb" * 100)
+    (tmp_path / "skip.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\xff\x00media-a" * 10
+    assert rows["b.bin"].length == 1000
+
+    small = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes_per_file=500)
+    assert [os.path.basename(r.path) for r in small.collect()] == ["a.bin"]
 
 
 def test_rate_source_smoke(spark):
