@@ -41,6 +41,8 @@ HEADLINE = [
     "q_text_wordcount",
     "q_text_token_stats",
     "q_codec_roundtrip",
+    "q_dedup_embedding_cosine",
+    "q_training_corpus_pipeline",
 ]
 
 
@@ -72,9 +74,12 @@ def pipeline_throughput(spark, sf_dir: str, tmp_dir: str) -> dict:
     framed = spark.read.parquet(tmp_dir)
     n = framed.count()
 
-    t0 = time.time()
-    force(run_pipeline_batch(framed, uppercase_function))
-    sec = time.time() - t0
+    sec = None
+    for _ in range(2):
+        t0 = time.time()
+        force(run_pipeline_batch(framed, uppercase_function))
+        elapsed = time.time() - t0
+        sec = elapsed if sec is None else min(sec, elapsed)
     return {"msgs": n, "sec": round(sec, 3), "msgs_per_sec": round(n / sec)}
 
 
@@ -91,12 +96,18 @@ def main() -> None:
         .mapInPandas(lambda it: it, schema="id long")
     )
 
+    # two timed passes per query, keep the min: single-JVM timings on a
+    # shared host are noisy (transient steal); min-of-2 measures the
+    # engine, not the neighbors
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].spark_fn
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name].spark_fn
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     import tempfile
 
