@@ -94,6 +94,24 @@ def test_no_cartesian_anywhere_in_catalog(spark):
     assert not bad, f"cartesian products in: {bad}"
 
 
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("q_asof_join", 1),  # union-tag composition: ONE shuffle on the key
+        ("q_training_corpus_pipeline", 2),  # dedup window + final groupBy
+        ("q_dedup_embedding_cosine", 2),  # block key + dup-id groupBy
+    ],
+)
+def test_shuffle_budget(spark, name, max_exchanges):
+    """SCALE.md's shuffle inventory is enforced: these compositions must
+    not regress into extra exchanges."""
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
 @pytest.mark.parametrize("name", ["q02_revenue_by_nation", "q10_returned_items"])
 def test_no_python_in_relational_spine(spark, name):
     """Relational queries stay entirely JVM-side (no Python/Arrow eval
