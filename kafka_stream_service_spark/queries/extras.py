@@ -112,3 +112,45 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum(dec("l_quantity", 18, 2), "sum_qty")
     )
+
+
+@query(
+    "q_udtf_token_positions",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(LEAST(len(toks), 5) AS BIGINT))) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 40)
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i + 1 AS INT)] AS token
+    FROM e
+    """,
+    tags=("udtf", "text"),
+)
+def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (1→N table function, Spark 3.5+ API) applied via
+    SQL LATERAL — the declared-UDTF counterpart of the explode-based
+    UDTF coverage (q_explode_variants).
+
+    First-5-token positions per document; bounded input because a Python
+    UDTF is the slow path by design — at scale this surface is for logic
+    explode() can't express, and the lateral join keeps it parallel per
+    input partition with no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenPositions:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")[:5]):
+                yield i, tok
+
+    spark.udtf.register("token_positions", TokenPositions)
+    tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM udtf_docs d, LATERAL token_positions(d.text) t"
+    )
