@@ -113,3 +113,32 @@ def test_spark_udf_roundtrip(spark):
     assert bytes(out[1].payload) == b""
     assert out[2].headers == {"x": []}
     assert bytes(out[2].payload) == b"\x00\xff\x10"
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+    )
+    _names = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=20
+    ).filter(lambda s: len(s.encode("utf-8")) <= 127)
+
+    @given(
+        headers=st.dictionaries(_names, st.lists(_text, max_size=4), max_size=10),
+        payload=st.binary(max_size=300),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_property_roundtrip(headers, payload):
+        """Hypothesis property: encode∘decode is identity over arbitrary
+        unicode header names (≤127 utf-8 bytes), unicode value lists
+        (JSON-special chars included), and arbitrary payload bytes —
+        the generalized form of MessageSerializerTests.java:37-49."""
+        h2, p2 = decode_py(encode_py(headers, payload))
+        assert h2 == headers
+        assert p2 == payload
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass
