@@ -221,3 +221,37 @@ def q_event_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
     )
+
+
+_MULTIGRAIN_SQL = """
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+             event_type, CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    )
+    SELECT d AS day_start, h AS hour_start,
+           CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type))
+"""
+
+
+@query(
+    "q_time_rollup_multigrain",
+    oracle=_MULTIGRAIN_SQL,
+    tags=("streaming", "rollup", "hypertable"),
+)
+def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour AND day grains
+    of the event stream in ONE pass via GROUPING SETS (Spark plans a
+    single scan + Expand + one shuffle — no second read of the fact
+    table for the coarser grain).
+
+    At 100 TB this is the materialization query behind multi-resolution
+    dashboards: partial aggregation runs map-side per grain, and adding
+    grains (week/month) extends the Expand, not the scan count.
+    """
+    tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    return spark.sql(_MULTIGRAIN_SQL)
