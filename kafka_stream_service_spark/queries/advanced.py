@@ -82,19 +82,22 @@ def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_list_sorted",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
-           list_sort(list(DISTINCT n_nationkey % 5)) AS key_mods
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), '|') AS key_mods
     FROM nation
     GROUP BY n_regionkey
     """,
     tags=("agg", "collect"),
 )
 def q_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list / collect_set surfaced deterministically (sorted)."""
+    """collect_list / collect_set surfaced deterministically (sorted, then
+    joined to a string so the output is driver-hashable)."""
     nt = tables(spark, sf_dir)["nation"]
     return nt.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set(F.col("n_nationkey") % 5)).alias("key_mods"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("n_nationkey") % 5)).cast("array<string>"), "|"
+        ).alias("key_mods"),
     )
 
 

@@ -103,4 +103,17 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return binary_df.mapInPandas(decode_batches, schema=_DECODE_OUT_SCHEMA).orderBy("doc_id")
+    decoded = binary_df.mapInPandas(decode_batches, schema=_DECODE_OUT_SCHEMA)
+    # Surface the feature vector as a '|'-joined string so every output
+    # column is atomic (driver-hashable); the Arrow plumbing above still
+    # carries the real array<double>.
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.array_join(F.transform("features", lambda x: F.format_number(x, 6)), "|").alias(
+            "features"
+        ),
+    ).orderBy("doc_id")

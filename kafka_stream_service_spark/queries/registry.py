@@ -68,9 +68,89 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
     return deco
 
 
+# The driver's correctness gate samples the FIRST 50 entries of
+# ``queries()``. This explicit priority order packs that window with one
+# flagship per operator family — LLM-data operators (dedup, similarity,
+# text, multimodal, training pipeline), the codec, and the UDF tiers
+# first (they had no hard driver verdicts in round 1), then one
+# representative per relational/window/setop/streaming family. Everything
+# not listed keeps its module registration order after these.
+PRIORITY_ORDER: tuple[str, ...] = (
+    # LLM-data flagships (never driver-verified in r1)
+    "q_dedup_exact_hash",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding_cosine",
+    "q_knn_cosine_bruteforce",
+    "q_cosine_pairs_blocked",
+    "q_text_wordcount",
+    "q_tfidf_top_terms",
+    "q_text_quality_score",
+    "q_multimodal_metadata",
+    "q_multimodal_frame_sample",
+    "q_training_corpus_pipeline",
+    "q_codec_roundtrip",
+    # UDF tiers (pandas scalar / grouped-map / UDTF)
+    "q_udf_pandas_scalar",
+    "q_grouped_map_zscore",
+    "q_udtf_token_positions",
+    # the one red row from r1, fixed this round
+    "q_array_funcs",
+    # TPC-H core + extra
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q06_forecast_revenue_filter",
+    "q_national_market_share",
+    # join family
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta_range",
+    "q_asof_join",
+    "q_salted_skew_join",
+    # aggregate family
+    "q_agg_global_stats",
+    "q_agg_having",
+    "q_rollup",
+    "q_pivot",
+    "q_collect_list_sorted",
+    # window family
+    "q_window_topk_per_group",
+    "q_window_running_sum",
+    "q_window_lag_lead",
+    "q_sort_limit_topk",
+    # set operations
+    "q_except_all",
+    "q_intersect_all",
+    "q_distinct_multi",
+    # streaming analogues
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_event_dedup",
+    "q_time_rollup_multigrain",
+    "q_stream_static_enrich",
+    # scalar batteries
+    "q_string_funcs",
+    "q_array_higher_order",
+    "q_json_funcs",
+)
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    missing = [n for n in PRIORITY_ORDER if n not in QUERIES]
+    if missing:
+        raise ValueError(f"PRIORITY_ORDER names not registered: {missing}")
+    prioritized = set(PRIORITY_ORDER)
+    rest = [spec for name, spec in QUERIES.items() if name not in prioritized]
+    return [QUERIES[n] for n in PRIORITY_ORDER] + rest
+
+
 def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark_fn for name, spec in QUERIES.items()}
+    return {spec.name: spec.spark_fn for spec in _ordered_specs()}
 
 
 def oracle_sql_dict() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {spec.name: spec.oracle for spec in _ordered_specs() if spec.oracle is not None}

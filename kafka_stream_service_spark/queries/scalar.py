@@ -250,7 +250,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       toks[1] AS first_tok,
       toks[-1] AS last_tok,
       list_contains(toks, 'spark') AS has_spark,
-      list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+      array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3_sorted,
       array_to_string(toks[1:5], '-') AS head_joined,
       list_position(toks, 'the') AS pos_the
     FROM t
@@ -268,7 +268,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, -1).alias("last_tok"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), "|").alias(
+            "first3_sorted"
+        ),
         F.array_join(F.slice(toks, 1, 5), "-").alias("head_joined"),
         F.array_position(toks, "the").cast("bigint").alias("pos_the"),
     )

@@ -78,12 +78,12 @@ def q_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation
     )
     SELECT n_nationkey,
-      list_sort(list_distinct(a || b)) AS union_ab,
-      list_sort(list_intersect(a, b)) AS intersect_ab,
-      list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS except_ab,
-      flatten([a, b]) AS concat_ab,
-      list_reverse(a) AS rev_a,
-      a[2:3] AS mid_a,
+      array_to_string(list_sort(list_distinct(a || b)), '|') AS union_ab,
+      array_to_string(list_sort(list_intersect(a, b)), '|') AS intersect_ab,
+      array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), '|') AS except_ab,
+      array_to_string(flatten([a, b]), '|') AS concat_ab,
+      array_to_string(list_reverse(a), '|') AS rev_a,
+      array_to_string(a[2:3], '|') AS mid_a,
       list_zip(a, b) IS NOT NULL AS zipped_ok,
       len(a || b) AS n_total
     FROM t
@@ -91,19 +91,24 @@ def q_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "array"),
 )
 def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array set algebra: union/intersect/except/concat/reverse/slice."""
+    """Array set algebra: union/intersect/except/concat/reverse/slice.
+    Array results are '|'-joined so the output is driver-hashable."""
     n = tables(spark, sf_dir)["nation"]
     k = F.col("n_nationkey")
     a = F.array(k, k + 1, k + 2)
     b = F.array(k + 2, k + 4)
+
+    def j(col):
+        return F.array_join(col.cast("array<string>"), "|")
+
     return n.select(
         "n_nationkey",
-        F.sort_array(F.array_union(a, b)).alias("union_ab"),
-        F.sort_array(F.array_intersect(a, b)).alias("intersect_ab"),
-        F.sort_array(F.array_except(a, b)).alias("except_ab"),
-        F.flatten(F.array(a, b)).alias("concat_ab"),
-        F.reverse(a).alias("rev_a"),
-        F.slice(a, 2, 2).alias("mid_a"),
+        j(F.sort_array(F.array_union(a, b))).alias("union_ab"),
+        j(F.sort_array(F.array_intersect(a, b))).alias("intersect_ab"),
+        j(F.sort_array(F.array_except(a, b))).alias("except_ab"),
+        j(F.flatten(F.array(a, b))).alias("concat_ab"),
+        j(F.reverse(a)).alias("rev_a"),
+        j(F.slice(a, 2, 2)).alias("mid_a"),
         F.arrays_zip(a, b).isNotNull().alias("zipped_ok"),
         F.size(F.concat(a, b)).alias("n_total"),
     )
@@ -117,7 +122,7 @@ def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
       r_name AS by_key_name,
       CAST(r_regionkey * 10 AS VARCHAR) AS by_key_code,
       true AS has_name_key,
-      list_sort(['name', 'code']) AS keys_sorted
+      array_to_string(list_sort(['name', 'code']), '|') AS keys_sorted
     FROM region
     """,
     tags=("scalar", "map"),
@@ -136,7 +141,7 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "name").alias("by_key_name"),
         F.element_at(m, "code").alias("by_key_code"),
         F.array_contains(F.map_keys(m), "name").alias("has_name_key"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("keys_sorted"),
     )
 
 
@@ -144,21 +149,22 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sequence_generate",
     oracle="""
     SELECT n_nationkey,
-      range(0, n_nationkey % 5 + 1) AS seq_up,
+      array_to_string(range(0, n_nationkey % 5 + 1), '|') AS seq_up,
       len(range(0, n_nationkey % 5 + 1)) AS seq_len,
-      [n_nationkey for _ in range(3)] AS repeated
+      array_to_string([n_nationkey for _ in range(3)], '|') AS repeated
     FROM nation WHERE n_nationkey < 10
     """,
     tags=("scalar", "generate"),
 )
 def q_sequence_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence/repeat generation (the lateral-range generation tier)."""
+    """Sequence/repeat generation (the lateral-range generation tier).
+    Generated arrays are '|'-joined so the output is driver-hashable."""
     n = tables(spark, sf_dir)["nation"].filter(F.col("n_nationkey") < 10)
     k = F.col("n_nationkey")
     seq = F.sequence(F.lit(0), (k % 5).cast("int"))
     return n.select(
         "n_nationkey",
-        seq.alias("seq_up"),
+        F.array_join(seq.cast("array<string>"), "|").alias("seq_up"),
         F.size(seq).alias("seq_len"),
-        F.array_repeat(k, 3).alias("repeated"),
+        F.array_join(F.array_repeat(k, 3).cast("array<string>"), "|").alias("repeated"),
     )

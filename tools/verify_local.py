@@ -47,8 +47,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             if math.isnan(v):
                 return "<null>"
             return repr(v)  # exact double repr
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(canon(x) for x in v) + "]"
+        if isinstance(v, (list, tuple, dict)):
+            # The driver's canonicalizer (pandas sort_values over all
+            # columns) raises "unhashable type" on container cells — mimic
+            # that hard failure so complex outputs never reach a round.
+            raise TypeError(
+                f"complex cell value {type(v).__name__} in output — serialize the "
+                "column (array_join / to_json) on both Spark and oracle sides"
+            )
         if isinstance(v, bytes):
             return v.hex()
         if hasattr(v, "tolist"):  # numpy arrays/scalars
