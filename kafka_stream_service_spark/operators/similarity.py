@@ -92,7 +92,12 @@ def blocked_cosine_pairs(
         norms = np.sqrt((mat * mat).sum(axis=1))
         sims = (mat @ mat.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(ids), k=1)
-        vals = sims[ia, ib]
+        # Threshold the ROUNDED cosine: numpy's pairwise/SIMD summation and
+        # an oracle's sequential fold can differ in the last ulps, so a raw
+        # cut at exactly `threshold` could keep a pair on one engine and
+        # drop it on the other. Rounding to 6 first makes the cut decision
+        # identical everywhere (oracles filter on round(cosine, 6) too).
+        vals = np.round(sims[ia, ib], 6)
         keep = vals >= threshold
         a, b = ids[ia[keep]], ids[ib[keep]]
         swap = a > b
@@ -101,7 +106,7 @@ def blocked_cosine_pairs(
                 "vec_a": np.where(swap, b, a),
                 "vec_b": np.where(swap, a, b),
                 block_col: pdf[block_col].iloc[0],
-                "cosine": np.round(vals[keep], 6),
+                "cosine": vals[keep],
             }
         )
 

@@ -58,7 +58,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 11 == 0)
     n_frames = F.ceil(F.length(F.encode(F.col("text"), "utf-8")) / F.lit(float(FRAME_SIZE)))
-    idx = F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(FRAME_STRIDE).cast("bigint"))
+    # Empty payloads would make sequence(0, -1, stride) raise "Illegal
+    # sequence boundaries"; CaseWhen evaluates lazily, so empty docs get an
+    # empty frame list (explode then emits no rows — same as the oracle's
+    # range(0, 0, stride)).
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(FRAME_STRIDE).cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
     frame = F.substring(
         F.col("text"), (F.col("frame_idx") * FRAME_SIZE + 1).cast("int"), FRAME_SIZE
     )

@@ -61,7 +61,7 @@ def q_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({COSINE_SQL}, 6) AS cosine
     FROM embeddings qa
     JOIN embeddings ca ON qa.label = ca.label AND qa.vec_id < ca.vec_id
-    WHERE {COSINE_SQL} >= 0.2
+    WHERE round({COSINE_SQL}, 6) >= 0.2
     """,
     tags=("similarity", "blocked", "llm-data"),
 )
@@ -85,7 +85,7 @@ def q_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
              round({COSINE_SQL}, 6) AS cosine
       FROM embeddings qa
       JOIN embeddings ca ON qa.label = ca.label AND qa.vec_id < ca.vec_id
-      WHERE {COSINE_SQL} >= 0.3
+      WHERE round({COSINE_SQL}, 6) >= 0.3
     )
     SELECT label, vec_b AS dup_id, MIN(vec_a) AS canonical_id,
            MAX(cosine) AS best_cosine

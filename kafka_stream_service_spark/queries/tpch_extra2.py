@@ -93,16 +93,16 @@ def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_important_part_value",
     oracle=f"""
     WITH part_value AS (
-      SELECT l_partkey, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS value
+      SELECT l_partkey, SUM({REVENUE_SQL}) AS value_dec
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_2'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, round(value, 2) AS value
+    SELECT l_partkey, round(CAST(value_dec AS DOUBLE), 2) AS value
     FROM part_value
-    WHERE value > (SELECT SUM(value) * 0.002 FROM part_value)
+    WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.002 FROM part_value)
     """,
     tags=("tpch", "agg", "subquery"),
 )
@@ -113,6 +113,11 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lineitem revenue stands in for ps_supplycost*ps_availqty (no partsupp
     in the fixtures). The grouped frame is computed once and self-joined
     against its own global sum (Spark reuses the exchange under AQE).
+
+    Both the per-part value and the global threshold are carried as EXACT
+    decimal sums (order-independent) and cast to double only afterwards,
+    so the strict > cut is applied to bit-identical values in Spark and
+    the oracle — a double running sum would be partition-order-dependent.
     """
     t = tables(spark, sf_dir)
     nat = t["nation"].filter(F.col("n_name") == "NATION_2")
@@ -121,13 +126,13 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(revenue_expr()).cast("double").alias("value"))
+        .agg(F.sum(revenue_expr()).alias("value_dec"))
     )
-    threshold = part_value.agg((F.sum("value") * 0.002).alias("thr"))
+    threshold = part_value.agg((F.sum("value_dec").cast("double") * 0.002).alias("thr"))
     return (
         part_value.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("thr"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .filter(F.col("value_dec").cast("double") > F.col("thr"))
+        .select("l_partkey", F.round(F.col("value_dec").cast("double"), 2).alias("value"))
     )
 
 

@@ -90,6 +90,22 @@ def streaming_dedup(
     return with_wm.dropDuplicates(list(keys))
 
 
+def accumulate_totals(state, batches, value_col: str = "value"):
+    """Pure accumulate step shared by the TWS processor below: fold pandas
+    batches into a ``(total, n)`` tuple, starting from ``state`` (a prior
+    tuple, or None/falsy for a fresh key — mirrors ``ValueState.get()``
+    after an ``exists()`` check).
+
+    Factored out of the processor so the state-transition logic is
+    unit-testable without the TWS protobuf protocol
+    (``tests/test_stateful.py::test_accumulate_totals_*``)."""
+    total, n = state if state else (0.0, 0)
+    for pdf in batches:
+        total += float(pdf[value_col].sum())
+        n += len(pdf)
+    return total, n
+
+
 def running_totals_tws(
     stream: DataFrame,
     key: str = "user_id",
@@ -132,10 +148,8 @@ def running_totals_tws(
             self._state = handle.getValueState("totals", state_schema)
 
         def handleInputRows(self, key_tuple, rows, timerValues):
-            total, n = self._state.get() if self._state.exists() else (0.0, 0)
-            for pdf in rows:
-                total += float(pdf[value_col].sum())
-                n += len(pdf)
+            prior = self._state.get() if self._state.exists() else None
+            total, n = accumulate_totals(prior, rows, value_col)
             self._state.update((total, n))
             yield pd.DataFrame({key: [key_tuple[0]], "total": [total], "n": [n]})
 

@@ -62,3 +62,26 @@ def test_tfidf_sanity(spark):
     assert all(r.tfidf >= -1e-6 or r.tf_count > 0 for r in rows)
     by_doc_token = {(r.doc_id, r.token): r for r in rows}
     assert len(by_doc_token) == len(rows), "duplicate (doc, token) rows"
+
+
+def test_frame_sample_empty_payload_yields_no_rows(spark, tmp_path):
+    """Empty payloads must produce zero frames, not an 'Illegal sequence
+    boundaries' crash (queries/multimodal2.py guards sequence(0, -1, k)
+    behind a CaseWhen; the oracle's range(0, 0, k) is naturally empty)."""
+    import pandas as pd
+
+    from kafka_stream_service_spark.queries.multimodal2 import q_multimodal_frame_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 11, 22],  # doc_id % 11 == 0 passes the query filter
+            "text": ["", "x" * 100, ""],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(str(d))
+    rows = q_multimodal_frame_sample(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {11}, "empty docs must emit no frames"
+    assert len(rows) == 1  # ceil(100/32)=4 frames, stride 4 keeps frame 0

@@ -106,6 +106,34 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_dir, tmp_path):
         assert abs(r.total - t_total) < 1e-6
 
 
+def test_accumulate_totals_fresh_key():
+    """The TWS processor's state transition (streaming/ops.py:
+    accumulate_totals) for a key with no prior state: totals start at
+    (0.0, 0) and fold every batch."""
+    import pandas as pd
+
+    from kafka_stream_service_spark.streaming.ops import accumulate_totals
+
+    batches = [pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [3.5]})]
+    assert accumulate_totals(None, batches) == (6.5, 3)
+    assert accumulate_totals(None, []) == (0.0, 0)
+
+
+def test_accumulate_totals_resumes_prior_state():
+    """Prior (total, n) state — the ValueState.get() tuple — is the fold
+    seed, so replaying a second micro-batch continues, not restarts."""
+    import pandas as pd
+
+    from kafka_stream_service_spark.streaming.ops import accumulate_totals
+
+    first = accumulate_totals(None, [pd.DataFrame({"value": [10.0, 20.0]})])
+    second = accumulate_totals(first, [pd.DataFrame({"value": [5.0]})])
+    assert second == (35.0, 3)
+    # custom value column name, as running_totals_tws(value_col=...) passes
+    third = accumulate_totals(second, [pd.DataFrame({"v": [1.0]})], value_col="v")
+    assert third == (36.0, 4)
+
+
 def _has_protobuf() -> bool:
     try:
         import google.protobuf  # noqa: F401
