@@ -27,9 +27,19 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition tiny single-file inputs so Arrow/Python stages use all
     cores. A small corpus parquet arrives as ONE partition locally (one
     python worker); at 100 TB the input is already many splits and this
-    round-robin repartition is skipped."""
+    round-robin repartition is skipped.
+
+    Partition count comes from the input files (no ``df.rdd`` — that
+    forces a plan→RDD conversion per call and throws on streaming
+    frames); streaming inputs pass through untouched."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())  # file-index lookup, no job
+    except Exception:  # non-file source (memory/createDataFrame) — leave as-is
+        return df
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 

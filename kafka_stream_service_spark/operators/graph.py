@@ -41,24 +41,41 @@ def connected_components(
             .union(edges.select(F.col(dst).alias("a"), F.col(dst).alias("b")))
         )
         .distinct()
+        .persist()  # read every iteration (join side) — compute once
     )
-    labels = sym.groupBy("a").agg(F.min("b").alias("comp")).withColumnRenamed("a", "node")
+    labels = (
+        sym.groupBy("a").agg(F.min("b").alias("comp")).withColumnRenamed("a", "node").persist()
+    )
 
-    for _ in range(max_iter):
-        # propagate: node's new label = min(own label, neighbors' labels)
-        neigh = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), F.col("comp"))
-        )
-        new_labels = neigh.groupBy("node").agg(F.min("comp").alias("comp"))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # Iterative lineage discipline: each iteration's labels are persisted
+    # (the changed-count action and the next join both read them — without
+    # this every action recomputes the whole chain-so-far), the previous
+    # generation is unpersisted, and the lineage is truncated with
+    # localCheckpoint every few iterations so the plan stays O(1) instead
+    # of growing per iteration (planner blowup / stack overflow on real
+    # clusters at 10+ iterations).
+    try:
+        for i in range(max_iter):
+            # propagate: node's new label = min(own label, neighbors' labels)
+            neigh = sym.join(labels, sym.b == labels.node).select(
+                F.col("a").alias("node"), F.col("comp")
+            )
+            new_labels = neigh.groupBy("node").agg(F.min("comp").alias("comp"))
+            if (i + 1) % 5 == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     return labels

@@ -21,8 +21,7 @@ the data. Recall < 1 by construction — callers verify candidates exactly
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import dot_col, norm_col
@@ -74,6 +73,22 @@ def train_ivf_centroids(
     return cents
 
 
+def _dist_array(emb: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances from ``emb`` to every centroid, as ONE
+    array column (see assign_cells docstring for why not chained whens)."""
+    dist_exprs = []
+    for c in centroids:
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        dist_exprs.append(
+            F.aggregate(
+                F.zip_with(emb, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return F.array(*dist_exprs)
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -86,19 +101,7 @@ def assign_cells(
     — never chain per-centroid ``when`` expressions (each step embeds the
     previous tree 3x over: exponential plan blowup, planner OOM at k=16).
     """
-    dist_exprs = []
-    for c in centroids:
-        cent = F.array(*[F.lit(float(x)) for x in c])
-        dist_exprs.append(
-            F.aggregate(
-                F.zip_with(
-                    F.col(emb_col), cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-    with_d = corpus.withColumn("_dists", F.array(*dist_exprs))
+    with_d = corpus.withColumn("_dists", _dist_array(F.col(emb_col), centroids))
     return with_d.withColumn(
         "cell", (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).cast("int")
     ).drop("_dists")
@@ -116,6 +119,15 @@ def ivf_knn(
 ) -> DataFrame:
     """Approximate cosine top-k: search only each query's n_probe nearest
     cells. Returns (query_id, neighbor_id, rank, cosine).
+
+    Probe assignment is fully distributed (no query collect — a large
+    query set would bottleneck/OOM the driver otherwise): each query row
+    computes its centroid-distance array map-side, pairs every distance
+    with its cell index, array_sorts the (distance, cell) structs
+    (lexicographic struct order = by distance, ties by cell — a
+    deterministic argsort with no shuffle), slices the n_probe head and
+    explodes. The probe frame is |queries| x n_probe rows and broadcasts
+    into the cell join, so the corpus still moves zero times.
     """
     from pyspark.sql import Window as W
 
@@ -123,17 +135,17 @@ def ivf_knn(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"), "cell"
     )
 
-    # driver-side: per query vector, its n_probe nearest centroids
-    q_rows = queries.select(query_id_col, emb_col).collect()
-    probe_rows = []
-    cent_mat = np.asarray(centroids, dtype=np.float64)
-    for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        d = ((cent_mat - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r[0], int(cell), [float(x) for x in qv]))
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, f"{query_id_col} long, cell int, _q_emb array<double>"
+    paired = F.transform(
+        _dist_array(F.col(emb_col), centroids),
+        lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+    )
+    probes = (
+        queries.select(
+            query_id_col,
+            F.col(emb_col).cast("array<double>").alias("_q_emb"),
+            F.explode(F.slice(F.array_sort(paired), 1, n_probe)).alias("_probe"),
+        )
+        .select(query_id_col, F.col("_probe.cell").cast("int").alias("cell"), "_q_emb")
     )
 
     cos = dot_col(F.col("_q_emb"), F.col("_c_emb")) / (

@@ -29,6 +29,22 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_connected_components_bounded_plan_size(spark):
+    """The iterative loop must truncate lineage (localCheckpoint every 5
+    iterations): the returned frame's logical plan is a checkpoint scan
+    plus at most ~4 iterations of joins, NOT the full 10+-iteration chain
+    — unbounded growth means planner blowup at cluster scale."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    labels = connected_components(edges, max_iter=15)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    # a checkpointed lineage surfaces as a scan of materialized rows
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:2000]
+    # the full uncheckpointed 13-iteration loop would render 13+ joins;
+    # post-checkpoint only the tail iterations remain (each renders twice
+    # in the InMemoryRelation's cached-plan text)
+    assert plan.count("Join") <= 8, f"{plan.count('Join')} joins — lineage not truncated"
+
+
 def test_ivf_recall_against_bruteforce(spark):
     bf = {
         (r.query_id, r.neighbor_id)
