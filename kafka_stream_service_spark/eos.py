@@ -15,10 +15,11 @@ that gap:
   batchId is stable across replays of the same epoch, so a replayed batch
   overwrites its own output instead of duplicating (file sinks) or is
   skipped via a committed-epoch ledger (any sink).
-- ``kafka_transactional_batch_writer``: the foreachBatch transactional
-  Kafka producer pattern (transactional.id = f"{query_id}-{partition}"),
-  stubbed behind an import-try since no Kafka client ships in this
-  container — the recipe and config mapping are the deliverable.
+- ``KafkaTransactionalEpochWriter`` (+ the ``foreachBatch`` adapter
+  ``kafka_transactional_batch_writer``): the reference's one-transaction-
+  per-batch produce with zombie fencing and epoch-marker replay skip,
+  against an injected producer factory — unit-tested with a fake broker
+  (tests/test_eos_kafka.py); binds kafka-python when available.
 
 Delivery-semantics delta vs the reference, explicitly: the reference
 aborts the txn on first failure then relies on redelivery
@@ -79,35 +80,125 @@ class ForeachBatchIdempotentWriter:
         self._record(epoch_id)
 
 
-def kafka_transactional_batch_writer(
-    bootstrap_servers: str,
-    topic: str = "replies",
-    transactional_id_prefix: str = "kssp",
-) -> Callable[[DataFrame, int], None]:
-    """foreachBatch body reproducing the reference's transactional produce
-    (R12): all records of the epoch in one Kafka transaction, committed
-    before the epoch checkpoints.
+class KafkaTransactionalEpochWriter:
+    """The reference's transactional-produce body (R12), as testable code.
 
-    Requires a Kafka client library on the executors/driver; none ships in
-    this container, so constructing the writer raises with the exact
-    recipe. The idempotence story: ``transactional.id`` is stable per
-    (query, partition-set), so a replayed epoch fences the old producer
-    (zombie fencing) and its re-send is the transaction that counts.
+    Reference semantics (StreamsApplication.java:112,146-150): one Kafka
+    transaction per batch — all records sent inside it, committed before
+    the batch is acknowledged; ``transactional.id`` is STABLE across
+    restarts, so a restarted writer's ``init_transactions()`` fences any
+    zombie predecessor and aborts its in-flight transaction.
+
+    The producer is injected as a factory ``transactional_id -> producer``
+    (duck-typed: ``init_transactions / begin_transaction / send(topic,
+    key, value) / commit_transaction / abort_transaction``) so the
+    fencing/replay logic unit-tests against a fake broker
+    (tests/test_eos_kafka.py) and binds to kafka-python or
+    confluent-kafka unchanged in a real deployment.
+
+    Exactly-once across Spark epoch replays: every transaction also
+    carries an epoch-marker record (``marker_topic``, key=transactional
+    id, value=epoch id) — commit makes records+marker visible atomically,
+    mirroring how the reference commits offsets inside the transaction.
+    On (re)start, read the marker tail with a read_committed consumer and
+    pass it as ``last_committed_epoch``; replayed epochs at or below it
+    are skipped instead of double-produced.
     """
-    try:  # pragma: no cover - not installed here
-        from kafka import KafkaProducer  # type: ignore[import-not-found]  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Kafka client not available in this environment. Recipe: in "
-            "foreachBatch(batch_df, epoch_id): collect per-partition via "
-            "batch_df.rdd.foreachPartition with a KafkaProducer("
-            f"bootstrap_servers={bootstrap_servers!r}, "
-            f"transactional_id=f'{transactional_id_prefix}-{{query_id}}-{{partition}}'), "
-            "producer.init_transactions(); begin_transaction(); "
-            f"send all rows to {topic!r}; commit_transaction(). "
-            "A replayed epoch re-runs the same transactional.id and fences "
-            "the previous attempt (exactly-once)."
-        ) from e
+
+    def __init__(
+        self,
+        producer_factory: Callable[[str], object],
+        topic: str = "replies",
+        transactional_id: str = "kssp-replies-0",
+        marker_topic: str | None = None,
+        last_committed_epoch: int | None = None,
+    ):
+        self.producer_factory = producer_factory
+        self.topic = topic
+        self.transactional_id = transactional_id
+        self.marker_topic = marker_topic or f"{topic}.epochs"
+        self.last_committed_epoch = last_committed_epoch
+        self._producer = None
+
+    def _ensure_producer(self):
+        if self._producer is None:
+            self._producer = self.producer_factory(self.transactional_id)
+            self._producer.init_transactions()  # fences any zombie with this id
+        return self._producer
+
+    def write_epoch(self, epoch_id: int, records) -> bool:
+        """Produce all ``(key, value)`` records of one epoch in one
+        transaction. Returns False when the epoch was already committed
+        (replay after a commit-then-crash) and nothing was sent."""
+        epoch_id = int(epoch_id)
+        if self.last_committed_epoch is not None and epoch_id <= self.last_committed_epoch:
+            return False
+        producer = self._ensure_producer()
+        producer.begin_transaction()
+        try:
+            for key, value in records:
+                producer.send(self.topic, key, value)
+            producer.send(self.marker_topic, self.transactional_id, epoch_id)
+            producer.commit_transaction()
+        except Exception:
+            producer.abort_transaction()
+            raise
+        self.last_committed_epoch = epoch_id
+        return True
+
+    def close(self) -> None:
+        if self._producer is not None and hasattr(self._producer, "close"):
+            self._producer.close()
+        self._producer = None
+
+
+def kafka_transactional_batch_writer(
+    producer_factory: Callable[[str], object] | None = None,
+    topic: str = "replies",
+    transactional_id: str = "kssp-replies-0",
+    key_col: str = "key",
+    value_col: str = "value",
+    bootstrap_servers: str = "localhost:9092",
+    last_committed_epoch: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch adapter over ``KafkaTransactionalEpochWriter``.
+
+    With no ``producer_factory`` it binds kafka-python (raising the
+    install recipe if absent, as no Kafka client ships in this test
+    container). The driver-side single producer mirrors the reference's
+    one-app-one-producer shape; for produce-bound jobs switch to
+    ``batch_df.rdd.foreachPartition`` with per-partition writers whose
+    transactional ids append the partition index — the epoch/fencing
+    logic in ``write_epoch`` is identical per partition.
+    """
+    if producer_factory is None:  # pragma: no cover - not installed here
+        try:
+            from kafka import KafkaProducer  # type: ignore[import-not-found]
+
+            def producer_factory(txn_id: str):
+                return KafkaProducer(
+                    bootstrap_servers=bootstrap_servers, transactional_id=txn_id
+                )
+
+        except ImportError as e:
+            raise NotImplementedError(
+                "No Kafka client in this environment — inject a "
+                "producer_factory, or install kafka-python/confluent-kafka "
+                "for the default binding."
+            ) from e
+    writer = KafkaTransactionalEpochWriter(
+        producer_factory,
+        topic=topic,
+        transactional_id=transactional_id,
+        last_committed_epoch=last_committed_epoch,
+    )
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = ((r[key_col], r[value_col]) for r in batch_df.toLocalIterator())
+        writer.write_epoch(epoch_id, rows)
+
+    body.writer = writer  # exposed for inspection/close
+    return body
 
 
 def run_with_restarts(

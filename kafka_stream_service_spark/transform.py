@@ -66,10 +66,13 @@ class RemoteFunction:
 
     The client connects lazily on first batch inside the executor task —
     the same lifecycle as the reference's per-subscription channel
-    (StreamsApplication.java:181-184). The actual gRPC dependency is not in
-    this container, so ``connect`` falls back to a local callable when the
-    channel cannot be established; the distributed plumbing (lazy init,
-    per-batch calls, teardown) is real.
+    (StreamsApplication.java:181-184). With a live channel every batch
+    streams through the riff bidirectional ``Call``
+    (``grpc_function.call_stream``, StreamsApplication.java:185-187
+    semantics: responses correlated by stream order, 1-in-1-out); when
+    ``grpcio`` is not importable (this container) it falls back to a local
+    callable, keeping the distributed plumbing (lazy init, per-batch
+    calls, teardown) identical on both paths.
     """
 
     def __init__(self, config: FunctionConfig, local_fallback: MessageFunction = uppercase_function):
@@ -79,11 +82,11 @@ class RemoteFunction:
 
     def connect(self):
         if self._channel is None:
-            try:  # pragma: no cover - grpc not installed in this container
+            try:
                 import grpc  # type: ignore[import-not-found]
 
                 self._channel = grpc.insecure_channel(f"{self.config.host}:{self.config.port}")
-            except Exception:
+            except ImportError:
                 self._channel = "local"
         return self._channel
 
@@ -91,11 +94,23 @@ class RemoteFunction:
         channel = self.connect()
         if channel == "local" or channel is None:
             return self.local_fallback(batch)
-        # pragma: no cover — with a real channel, stream the batch through
-        # the bidirectional call preserving order (1-in-1-out per batch).
-        return self.local_fallback(batch)
+        from .grpc_function import call_stream
 
-    def close(self):  # pragma: no cover
+        requests = (
+            (dict(h) if h is not None else {}, bytes(p) if p is not None else b"")
+            for h, p in zip(batch["headers"], batch["payload"])
+        )
+        responses = list(call_stream(channel, requests))
+        if len(responses) != len(batch):
+            raise RuntimeError(
+                f"function server broke 1-in-1-out: sent {len(batch)}, got {len(responses)}"
+            )
+        out = batch.copy()
+        out["headers"] = [h for h, _ in responses]
+        out["payload"] = [p for _, p in responses]
+        return out
+
+    def close(self):
         if self._channel not in (None, "local"):
             self._channel.close()
         self._channel = None
