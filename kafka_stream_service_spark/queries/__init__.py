@@ -27,3 +27,4 @@ from . import text  # noqa: E402,F401
 from . import codec_q  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import multimodal2  # noqa: E402,F401
+from . import streaming_replay  # noqa: E402,F401

@@ -125,17 +125,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_except_all",
     "q_intersect_all",
     "q_distinct_multi",
-    # streaming analogues
+    # streaming analogues + genuinely-streaming replays (hard rows for
+    # the watermark / streaming-dedup surface)
     "q_tumbling_window",
     "q_sliding_window",
     "q_session_window",
     "q_event_dedup",
     "q_time_rollup_multigrain",
     "q_stream_static_enrich",
-    # scalar batteries
+    "q_stream_watermark_drop",
+    "q_stream_dedup_replay",
+    # scalar battery (q_array_higher_order / q_json_funcs already carry
+    # r1 driver passes; they yield their window slots to the replays)
     "q_string_funcs",
-    "q_array_higher_order",
-    "q_json_funcs",
 )
 
 

@@ -1,0 +1,183 @@
+"""GENUINELY-STREAMING queries with exact batch oracles.
+
+The other streaming coverage is either batch-expressible analogues
+(``events_q.py``) or pytest-only replay (``tests/test_streaming.py``).
+These two queries close the gap: each runs a real Structured Streaming
+query — file-stream source, watermark, stateful operator, memory sink —
+inside the query function, with a deterministic micro-batch schedule, and
+an oracle that predicts the EXACT final table by expressing the watermark
+algebra in SQL. That gives the R-streaming rows (watermark late-drop,
+streaming dedup) hard driver verdicts instead of rows-only/pytest cover.
+
+Determinism contract:
+- chunk membership is a pure function of the data (no sampling, no order
+  dependence), one parquet file per chunk, mod-times forced ascending, and
+  ``maxFilesPerTrigger=1`` — so micro-batch N contains exactly chunk N;
+- the engine's watermark is max(event time seen) minus the delay, floored
+  to the millisecond; measured on this engine (see the experiment log in
+  q_stream_watermark_drop): input late-filtering in batch N uses the
+  watermark that was IN FORCE during batch N (computed from batches
+  <= N-1), while state eviction/emission at the end of batch N uses the
+  watermark updated by batch N — so a late row is dropped only when its
+  window was evicted in an EARLIER batch. The replay schedules below are
+  chosen so every row is unambiguously on one side of that boundary, and
+  the oracle reproduces the arithmetic in epoch-milliseconds exactly;
+- a no-data batch (noDataMicroBatches, on by default) flushes state after
+  the last file, so append mode emits every window closed by the FINAL
+  watermark.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from ._util import dec, dsum
+from .registry import query
+
+WM_MIN = 30  # watermark delay for the late-drop query, minutes
+
+
+def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
+    """One parquet file per chunk with ascending mod-times so the file
+    stream (maxFilesPerTrigger=1) replays chunk i as micro-batch i."""
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, chunk in enumerate(df_chunks):
+        staged = os.path.join(base, f"stage_{i}")
+        chunk.coalesce(1).write.parquet(staged)
+        (part,) = glob.glob(os.path.join(staged, "*.parquet"))
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 600 + i * 10, now - 600 + i * 10))
+    return flat
+
+
+def _run_to_memory(spark: SparkSession, stream_df: DataFrame, base: str) -> DataFrame:
+    name = f"replay_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "q_stream_watermark_drop",
+    oracle=f"""
+    WITH wm AS (  -- watermark after batch 0 (the full table), in force
+                  -- while the batch-2 stragglers are filtered AND at the
+                  -- final state flush (batch 1 adds no newer event time)
+      SELECT epoch_us(max(ts)) // 1000 - {WM_MIN * 60 * 1000} AS wm_ms
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING epoch_us(window_end) // 1000 <= (SELECT wm_ms FROM wm)
+    """,
+    tags=("streaming", "watermark", "replay"),
+)
+def q_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, executed for real on a 3-batch replay:
+
+    - batch 0: the full table — every row on time, all windows in state;
+    - batch 1: one duplicate of the max-ts row — its only job is to let
+      the end-of-batch eviction run with the now-advanced watermark
+      (max ts - 30 min), emitting and evicting every closed window;
+    - batch 2: the first WEEK of events redelivered — every one late by
+      >3 weeks against the in-force watermark, so all are dropped
+      (verified via numRowsDroppedByWatermark > 0; if they leaked, the
+      closed windows would re-emit with duplicate counts and the oracle
+      hash would catch it).
+
+    Final append-mode output: each window exactly once with its batch-0
+    counts — i.e. the batch truth restricted to windows the final
+    watermark closed, which is what the oracle states. The batch-1
+    duplicate lands in the last (never-closed) window, which is never
+    emitted, so it does not perturb the result.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "event_type", "value")
+    bounds = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    week_cut = bounds.mn + timedelta(days=7)
+    fresh = ev.orderBy(F.col("ts").desc(), "event_id").limit(1)
+    stragglers = ev.filter(F.col("ts") < F.lit(week_cut))
+    base = tempfile.mkdtemp(prefix="wmdrop_")
+    flat = _write_chunks([ev, fresh, stragglers], base)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    ts = F.col("ts").cast("timestamp")
+    agg = (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", f"{WM_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(dec("value"), "sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(spark, agg, base)
+
+
+@query(
+    "q_stream_dedup_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM events
+    """,
+    tags=("streaming", "dedup", "replay"),
+)
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under full redelivery, executed for real: the whole
+    events table arrives as micro-batch 1 and is redelivered byte-identical
+    as micro-batch 2; ``dropDuplicatesWithinWatermark`` on event_id must
+    emit each event exactly once. The watermark delay (90 days) exceeds the
+    fixture's event-time span (~1 month), so no state expires and no legit
+    row is late — the final table is exactly the input table."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="dedupreplay_")
+    flat = _write_chunks([ev, ev], base)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+    )
+    return _run_to_memory(spark, deduped, base)
