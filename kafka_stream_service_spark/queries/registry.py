@@ -121,9 +121,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_window_running_sum",
     "q_window_lag_lead",
     "q_sort_limit_topk",
-    # set operations
-    "q_except_all",
-    "q_intersect_all",
+    # training-corpus assembly (new family; the two set-op slots moved
+    # here — q_except_all / q_intersect_all carry r1 driver passes)
+    "q_pack_sequences",
+    "q_corpus_mixture",
     "q_distinct_multi",
     # streaming analogues + genuinely-streaming replays (hard rows for
     # the watermark / streaming-dedup surface)
