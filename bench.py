@@ -43,6 +43,10 @@ HEADLINE = [
     "q_codec_roundtrip",
     "q_dedup_embedding_cosine",
     "q_training_corpus_pipeline",
+    "q_pack_sequences",
+    "q_hash_sample",
+    "q_corpus_mixture",
+    "q_text_redact_pii",
 ]
 
 
