@@ -2,12 +2,13 @@
 
 The other streaming coverage is either batch-expressible analogues
 (``events_q.py``) or pytest-only replay (``tests/test_streaming.py``).
-These two queries close the gap: each runs a real Structured Streaming
+These queries close the gap: each runs a real Structured Streaming
 query — file-stream source, watermark, stateful operator, memory sink —
 inside the query function, with a deterministic micro-batch schedule, and
 an oracle that predicts the EXACT final table by expressing the watermark
 algebra in SQL. That gives the R-streaming rows (watermark late-drop,
-streaming dedup) hard driver verdicts instead of rows-only/pytest cover.
+streaming dedup, stream-stream interval join) hard driver verdicts
+instead of rows-only/pytest cover.
 
 Determinism contract:
 - chunk membership is a pure function of the data (no sampling, no order
@@ -63,19 +64,36 @@ def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
     return flat
 
 
-def _run_to_memory(spark: SparkSession, stream_df: DataFrame, base: str) -> DataFrame:
+def _run_to_memory(
+    spark: SparkSession, stream_df: DataFrame, base: str, shuffle_partitions: int | None = None
+) -> DataFrame:
+    """Run the stream to completion into a memory sink.
+
+    ``shuffle_partitions`` scopes the state-store partition count to this
+    query (set before start, restored after): stateful-operator overhead
+    is per state store per partition per batch — a stream-stream join
+    keeps FOUR stores per partition — and the replay fixtures are small,
+    so a handful of partitions beats the session's 32 by ~10x wall-clock.
+    The setting is pinned into the query's checkpoint at start, so
+    restoring the session conf afterwards does not affect the run."""
     name = f"replay_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -142,7 +160,7 @@ def q_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return _run_to_memory(spark, agg, base)
+    return _run_to_memory(spark, agg, base, shuffle_partitions=8)
 
 
 @query(
@@ -180,4 +198,67 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    return _run_to_memory(spark, deduped, base)
+    return _run_to_memory(spark, deduped, base, shuffle_partitions=8)
+
+
+@query(
+    "q_stream_stream_join_replay",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "replay"),
+)
+def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution), executed
+    for real: purchases and clicks are two streaming views over a 2-chunk
+    replay, joined on user with a 1-hour lookback window, both sides
+    watermarked. The 90-day watermark exceeds the fixture's event-time
+    span, so no state is evicted before its partner can arrive and no
+    late row is dropped — the streamed result must therefore be EXACTLY
+    the batch interval join, which is what the oracle states. Each match
+    is emitted once (inner-join append semantics).
+
+    tests/test_stream_stream_join.py drives the state-eviction variant
+    (2-hour watermark) against batch truth; this query gives the operator
+    a hard driver verdict.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="ssjoin_")
+    flat = _write_chunks(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)], base
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "90 days")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "90 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(spark, joined, base, shuffle_partitions=4)
