@@ -190,3 +190,77 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(dec("value"), "sum_value"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
     )
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_id, MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "csv", "format"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink coverage: longs, strings, and doubles through a
+    header CSV write/read cycle with an explicit read schema (inference
+    is a scale anti-pattern: it costs an extra pass and can flip types
+    between runs). Doubles survive exactly — the writer emits
+    shortest-roundtrip decimal text. Timestamps are deliberately not put
+    through CSV (format-dependent); they belong in columnar formats or
+    JSON."""
+    import tempfile
+
+    from ._util import dec, dsum
+
+    ev = tables(spark, sf_dir)["events"].select("event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/events_csv"
+    ev.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("event_id long, event_type string, user_id long, value double").option(
+        "header", True
+    ).csv(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("value"), "sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "json", "format"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink coverage with NESTED data — the reason to
+    reach for JSON over CSV: each document is written as a struct
+    (meta.lang/meta.source) plus its token array, read back with an
+    explicit nested schema, and re-aggregated from the nested fields.
+    A hash match proves structs and arrays survive the text round trip."""
+    import tempfile
+
+    d = tables(spark, sf_dir)["documents"]
+    nested = d.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.split(F.col("text"), " ").alias("tokens"),
+    )
+    path = tempfile.mkdtemp(prefix="json_rt_") + "/docs_json"
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, meta struct<lang:string, source:string>, tokens array<string>"
+    ).json(path)
+    return back.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )
