@@ -45,14 +45,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>."""
+    """Distinct word n-gram shingles as array<string>.
+
+    Texts with fewer than ``n`` tokens produce one short shingle (the
+    whole text): ``try_element_at`` yields NULL past the end, which
+    ``concat_ws`` skips — element_at would be an ANSI
+    INVALID_ARRAY_INDEX crash on short/dirty docs."""
     toks = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
     )
@@ -98,7 +103,9 @@ def shingle_frame(
         for pdf in batches:
             out = []
             for t in pdf[text_col]:
-                toks = t.split(" ")
+                # null/empty text → empty shingle set (dirty data must not
+                # crash an executor 3 hours into a 100 TB pass)
+                toks = t.split(" ") if t else []
                 hs = {
                     shingle_id(" ".join(toks[i : i + n]))
                     for i in range(max(len(toks) - n + 1, 0))

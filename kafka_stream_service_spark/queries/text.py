@@ -30,7 +30,7 @@ STOPWORDS = {
       len(list_distinct(toks)) AS n_distinct_tokens,
       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
       length(text) AS n_chars,
-      round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 6) AS space_ratio,
+      round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / nullif(length(text), 0), 6) AS space_ratio,
       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len
     FROM t
     """,
@@ -50,10 +50,16 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
         F.length("text").alias("n_chars"),
+        # try_divide: empty text has length 0 and must yield NULL, not an
+        # ANSI DIVIDE_BY_ZERO crash (oracle: nullif denominator)
         F.round(
-            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
-            .cast("double")
-            / F.length("text"),
+            F.try_divide(
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                ).cast("double"),
+                F.length("text"),
+            ),
             6,
         ).alias("space_ratio"),
         F.round(tok_lens.cast("double") / F.size(toks), 6).alias("avg_token_len"),
