@@ -52,8 +52,12 @@ def knn_bruteforce(
 
     ``queries`` needs (query_id_col, emb_col); broadcast side.
     """
-    q = queries.select(F.col(query_id_col), F.col(emb_col).alias("_q_emb"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"))
+    q = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(query_id_col), F.col(emb_col).alias("_q_emb")
+    )
+    c = corpus.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb")
+    )
     cos = cosine_col(F.col("_q_emb"), F.col("_c_emb"))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col)).select(
         query_id_col, "neighbor_id", cos.alias("cos_raw")
@@ -82,6 +86,9 @@ def blocked_cosine_pairs(
     At 100 TB the block key is whatever bounds the pair space (LSH bucket,
     shard, time window); a block must fit one executor's memory — cap or
     re-block otherwise.
+
+    Null embeddings are filtered before grouping (a ragged batch would
+    crash the matmul); dimensionality is assumed uniform upstream.
     """
 
     out_schema = f"vec_a long, vec_b long, {block_col} int, cosine double"
@@ -110,4 +117,8 @@ def blocked_cosine_pairs(
             }
         )
 
-    return vectors.groupBy(block_col).applyInPandas(score_block, schema=out_schema)
+    return (
+        vectors.filter(F.col(emb_col).isNotNull())
+        .groupBy(block_col)
+        .applyInPandas(score_block, schema=out_schema)
+    )

@@ -111,3 +111,33 @@ def test_packing_manifest_covers_every_nonnull_token(spark, dirty_dir):
         assert total == len(text.split(" ")), f"doc {doc_id} lost tokens"
     # null text contributes no manifest rows
     assert 0 not in per_doc
+
+
+def test_similarity_ops_on_null_embeddings(spark, tmp_path):
+    """A null embedding row must not crash the blocked-pairs matmul (numpy
+    would build a ragged object array) nor the brute-force kNN fold —
+    null vectors are excluded from scoring."""
+    import numpy as np
+
+    from kafka_stream_service_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(6)]
+    rows.append((6, None, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    pairs = blocked_cosine_pairs(emb, block_col="label", threshold=-1.0).collect()
+    ids_in_pairs = {r.vec_a for r in pairs} | {r.vec_b for r in pairs}
+    assert 6 not in ids_in_pairs
+    assert len(pairs) == 15  # C(6,2) scored pairs survive
+
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn = knn_bruteforce(emb, q, k=3).collect()
+    assert all(r.neighbor_id != 6 for r in knn)
+    assert {r.query_id for r in knn} == {0, 1}
