@@ -118,3 +118,39 @@ def test_no_python_in_relational_spine(spark, name):
     nodes in the plan)."""
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("q_pack_sequences", 1),  # ONE shuffle: the per-source window
+        ("q_corpus_mixture", 3),  # source counts + global sum + final groupBy
+        ("q_stratified_sample", 1),  # ONE shuffle: the per-lang rank
+    ],
+)
+def test_training_ops_shuffle_budget(spark, name, max_exchanges):
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+    assert "Python" not in plan and "ArrowEval" not in plan, "training ops must stay JVM-side"
+
+
+def test_hash_sample_is_map_side_only(spark):
+    """The deterministic sampler is a pure scan+filter: zero exchanges,
+    and the md5-prefix filter must not block column pruning."""
+    import re
+
+    plan = physical_plan(QUERIES["q_hash_sample"].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n == 0, f"sampler shuffled:\n{plan}"
+    assert "Python" not in plan
+
+
+def test_mixture_broadcasts_rate_table(spark):
+    """The per-source rate table (20 rows) must broadcast into the filter
+    join — a shuffle join here would move the whole corpus to join 20
+    rows."""
+    df = QUERIES["q_corpus_mixture"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
