@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import struct
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
@@ -46,15 +47,29 @@ def encode_py(headers: dict[str, list[str]] | None, payload: bytes | None) -> by
         name_b = name.encode("utf-8")
         if len(name_b) > 127:
             raise ValueError(f"header name too long ({len(name_b)} > 127): {name!r}")
-        # JSON array of strings, compact separators (no spaces) to match the
-        # reference's Gson output
-        blob = json.dumps(list(values), separators=(",", ":"), ensure_ascii=False).encode("utf-8")
+        blob = _dump_header_blob(tuple(values))
         out.append(len(name_b))
         out += name_b
         out += struct.pack(">i", len(blob))
         out += blob
     out += payload
     return bytes(out)
+
+
+# Header blobs repeat heavily in real streams (a handful of header shapes
+# across millions of records), so the JSON work — the per-record hot cost
+# on both sides of the codec — is memoized. Keys are hashable (tuples /
+# bytes); the caches are per-python-worker.
+@lru_cache(maxsize=4096)
+def _dump_header_blob(values: tuple) -> bytes:
+    # JSON array of strings, compact separators (no spaces) to match the
+    # reference's Gson output
+    return json.dumps(list(values), separators=(",", ":"), ensure_ascii=False).encode("utf-8")
+
+
+@lru_cache(maxsize=4096)
+def _parse_header_blob(blob: bytes) -> tuple:
+    return tuple(str(v) for v in json.loads(blob.decode("utf-8")))
 
 
 def decode_py(data: bytes) -> tuple[dict[str, list[str]], bytes]:
@@ -71,18 +86,29 @@ def decode_py(data: bytes) -> tuple[dict[str, list[str]], bytes]:
         pos += name_len
         (blob_len,) = struct.unpack(">i", data[pos : pos + 4])
         pos += 4
-        values = json.loads(data[pos : pos + blob_len].decode("utf-8"))
+        headers[name] = list(_parse_header_blob(bytes(data[pos : pos + blob_len])))
         pos += blob_len
-        headers[name] = [str(v) for v in values]
     return headers, data[pos:]
 
 
 @F.pandas_udf(T.BinaryType())
 def encode_message(msg: pd.DataFrame) -> pd.Series:
-    """struct<headers map<string,array<string>>, payload binary> -> binary."""
-    return pd.Series(
-        [encode_py(h, p) for h, p in zip(msg["headers"], msg["payload"])]
-    )
+    """struct<headers map<string,array<string>>, payload binary> -> binary.
+
+    The wire prefix (marker + header section) is a pure function of the
+    headers, which repeat across records — it is cached per distinct
+    header set and only the payload concat runs per record."""
+    prefix_cache: dict[tuple, bytes] = {}
+
+    def enc(h, p) -> bytes:
+        key = tuple((k, tuple(v)) for k, v in (h or {}).items())
+        prefix = prefix_cache.get(key)
+        if prefix is None:
+            prefix = encode_py(h, b"")
+            prefix_cache[key] = prefix
+        return prefix + (bytes(p) if p is not None else b"")
+
+    return pd.Series([enc(h, p) for h, p in zip(msg["headers"], msg["payload"])])
 
 
 @F.pandas_udf(MESSAGE_SCHEMA)
