@@ -129,7 +129,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # streaming analogues + genuinely-streaming replays (hard rows for
     # the watermark / streaming-dedup surface)
     "q_tumbling_window",
-    "q_sliding_window",
+    "q_continuous_aggregate",
     "q_session_window",
     "q_event_dedup",
     "q_time_rollup_multigrain",

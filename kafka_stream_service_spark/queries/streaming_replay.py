@@ -262,3 +262,57 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(spark, joined, base, shuffle_partitions=4)
+
+
+@query(
+    "q_continuous_aggregate",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "materialize", "replay"),
+)
+def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (hypertable-style incremental materialized
+    view), executed for real: a 2-chunk ts-ordered replay drives an
+    update-mode windowed agg whose every micro-batch dynamic-partition-
+    overwrites exactly the (window, type) partitions it updated. After
+    the stream drains, the materialized parquet table must equal the
+    batch group-by — convergence of incremental maintenance is the thing
+    the oracle hash-checks. State carries exact decimal sums, so chunk
+    boundaries cannot perturb values."""
+    from ..streaming.materialize import continuous_aggregate, read_continuous_aggregate
+
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "event_type", "value")
+    half = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0].m
+    base = tempfile.mkdtemp(prefix="contagg_")
+    flat = _write_chunks(
+        [ev.filter(F.col("ts") <= F.lit(half)), ev.filter(F.col("ts") > F.lit(half))], base
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    mat_path = os.path.join(base, "materialized")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = continuous_aggregate(
+            stream,
+            mat_path,
+            checkpoint=os.path.join(base, "ckpt"),
+            watermark="30 minutes",
+            window_size="1 day",  # partition count = days x types; the
+            # hour-grain variant is the same operator with more partitions
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_continuous_aggregate(spark, mat_path, window_size_sec=86400)
