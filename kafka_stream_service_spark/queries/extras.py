@@ -264,3 +264,53 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("tokens")).alias("total_tokens"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@query(
+    "q_avro_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "avro", "format", "codec"),
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro coverage without the external spark-avro module: each document
+    row is serialized to Avro binary (to_avro) and parsed back (from_avro)
+    with a nullable-union record schema, then re-aggregated from the
+    decoded struct. The codec is the pure-Python Avro spec implementation
+    in functions/avro_codec.py, run as Arrow-batched pandas UDFs — the
+    Kafka-value use case spark-avro is typically deployed for. A hash
+    match proves longs, UTF-8 strings, and nullable unions survive the
+    binary round trip."""
+    import json as _json
+
+    from ..functions.avro_codec import from_avro, to_avro
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": ["null", "string"]},
+                {"name": "text", "type": ["null", "string"]},
+                {"name": "n_chars", "type": "long"},
+            ],
+        }
+    )
+    d = tables(spark, sf_dir)["documents"]
+    wire = d.select(
+        to_avro(F.struct("doc_id", "lang", "text", "n_chars"), sch).alias("value")
+    )
+    back = wire.select(from_avro(F.col("value"), sch).alias("r")).select("r.*")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+    )

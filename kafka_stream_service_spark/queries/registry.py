@@ -136,9 +136,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_static_enrich",
     "q_stream_watermark_drop",
     "q_stream_dedup_replay",
-    # scalar battery (q_array_higher_order / q_json_funcs already carry
-    # r1 driver passes; they yield their window slots to the replays)
-    "q_string_funcs",
+    # new-format coverage (q_string_funcs already carries an r1 driver
+    # pass; it yields its window slot to the avro codec)
+    "q_avro_roundtrip",
 )
 
 
