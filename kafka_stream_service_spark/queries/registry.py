@@ -113,13 +113,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # aggregate family
     "q_agg_global_stats",
     "q_agg_having",
-    "q_rollup",
+    # q_rollup / q_window_lag_lead carry r1 driver passes; their window
+    # slots go to the two new never-driver-checked families
+    "q_text_repetition",
     "q_pivot",
     "q_collect_list_sorted",
     # window family
     "q_window_topk_per_group",
     "q_window_running_sum",
-    "q_window_lag_lead",
+    "q_gapfill_locf",
     "q_sort_limit_topk",
     # training-corpus assembly (new family; the two set-op slots moved
     # here — q_except_all / q_intersect_all carry r1 driver passes)

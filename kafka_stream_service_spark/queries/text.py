@@ -254,3 +254,69 @@ def q_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+    tg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM t, UNNEST(range(1, len(toks)-1)) AS u(i)),
+    bic AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    tic AS (SELECT doc_id, gram, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    bia AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM bic GROUP BY 1),
+    tia AS (SELECT doc_id, SUM(c) AS total,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM tic GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.total AS BIGINT) AS n_bigrams,
+           round(b.top / b.total, 6) AS top_bigram_frac,
+           round(b.dup / b.total, 6) AS dup_bigram_frac,
+           round(g.dup / g.total, 6) AS dup_trigram_frac
+    FROM bia b LEFT JOIN tia g USING (doc_id)
+    """,
+    tags=("text", "quality", "llm-data", "repetition"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): per document,
+    the fraction of word bigrams covered by the single most frequent
+    bigram, and the fraction covered by any repeated bi-/trigram. High
+    values flag boilerplate and degenerate generations for corpus
+    filtering. Two explode->count->per-doc-reduce pipelines, all JVM
+    expressions; the group-bys shuffle on doc_id so both reduces and the
+    final join co-partition — at 100 TB this is one repartition by
+    doc_id reused across stages (AQE coalesces the tiny per-doc tail)."""
+    from ..functions.text import ngrams, tokens
+
+    d = tables(spark, sf_dir)["documents"].select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+
+    def gram_stats(n: int, with_top: bool) -> DataFrame:
+        g = d.select("doc_id", F.explode(ngrams(F.col("toks"), n)).alias("gram"))
+        c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        aggs = [
+            F.sum("c").alias("total"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+        ]
+        if with_top:
+            aggs.insert(1, F.max("c").alias("top"))
+        return c.groupBy("doc_id").agg(*aggs)
+
+    bi = gram_stats(2, with_top=True)
+    tri = gram_stats(3, with_top=False).select(
+        "doc_id", F.col("total").alias("t_total"), F.col("dup").alias("t_dup")
+    )
+    return bi.join(tri, "doc_id", "left").select(
+        "doc_id",
+        F.col("total").cast("bigint").alias("n_bigrams"),
+        F.round(F.col("top") / F.col("total"), 6).alias("top_bigram_frac"),
+        F.round(F.col("dup") / F.col("total"), 6).alias("dup_bigram_frac"),
+        F.round(F.col("t_dup") / F.col("t_total"), 6).alias("dup_trigram_frac"),
+    )
