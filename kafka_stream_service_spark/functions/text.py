@@ -14,16 +14,27 @@ def tokens(text: Column, sep: str = " ") -> Column:
 
 
 def ngrams(toks: Column, n: int = 2, joiner: str = " ") -> Column:
-    """Word n-grams as array<string>; empty when fewer than n tokens."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.filter(
+    """Word n-grams as array<string>; empty when fewer than n tokens
+    (including NULL input, whose size() is NULL under ANSI).
+
+    ``F.sequence(start, stop)`` defaults to step -1 when start > stop, so
+    a bare ``sequence(1, size - (n-1))`` on a short document yields a
+    DESCENDING index array ([1, 0], …) and ``element_at(toks, 0)`` throws
+    under Spark 4's ANSI mode. The whole construction is therefore gated
+    behind ``size >= n``; CaseWhen only evaluates the taken branch, so
+    short docs never touch the sequence.
+    """
+    grams = F.filter(
         F.transform(
-            idx,
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
                 joiner, *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
             ),
         ),
         lambda s: s != "",
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -92,7 +92,7 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, {SHINGLES_SQL} AS shingles
-      FROM documents WHERE source = 'src0' AND doc_id < 200
+      FROM documents WHERE doc_id < 300
     ), exploded AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), pair_common AS (
@@ -116,11 +116,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shared-shingle equi-join + group count = |A ∩ B|; |A ∪ B| from the
     per-doc distinct shingle counts. The block filter stands in for LSH
     candidate generation (see q_dedup_minhash_lsh) — running this all-pairs
-    at 100 TB would be quadratic.
+    at 100 TB would be quadratic. The doc_id < 300 block contains the
+    fixture's planted near-dup pairs, so the sf0.01 result is non-empty
+    (7 pairs, J 0.95+) — a broken-but-empty query cannot pass.
     """
-    d = tables(spark, sf_dir)["documents"].filter(
-        (F.col("source") == "src0") & (F.col("doc_id") < 200)
-    )
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
     sh = d.select("doc_id", _word_shingles(3).alias("shingles"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))

@@ -69,78 +69,74 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. This explicit priority order packs that window with one
-# flagship per operator family — LLM-data operators (dedup, similarity,
-# text, multimodal, training pipeline), the codec, and the UDF tiers
-# first (they had no hard driver verdicts in round 1), then one
-# representative per relational/window/setop/streaming family. Everything
-# not listed keeps its module registration order after these.
+# ``queries()``. Round-3 rotation: rounds 1+2 hard-verified 78 distinct
+# queries, so every one of those yields its slot. This window packs the
+# oracled-but-never-driver-checked remainder (47 of 49 — q_bitwise_ops
+# and q_sequence_generate, trivial scalar demos fully covered by the
+# identical local gate, give up their slots), plus the two queries whose
+# semantics changed this round (q_dedup_ngram_jaccard and q_join_anti
+# were de-trivialized from empty-result passes to non-empty results) and
+# the new paper-faithful Gopher filter q_text_repetition_charcov.
+# Everything not listed keeps its module registration order after these.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # LLM-data flagships (never driver-verified in r1)
-    "q_dedup_exact_hash",
-    "q_dedup_minhash_lsh",
+    # TPC-H extra shapes (Q2, Q4, Q7, Q9, Q11-Q22 analogues)
+    "q_min_balance_supplier_per_region",
+    "q_volume_shipping_nation_pairs",
+    "q_product_profit_by_nation_year",
+    "q_customer_order_distribution",
+    "q_top_supplier_by_revenue",
+    "q_supplier_cnt_by_part_attrs",
+    "q_small_quantity_revenue",
+    "q_large_volume_customers",
+    "q_disjunctive_predicates",
+    "q_global_sales_opportunity",
+    "q_important_part_value",
+    "q_excess_quantity_suppliers",
+    "q_sole_failed_supplier",
+    "q_shipmode_buckets",
+    "q_promo_revenue_ratio",
+    # subqueries / advanced relational
+    "q_scalar_subquery",
+    "q_correlated_exists",
+    "q_percentiles_exact",
+    "q_corr_covar",
+    "q_cume_dist_percentiles",
+    "q_rollup_grouping_id",
+    "q_unpivot_stack",
+    "q_union_missing_columns",
+    # scalar/array/map/json depth
+    "q_explode_variants",
+    "q_levenshtein_similarity",
+    "q_regexp_extract_all",
+    "q_interval_arithmetic",
+    "q_hash_functions",
+    "q_binary_encodings",
+    "q_array_algebra",
+    "q_map_algebra",
+    "q_from_json_struct",
+    # format roundtrips
+    "q_orc_roundtrip",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    # LLM-data / text tier
+    "q_dedup_keep_first",
+    "q_embedding_stats_by_label",
+    "q_text_token_stats",
+    "q_text_bigrams",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_lang_source_profile",
+    "q_text_redact_pii",
+    "q_hash_sample",
+    "q_stratified_sample",
+    # streaming replay + time series
+    "q_stream_stream_join_replay",
+    "q_gapfill_interpolate",
+    # changed this round: de-trivialized to non-empty results
     "q_dedup_ngram_jaccard",
-    "q_dedup_embedding_cosine",
-    "q_knn_cosine_bruteforce",
-    "q_cosine_pairs_blocked",
-    "q_text_wordcount",
-    "q_tfidf_top_terms",
-    "q_text_quality_score",
-    "q_multimodal_metadata",
-    "q_multimodal_frame_sample",
-    "q_training_corpus_pipeline",
-    "q_codec_roundtrip",
-    # UDF tiers (pandas scalar / grouped-map / UDTF)
-    "q_udf_pandas_scalar",
-    "q_grouped_map_zscore",
-    "q_udtf_token_positions",
-    # the one red row from r1, fixed this round
-    "q_array_funcs",
-    # TPC-H core + extra
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q06_forecast_revenue_filter",
-    "q_national_market_share",
-    # join family
-    "q_join_left_outer",
-    "q_join_full_outer",
-    "q_join_semi",
     "q_join_anti",
-    "q_join_cross",
-    "q_join_theta_range",
-    "q_asof_join",
-    "q_salted_skew_join",
-    # aggregate family
-    "q_agg_global_stats",
-    "q_agg_having",
-    # q_rollup / q_window_lag_lead carry r1 driver passes; their window
-    # slots go to the two new never-driver-checked families
-    "q_text_repetition",
-    "q_pivot",
-    "q_collect_list_sorted",
-    # window family
-    "q_window_topk_per_group",
-    "q_window_running_sum",
-    "q_gapfill_locf",
-    "q_sort_limit_topk",
-    # training-corpus assembly (new family; the two set-op slots moved
-    # here — q_except_all / q_intersect_all carry r1 driver passes)
-    "q_pack_sequences",
-    "q_corpus_mixture",
-    "q_distinct_multi",
-    # streaming analogues + genuinely-streaming replays (hard rows for
-    # the watermark / streaming-dedup surface)
-    "q_tumbling_window",
-    "q_continuous_aggregate",
-    "q_session_window",
-    "q_event_dedup",
-    "q_time_rollup_multigrain",
-    "q_stream_static_enrich",
-    "q_stream_watermark_drop",
-    "q_stream_dedup_replay",
-    # new-format coverage (q_string_funcs already carries an r1 driver
-    # pass; it yields its window slot to the avro codec)
-    "q_avro_roundtrip",
+    # new this round: Gopher character-coverage repetition filters
+    "q_text_repetition_charcov",
 )
 
 

@@ -341,17 +341,22 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     GROUP BY n_name
     """,
     tags=("join", "anti"),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders, per nation."""
+    """Left-anti join (NOT EXISTS): customers with no high-value order
+    (> 300000), per nation. Every fixture customer has SOME order, so the
+    anti-join must be against the filtered order set for the sf0.01
+    result to be non-empty (30 customers) — an always-empty result would
+    mask a broken join."""
     t = tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000).select("o_custkey")
     return (
         t["customer"]
-        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))

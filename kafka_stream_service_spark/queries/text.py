@@ -6,7 +6,7 @@ no shuffle except the explicit frequency group-bys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import tables
@@ -284,9 +284,14 @@ def q_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "llm-data", "repetition"),
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition quality signals (the Gopher-rules family): per document,
-    the fraction of word bigrams covered by the single most frequent
-    bigram, and the fraction covered by any repeated bi-/trigram. High
+    """Gopher-style occurrence-fraction repetition signals: per document,
+    the fraction of word-bigram OCCURRENCES contributed by the single most
+    frequent bigram, and the fraction contributed by any repeated
+    bi-/trigram. NOTE: Gopher's published filters (Rae et al. 2021, A1.1)
+    measure CHARACTER-coverage fractions, a correlated but different
+    quantity — see q_text_repetition_charcov for the paper-faithful
+    variant; thresholds from the paper do not transfer to these
+    occurrence fractions. High
     values flag boilerplate and degenerate generations for corpus
     filtering. Two explode->count->per-doc-reduce pipelines, all JVM
     expressions; the group-bys shuffle on doc_id so both reduces and the
@@ -319,4 +324,121 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top") / F.col("total"), 6).alias("top_bigram_frac"),
         F.round(F.col("dup") / F.col("total"), 6).alias("dup_bigram_frac"),
         F.round(F.col("t_dup") / F.col("t_total"), 6).alias("dup_trigram_frac"),
+    )
+
+
+def _charcov_oracle() -> str:
+    """Generated DuckDB SQL for q_text_repetition_charcov: one UNION ALL
+    branch per n-gram order (2..10), mirroring the Spark union plan."""
+    branches = []
+    for n in range(2, 11):
+        concat = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+        branches.append(
+            f"SELECT doc_id, {n} AS n, unnest(list_transform("
+            f"range(1, len(toks) - {n - 2}), i -> {concat})) AS gram "
+            f"FROM t WHERE len(toks) >= {n}"
+        )
+    union = "\n      UNION ALL ".join(branches)
+    top_cols = ",\n         ".join(
+        f"MAX(CASE WHEN n = {k} THEN top_chars END) AS t{k}" for k in (2, 3, 4)
+    )
+    dup_cols = ",\n         ".join(
+        f"MAX(CASE WHEN n = {k} THEN dup_chars END) AS d{k}" for k in range(5, 11)
+    )
+
+    def frac(src: str, alias: str) -> str:
+        f = f"round(CAST({src} AS DOUBLE) / nullif(n_chars, 0), 6)"
+        return f"CASE WHEN {f} > 1 THEN 1.0 ELSE {f} END AS {alias}"
+
+    out_cols = ",\n      ".join(
+        [frac(f"t{k}", f"top_{k}gram_char_frac") for k in (2, 3, 4)]
+        + [frac(f"d{k}", f"dup_{k}gram_char_frac") for k in range(5, 11)]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS ({union}),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS c, length(gram) AS charlen
+          FROM g GROUP BY 1, 2, 3),
+    top AS (
+      SELECT doc_id, n, c * charlen AS top_chars
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id, n ORDER BY c DESC, charlen DESC, gram) AS rn
+            FROM c WHERE n <= 4)
+      WHERE rn = 1),
+    dup AS (
+      SELECT doc_id, n, SUM(c * charlen) AS dup_chars
+      FROM c WHERE n >= 5 AND c > 1 GROUP BY 1, 2),
+    tp AS (SELECT doc_id, {top_cols} FROM top GROUP BY 1),
+    dp AS (SELECT doc_id, {dup_cols} FROM dup GROUP BY 1)
+    SELECT d.doc_id,
+      {out_cols}
+    FROM (SELECT doc_id, length(text) AS n_chars FROM documents) d
+    LEFT JOIN tp USING (doc_id)
+    LEFT JOIN dp USING (doc_id)
+    """
+
+
+@query(
+    "q_text_repetition_charcov",
+    oracle=_charcov_oracle(),
+    tags=("text", "quality", "llm-data", "repetition", "gopher"),
+)
+def q_text_repetition_charcov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-faithful Gopher repetition filters (Rae et al. 2021, A1.1):
+    per document, the fraction of CHARACTERS covered by the single most
+    frequent word n-gram for n=2..4, and by duplicated n-grams for
+    n=5..10. Character coverage is approximated as occurrences x gram
+    char length (overlapping occurrences may double-count, so fractions
+    are capped at 1.0); ties for "most frequent" break by (count desc,
+    char length desc, gram asc) in both engines.
+
+    Plan shape: ONE union of nine explode passes feeds a single
+    groupBy(doc_id, n, gram) — every downstream reduce and the final
+    joins hash on doc_id, so at 100 TB this is one exchange over the
+    exploded grams plus doc_id-co-partitioned aggregates (AQE coalesces
+    the small per-doc tails). No Python anywhere."""
+    from ..functions.text import ngrams, tokens
+
+    d = tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.length("text").alias("n_chars"), tokens(F.col("text")).alias("toks")
+    )
+    grams = None
+    for n in range(2, 11):
+        g = d.select("doc_id", F.lit(n).alias("n"), F.explode(ngrams(F.col("toks"), n)).alias("gram"))
+        grams = g if grams is None else grams.unionAll(g)
+    c = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("charlen", F.length("gram"))
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), F.col("charlen").desc(), F.col("gram")
+    )
+    top = (
+        c.filter(F.col("n") <= 4)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n", (F.col("c") * F.col("charlen")).alias("top_chars"))
+    )
+    dup = (
+        c.filter((F.col("n") >= 5) & (F.col("c") > 1))
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.col("c") * F.col("charlen")).alias("dup_chars"))
+    )
+    tp = top.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("n") == k, F.col("top_chars"))).alias(f"t{k}") for k in (2, 3, 4)]
+    )
+    dp = dup.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("n") == k, F.col("dup_chars"))).alias(f"d{k}") for k in range(5, 11)]
+    )
+    out = d.select("doc_id", "n_chars").join(tp, "doc_id", "left").join(dp, "doc_id", "left")
+
+    def frac(x: F.Column, alias: str) -> F.Column:
+        f = F.round(F.try_divide(x.cast("double"), F.nullif(F.col("n_chars"), F.lit(0))), 6)
+        return F.when(f > 1, F.lit(1.0)).otherwise(f).alias(alias)
+
+    return out.select(
+        "doc_id",
+        *[frac(F.col(f"t{k}"), f"top_{k}gram_char_frac") for k in (2, 3, 4)],
+        *[frac(F.col(f"d{k}"), f"dup_{k}gram_char_frac") for k in range(5, 11)],
     )

@@ -80,6 +80,43 @@ def test_tfidf_sanity(spark):
     assert len(by_doc_token) == len(rows), "duplicate (doc, token) rows"
 
 
+def test_ngrams_short_and_null_docs(spark, tmp_path):
+    """Docs with fewer than n tokens (0/1/2 tokens, NULL text) must yield
+    EMPTY n-gram arrays — not an ArrayIndexOutOfBoundsException.
+    Unguarded ``sequence(1, size-(n-1))`` counts DOWN to [1, 0] when
+    size < n (step defaults to -1), feeding element_at index 0 under
+    ANSI mode. Regression test for functions/text.py:ngrams."""
+    from kafka_stream_service_spark.functions.text import ngrams, tokens
+    from kafka_stream_service_spark.queries.text import q_text_repetition
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "one"), (3, "two tokens"), (4, "a b a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.bi, r.tri)
+        for r in df.select(
+            "doc_id",
+            ngrams(tokens(F.col("text")), 2).alias("bi"),
+            ngrams(tokens(F.col("text")), 3).alias("tri"),
+        ).collect()
+    }
+    assert got[0] == ([], [])
+    assert got[1] == ([], [])
+    assert got[2] == ([], [])
+    assert got[3] == (["two tokens"], [])
+    assert got[4][0] == ["a b", "b a", "a b", "b c", "c d"]
+    assert got[4][1] == ["a b a", "b a b", "a b c", "b c d"]
+
+    # the first consumer (q_text_repetition) must run on the same degenerate
+    # corpus and, like the DuckDB oracle, emit rows only for docs with >= 1
+    # bigram (explode drops empty arrays; the oracle's UNNEST(range(1,1))
+    # likewise emits nothing for short docs)
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = q_text_repetition(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {3, 4}
+
+
 def test_frame_sample_empty_payload_yields_no_rows(spark, tmp_path):
     """Empty payloads must produce zero frames, not an 'Illegal sequence
     boundaries' crash (queries/multimodal2.py guards sequence(0, -1, k)
