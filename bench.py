@@ -36,7 +36,9 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact_hash",
     "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
     "q_knn_cosine_bruteforce",
+    "q_knn_ivf",
     "q_cosine_pairs_blocked",
     "q_text_wordcount",
     "q_text_token_stats",
@@ -100,18 +102,19 @@ def main() -> None:
         .mapInPandas(lambda it: it, schema="id long")
     )
 
-    # two timed passes per query, keep the min: single-JVM timings on a
-    # shared host are noisy (transient steal); min-of-2 measures the
-    # engine, not the neighbors
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # three timed passes per query in a fixed order, report the per-query
+    # MEDIAN: single-JVM timings on a shared host are noisy (transient
+    # steal, GC); the median rejects one bad pass without letting a
+    # lucky outlier understate steady-state cost (min-of-2 did — the
+    # r1->r2 q01/q03 "regressions" were pass-to-pass variance)
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
         for name in HEADLINE:
             fn = QUERIES[name].spark_fn
             t0 = time.time()
             force(fn(spark, sf_dir))
-            elapsed = round(time.time() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            runs[name].append(round(time.time() - t0, 3))
+    timings = {name: sorted(ts)[len(ts) // 2] for name, ts in runs.items()}
 
     import tempfile
 

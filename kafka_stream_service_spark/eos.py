@@ -160,16 +160,36 @@ def kafka_transactional_batch_writer(
     value_col: str = "value",
     bootstrap_servers: str = "localhost:9092",
     last_committed_epoch: int | None = None,
+    partitioned: bool = False,
+    last_committed_epochs: dict[int, int] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch adapter over ``KafkaTransactionalEpochWriter``.
 
     With no ``producer_factory`` it binds kafka-python (raising the
     install recipe if absent, as no Kafka client ships in this test
-    container). The driver-side single producer mirrors the reference's
-    one-app-one-producer shape; for produce-bound jobs switch to
-    ``batch_df.rdd.foreachPartition`` with per-partition writers whose
-    transactional ids append the partition index — the epoch/fencing
-    logic in ``write_epoch`` is identical per partition.
+    container).
+
+    Two produce topologies:
+
+    - ``partitioned=False`` (default): ONE driver-side producer, records
+      pulled with ``toLocalIterator`` — mirrors the reference's
+      one-app-one-producer shape (StreamsApplication.java:112) and keeps
+      the global send order of the reference's sequential ``concatMap``.
+      Fine for the reference's message rates; the driver is the
+      bottleneck for produce-bound jobs.
+    - ``partitioned=True``: the scale path. ``foreachPartition`` runs a
+      ``KafkaTransactionalEpochWriter`` inside each executor task with
+      ``transactional.id = f"{transactional_id}-{partition_index}"`` —
+      N partitions produce through N independent, independently-fenced
+      transactions, and no record ever moves through the driver. Epoch
+      atomicity becomes per-partition (partition K's transaction for
+      epoch E commits or aborts on its own); a replayed epoch re-runs
+      only as tasks, and each partition's marker tail
+      (``last_committed_epochs[partition_index]``) skips its own
+      already-committed epochs — the same replay/fencing contract as the
+      single-producer mode, applied per partition. Ordering is preserved
+      per partition, which is exactly Kafka's (and the source's)
+      ordering guarantee anyway.
     """
     if producer_factory is None:  # pragma: no cover - not installed here
         try:
@@ -186,6 +206,36 @@ def kafka_transactional_batch_writer(
                 "producer_factory, or install kafka-python/confluent-kafka "
                 "for the default binding."
             ) from e
+    if partitioned:
+        # capture plain locals (not self/DataFrame handles) so the task
+        # closure ships only what executors need
+        pf, tp, tid = producer_factory, topic, transactional_id
+        kc, vc = key_col, value_col
+        marker_tails = dict(last_committed_epochs or {})
+
+        def body(batch_df: DataFrame, epoch_id: int) -> None:
+            epoch = int(epoch_id)
+
+            def write_partition(rows) -> None:
+                from pyspark import TaskContext
+
+                pidx = TaskContext.get().partitionId()
+                writer = KafkaTransactionalEpochWriter(
+                    pf,
+                    topic=tp,
+                    transactional_id=f"{tid}-{pidx}",
+                    last_committed_epoch=marker_tails.get(pidx),
+                )
+                try:
+                    writer.write_epoch(epoch, ((r[kc], r[vc]) for r in rows))
+                finally:
+                    writer.close()
+
+            batch_df.foreachPartition(write_partition)
+
+        body.writer = None  # producers live in executor tasks, not the driver
+        return body
+
     writer = KafkaTransactionalEpochWriter(
         producer_factory,
         topic=topic,

@@ -26,8 +26,10 @@ tests pin against spec examples.
 Scale note: at 100 TB the encode/decode sits in a ``mapInPandas``-style
 stage with no shuffle of its own — it pipelines into whatever the next
 stage needs. The supported schema subset (records of primitives, nullable
-unions, arrays) covers the Kafka-value use case the external module is
-typically used for.
+unions, arrays, maps, enums, fixed, and the decimal / timestamp-millis /
+timestamp-micros / date logical types) covers the Kafka-value use case
+the external module is typically used for; unknown logical types fall
+back to their base encoding per spec.
 """
 
 from __future__ import annotations
@@ -159,6 +161,14 @@ def _compile(node):
 
         return eu, du
 
+    lt = node.get("logicalType")
+    if lt is not None:
+        coder = _compile_logical(node, lt)
+        if coder is not None:
+            return coder
+        # unknown logical types fall through to the base type, per spec
+        # ("implementations must ignore unknown logical types")
+
     t = node["type"]
     if t == "record":
         coders = [_compile(f["type"]) for f in node["fields"]]
@@ -228,8 +238,117 @@ def _compile(node):
                     m[k], pos = di(buf, pos)
 
         return em, dm
+    if t == "enum":
+        symbols = list(node["symbols"])
+        index = {s: i for i, s in enumerate(symbols)}
+
+        def ee(out, v):
+            _w_long(out, index[v])
+
+        def de(buf, pos):
+            i, pos = _r_long(buf, pos)
+            return symbols[i], pos
+
+        return ee, de
+    if t == "fixed":
+        size = int(node["size"])
+
+        def efx(out, v):
+            v = bytes(v)
+            if len(v) != size:
+                raise ValueError(f"fixed size {size} != {len(v)}")
+            out += v
+
+        def dfx(buf, pos):
+            return bytes(buf[pos : pos + size]), pos + size
+
+        return efx, dfx
     # {"type": "long", ...} wrapper form
     return _compile(t)
+
+
+# --------------------------------------------------------------------------
+# logical types (Avro spec "Logical Types") — annotations over base types.
+# Encoders accept the natural Python/pandas value (Decimal, datetime/
+# pd.Timestamp, date); decoders return values Spark's pandas UDF layer
+# maps onto DecimalType/TimestampType/DateType.
+
+_EPOCH_DATE_ORD = 719163  # date(1970, 1, 1).toordinal()
+
+
+def _to_micros(v) -> int:
+    """datetime / pd.Timestamp / numpy datetime64 -> microseconds since
+    epoch. Naive values are taken as session-UTC (the session factory
+    pins spark.sql.session.timeZone=UTC)."""
+    ts = pd.Timestamp(v)
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts.value // 1000
+
+
+def _compile_logical(node, lt: str):
+    base = node["type"]
+    if lt == "decimal" and base in ("bytes", "fixed"):
+        from decimal import Decimal
+
+        scale = int(node.get("scale", 0))
+        quantum = Decimal(1).scaleb(-scale)
+        fixed_size = int(node["size"]) if base == "fixed" else None
+
+        def edec(out, v):
+            unscaled = int(Decimal(v).quantize(quantum).scaleb(scale))
+            if fixed_size is not None:
+                out += unscaled.to_bytes(fixed_size, "big", signed=True)
+                return
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)  # two's complement
+            _w_long(out, nbytes)
+            out += unscaled.to_bytes(nbytes, "big", signed=True)
+
+        def ddec(buf, pos):
+            if fixed_size is not None:
+                n = fixed_size
+            else:
+                n, pos = _r_long(buf, pos)
+            unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+            return Decimal(unscaled).scaleb(-scale), pos + n
+
+        return edec, ddec
+    if lt in ("timestamp-micros", "local-timestamp-micros") and base == "long":
+
+        def etu(out, v):
+            _w_long(out, _to_micros(v))
+
+        def dtu(buf, pos):
+            us, pos = _r_long(buf, pos)
+            return pd.Timestamp(us * 1000), pos
+
+        return etu, dtu
+    if lt in ("timestamp-millis", "local-timestamp-millis") and base == "long":
+
+        def etm(out, v):
+            _w_long(out, _to_micros(v) // 1000)
+
+        def dtm(buf, pos):
+            ms, pos = _r_long(buf, pos)
+            return pd.Timestamp(ms * 1_000_000), pos
+
+        return etm, dtm
+    if lt == "date" and base == "int":
+        from datetime import date, timedelta
+
+        def edt(out, v):
+            if not isinstance(v, date) or hasattr(v, "hour"):  # datetime-ish
+                v = pd.Timestamp(v).date()
+            _w_long(out, v.toordinal() - _EPOCH_DATE_ORD)
+
+        def ddt(buf, pos):
+            days, pos = _r_long(buf, pos)
+            return date(1970, 1, 1) + timedelta(days=days), pos
+
+        return edt, ddt
+    # uuid (string base), time-millis/micros (int/long base): the base
+    # encoding is already the faithful representation Spark uses
+    return None
 
 
 @lru_cache(maxsize=64)
@@ -274,6 +393,15 @@ def avro_spark_type(node) -> T.DataType:
     if isinstance(node, list):
         other = node[1 - node.index("null")]
         return avro_spark_type(other)
+    lt = node.get("logicalType")
+    if lt == "decimal":
+        return T.DecimalType(int(node.get("precision", 10)), int(node.get("scale", 0)))
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType()
+    if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+        return T.TimestampNTZType()
+    if lt == "date":
+        return T.DateType()
     t = node["type"]
     if t == "record":
         return T.StructType(
@@ -286,6 +414,10 @@ def avro_spark_type(node) -> T.DataType:
         return T.ArrayType(avro_spark_type(node["items"]), True)
     if t == "map":
         return T.MapType(T.StringType(), avro_spark_type(node["values"]), True)
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
     return avro_spark_type(t)
 
 

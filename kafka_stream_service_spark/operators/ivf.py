@@ -49,28 +49,38 @@ def train_ivf_centroids(
     """Fixed-iteration Lloyd refinement; returns k centroid vectors.
 
     Centroids live on the driver (k x dim floats — trivially small); the
-    corpus is only ever scanned, never collected.
+    corpus is only ever scanned, never collected. Training scans the
+    corpus ``iterations + 1`` times (seed pick + one assignment per
+    Lloyd step), so the pruned (id, embedding) projection is persisted
+    for the duration and explicitly unpersisted after — at 100 TB the
+    production entry is training on a sample anyway (pass a sampled
+    ``corpus``; the fraction is the knob), and the persist then caches
+    only that sample.
     """
-    cents = _centroid_rows(corpus, id_col, emb_col, k)
-    for _ in range(iterations):
-        assigned = assign_cells(corpus, cents, emb_col=emb_col)
-        dim = len(cents[0])
-        sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+    train = corpus.select(id_col, emb_col).persist()
+    try:
+        cents = _centroid_rows(train, id_col, emb_col, k)
+        for _ in range(iterations):
+            assigned = assign_cells(train, cents, emb_col=emb_col)
+            dim = len(cents[0])
+            sums = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = list(cents)
-        for r in sums:
-            new[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
-        cents = new
-    return cents
+            new = list(cents)
+            for r in sums:
+                new[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            cents = new
+        return cents
+    finally:
+        train.unpersist()
 
 
 def _dist_array(emb: Column, centroids: list[list[float]]) -> Column:

@@ -143,6 +143,154 @@ def test_zombie_producer_is_fenced():
     assert (b"b", b"2") in committed and (b"a", b"dup") not in committed
 
 
+def file_producer_factory(root: str):
+    """Transactional-producer factory backed by a shared directory, so
+    per-partition producers in separate executor Python workers stay
+    observable by the test. Same contract as FakeProducer: pending sends
+    become visible only on commit (atomic rename), abort discards, and
+    init_transactions bumps a generation file that fences predecessors
+    holding the same transactional.id.
+
+    The class is nested so cloudpickle ships it by value inside the task
+    closure — executors never need this test module importable.
+    """
+
+    def factory(txn_id: str):
+        import json
+        import os
+
+        class FileTxnProducer:
+            def __init__(self, base: str, tid: str):
+                self.dir = os.path.join(base, tid)
+                self.gens = os.path.join(self.dir, "gens")
+                self.committed = os.path.join(self.dir, "committed")
+                os.makedirs(self.gens, exist_ok=True)
+                os.makedirs(self.committed, exist_ok=True)
+                self.gen = None
+                self.pending = []
+                self.in_txn = False
+
+            def _latest_gen(self) -> int:
+                names = [int(n) for n in os.listdir(self.gens)] or [0]
+                return max(names)
+
+            def init_transactions(self):
+                while True:  # O_EXCL claim of the next generation
+                    nxt = self._latest_gen() + 1
+                    try:
+                        fd = os.open(
+                            os.path.join(self.gens, str(nxt)), os.O_CREAT | os.O_EXCL
+                        )
+                        os.close(fd)
+                        self.gen = nxt
+                        return
+                    except FileExistsError:
+                        continue
+
+            def _check_fenced(self):
+                if self.gen != self._latest_gen():
+                    raise RuntimeError(f"fenced: gen {self.gen} superseded")
+
+            def begin_transaction(self):
+                self._check_fenced()
+                assert not self.in_txn, "nested transaction"
+                self.in_txn = True
+                self.pending = []
+
+            def send(self, topic, key, value):
+                self._check_fenced()
+                assert self.in_txn, "send outside transaction"
+                self.pending.append([topic, key, value])
+
+            def commit_transaction(self):
+                self._check_fenced()
+                assert self.in_txn
+                seq = len(os.listdir(self.committed))
+                tmp = os.path.join(self.dir, f".txn-{self.gen}-{seq}.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(self.pending, f)
+                os.replace(tmp, os.path.join(self.committed, f"txn-{self.gen}-{seq}.json"))
+                self.pending = []
+                self.in_txn = False
+
+            def abort_transaction(self):
+                assert self.in_txn
+                self.pending = []
+                self.in_txn = False
+
+        return FileTxnProducer(root, txn_id)
+
+    return factory
+
+
+def _committed_records(root) -> dict[str, list[tuple]]:
+    """All committed (topic -> [(txn_id, key, value)]) under the broker dir."""
+    import json
+    import os
+
+    out: dict[str, list[tuple]] = {}
+    for tid in sorted(os.listdir(root)):
+        cdir = os.path.join(root, tid, "committed")
+        if not os.path.isdir(cdir):
+            continue
+        for fn in sorted(os.listdir(cdir)):
+            with open(os.path.join(cdir, fn)) as f:
+                for topic, key, value in json.load(f):
+                    out.setdefault(topic, []).append((tid, key, value))
+    return out
+
+
+def test_partitioned_writer_one_fenced_producer_per_partition(spark, tmp_path):
+    """partitioned=True: N partitions -> N executor-side producers with
+    per-partition transactional ids; the union of their transactions is
+    the batch, and nothing flows through a driver-side producer."""
+    root = str(tmp_path)
+    body = kafka_transactional_batch_writer(
+        file_producer_factory(root),
+        topic="out",
+        transactional_id="q1",
+        key_col="k",
+        value_col="v",
+        partitioned=True,
+    )
+    assert body.writer is None  # no driver-side producer exists
+    rows = [(f"k{i}", f"v{i}") for i in range(20)]
+    batch = spark.createDataFrame(rows, "k string, v string").repartition(4)
+    body(batch, 0)
+
+    committed = _committed_records(root)
+    # every record committed exactly once, spread across 4 transactional ids
+    assert sorted((k, v) for _, k, v in committed["out"]) == sorted(rows)
+    assert {tid for tid, _, _ in committed["out"]} == {f"q1-{i}" for i in range(4)}
+    # each partition committed its own epoch marker atomically
+    assert sorted(committed["out.epochs"]) == [
+        (f"q1-{i}", f"q1-{i}", 0) for i in range(4)
+    ]
+
+
+def test_partitioned_writer_replay_skips_per_partition_marker_tail(spark, tmp_path):
+    root = str(tmp_path)
+    rows = [(f"k{i}", f"v{i}") for i in range(12)]
+    batch = spark.createDataFrame(rows, "k string, v string").repartition(3)
+    common = dict(
+        topic="out", transactional_id="q1", key_col="k", value_col="v", partitioned=True
+    )
+    kafka_transactional_batch_writer(file_producer_factory(root), **common)(batch, 0)
+    # restart: the recovered marker tails say epoch 0 committed everywhere,
+    # so the replayed epoch must not double-produce on any partition
+    resumed = kafka_transactional_batch_writer(
+        file_producer_factory(root),
+        last_committed_epochs={0: 0, 1: 0, 2: 0},
+        **common,
+    )
+    resumed(batch, 0)
+    committed = _committed_records(root)
+    assert sorted((k, v) for _, k, v in committed["out"]) == sorted(rows)
+    # epoch 1 is new work and flows normally
+    resumed(batch, 1)
+    assert len(_committed_records(root)["out"]) == 2 * len(rows)
+
+
 def test_foreachbatch_adapter_extracts_columns(spark):
     broker = FakeBroker()
     body = kafka_transactional_batch_writer(
