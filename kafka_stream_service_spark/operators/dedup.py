@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -215,8 +215,17 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs: (id_a, id_b) distinct, id_a < id_b.
 
     ``docs`` must carry (id_col, shingle_col: array<long>). Only id+band
-    +bucket enter the self-join shuffle. Pass ``sig_col`` when signatures
-    are precomputed (e.g. by ``minhash_frame``) to skip the JVM minhash.
+    +bucket enter the shuffle — ONE groupBy moves each (id, band) row
+    once, then in-bucket pairs are generated JVM-side from the sorted id
+    list (a self-join on (band, bucket) would shuffle the banded frame
+    twice and need a separate window pass for the bucket-size cap; here
+    the cap is a free ``size(ids)`` filter on the grouped row). Pass
+    ``sig_col`` when signatures are precomputed (e.g. by
+    ``minhash_frame``) to skip the JVM minhash.
+
+    Hot buckets (boilerplate text) are the LSH failure mode at scale:
+    ``max_bucket_size`` drops buckets above the cap before any pair is
+    produced, bounding the per-bucket quadratic blowup.
     """
     rows = k // bands
     if sig_col is not None:
@@ -226,17 +235,29 @@ def lsh_candidate_pairs(
     banded = sig.select(
         id_col, F.explode(band_buckets(F.col("sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    grouped = grouped.filter(F.size("ids") >= 2)
     if max_bucket_size is not None:
-        wcnt = W.partitionBy("band", "bucket")
-        banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(wcnt)).filter(
-            F.col("bucket_size") <= max_bucket_size
-        ).drop("bucket_size")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # all (i < j) combinations of the sorted bucket ids — id_a < id_b by
+    # construction, so no orientation fixup is needed afterwards
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda b: F.struct(
+                    F.element_at(F.col("ids"), i.cast("int")).alias("id_a"),
+                    b.alias("id_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -8,7 +8,8 @@ smallest id reachable in one hop; repeat until fixpoint (or max_iter).
 Each iteration is one shuffle (groupBy node). For dedup graphs the
 diameter is tiny (chains of near-dups), so 5-10 iterations close almost
 any real component; the iteration count is the explicit scale knob, and
-convergence is checked with a cheap changed-count aggregate.
+convergence is detected via the monotone label-sum fingerprint (one
+small aggregate per iteration — no join against the previous labels).
 
 This is the standard large-scale approach (cf. connected components over
 MapReduce / "hash-to-min"), not a driver-side union-find — no state ever
@@ -32,14 +33,19 @@ def connected_components(
 
     ``edges`` is undirected input as (src, dst) pairs (any orientation).
     """
+    # Materialize the edge list ONCE before anything fans out over it.
+    # The symmetric closure below reads it 4 times, and Spark does not
+    # dedupe common subtrees — without this, an expensive upstream (the
+    # MinHash->LSH->Jaccard pipeline in the dedup flow) would re-execute
+    # per branch. localCheckpoint also truncates the incoming lineage so
+    # the iteration plans start from a materialized scan.
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+
     # symmetric closure + self-loops => neighborhood includes the node
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .union(
-            edges.select(F.col(src).alias("a"), F.col(src).alias("b"))
-            .union(edges.select(F.col(dst).alias("a"), F.col(dst).alias("b")))
-        )
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(e0.select("a", F.col("a").alias("b")))
+        .union(e0.select(F.col("b").alias("a"), "b"))
         .distinct()
         .persist()  # read every iteration (join side) — compute once
     )
@@ -54,6 +60,18 @@ def connected_components(
     # localCheckpoint every few iterations so the plan stays O(1) instead
     # of growing per iteration (planner blowup / stack overflow on real
     # clusters at 10+ iterations).
+    # Convergence check: labels only ever DECREASE (min-propagation is
+    # monotone), so the label-sum is a strictly decreasing fingerprint
+    # until fixpoint — one tiny aggregate per iteration on the already-
+    # persisted frame, instead of a join-against-previous + count job.
+    # decimal(38,0) so the sum can't overflow at cluster-scale node counts.
+    def _fingerprint(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    fp = _fingerprint(labels)
     try:
         for i in range(max_iter):
             # propagate: node's new label = min(own label, neighbors' labels)
@@ -65,17 +83,12 @@ def connected_components(
                 new_labels = new_labels.localCheckpoint(eager=True)
             else:
                 new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            new_fp = _fingerprint(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_fp == fp:
                 break
+            fp = new_fp
     finally:
         sym.unpersist()
     return labels

@@ -103,12 +103,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 neighbors for 8 queries: deterministic
-    k-means cells (16 centroids, 3 Lloyd iterations), probe the 8
-    nearest cells per query (operators/ivf.py — the scale path next to
+    k-means cells (16 centroids, 3 Lloyd iterations trained on a
+    hash-spread sample — ONE corpus scan, the production recipe; the
+    fully distributed trainer stays available in operators/ivf.py),
+    probe the 8 nearest cells per query (the scale path next to
     q_knn_cosine_bruteforce's exact baseline)."""
-    from ..operators.ivf import ivf_knn, train_ivf_centroids
+    from ..operators.ivf import ivf_knn, train_ivf_centroids_sampled
 
     e = tables(spark, sf_dir)["embeddings"]
-    cents = train_ivf_centroids(e, k=16, iterations=3)
+    cents = train_ivf_centroids_sampled(e, k=16, iterations=3, sample_size=2048)
     q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_knn(e, q, cents, k=5, n_probe=8).orderBy("query_id", "rank")

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-coalesce stages that read persisted frames: iterative
+        # operators (connected components, Lloyd training) persist tiny
+        # intermediate frames, and without this every iteration over a
+        # cached plan runs full-width shuffle stages (the default false
+        # only exists to keep cached-output partitioning reusable)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -45,6 +45,46 @@ def test_connected_components_bounded_plan_size(spark):
     assert plan.count("Join") <= 8, f"{plan.count('Join')} joins — lineage not truncated"
 
 
+def test_lsh_recall_against_exact_jaccard(spark):
+    """Quantified correctness bound for the LSH candidate generator: on
+    the sf0.01 corpus, candidates must capture >= 0.9 of the TRUE
+    near-dup pairs (exact shingle Jaccard >= 0.5, brute-forced over all
+    C(500,2) pairs). With k=16/bands=4 the theoretical capture is
+    1-(1-J^4)^4 — only ~23% at J=0.5 but ~98.5% at J=0.9; the fixture's
+    near-dups are all J >= 0.9, so 0.9 is a sound bound, and the exact
+    baseline here guards against the fixture drifting toward weaker
+    overlaps where the banding config would need more bands."""
+    import itertools
+
+    from kafka_stream_service_spark.operators import lsh_candidate_pairs, minhash_frame
+    from kafka_stream_service_spark.tables import tables
+
+    d = tables(spark, SF)["documents"]
+    sh = minhash_frame(d, n=3, k=16).filter(F.size("shingles") > 0).persist()
+    try:
+        shingle_sets = {r.doc_id: set(r.shingles) for r in sh.select("doc_id", "shingles").collect()}
+        exact = set()
+        for a, b in itertools.combinations(sorted(shingle_sets), 2):
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= 0.5:
+                exact.add((a, b))
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                sh, id_col="doc_id", shingle_col="shingles", k=16, bands=4, sig_col="sig"
+            ).collect()
+        }
+    finally:
+        sh.unpersist()
+    assert exact, "fixture corpus must contain true near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} < 0.9 ({len(exact)} true pairs)"
+    # bucketing must PRUNE: the candidate set stays orders below all-pairs
+    n_docs = len(shingle_sets)
+    assert len(lsh) < n_docs * (n_docs - 1) // 20, "LSH produced near-all-pairs output"
+
+
 def test_ivf_recall_against_bruteforce(spark):
     bf = {
         (r.query_id, r.neighbor_id)
