@@ -66,7 +66,7 @@ def pipeline_throughput(spark, sf_dir: str, tmp_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from kafka_stream_service_spark.codec import encode_message, message_struct
-    from kafka_stream_service_spark.pipeline import run_pipeline_batch
+    from kafka_stream_service_spark.pipeline import run_pipeline_batch, run_pipeline_fused
     from kafka_stream_service_spark.tables import tables
     from kafka_stream_service_spark.transform import uppercase_function
 
@@ -80,13 +80,26 @@ def pipeline_throughput(spark, sf_dir: str, tmp_dir: str) -> dict:
     framed = spark.read.parquet(tmp_dir)
     n = framed.count()
 
-    sec = None
-    for _ in range(2):
-        t0 = time.time()
-        force(run_pipeline_batch(framed, uppercase_function))
-        elapsed = time.time() - t0
-        sec = elapsed if sec is None else min(sec, elapsed)
-    return {"msgs": n, "sec": round(sec, 3), "msgs_per_sec": round(n / sec)}
+    # headline = the fused one-Arrow-pass pipeline (production replication
+    # path, byte-identical to staged — parity-tested in test_pipeline.py);
+    # the staged 3-crossing form is reported alongside for comparison
+    def best_of(fn, runs: int = 3) -> float:
+        sec = None
+        for _ in range(runs):
+            t0 = time.time()
+            force(fn(framed, uppercase_function))
+            elapsed = time.time() - t0
+            sec = elapsed if sec is None else min(sec, elapsed)
+        return sec
+
+    fused = best_of(run_pipeline_fused)
+    staged = best_of(run_pipeline_batch)
+    return {
+        "msgs": n,
+        "sec": round(fused, 3),
+        "msgs_per_sec": round(n / fused),
+        "staged_msgs_per_sec": round(n / staged),
+    }
 
 
 def main() -> None:

@@ -146,3 +146,60 @@ def run_pipeline_batch(
     """The same dataflow on a bounded frame (finite replay) — used by the
     parity tests and by any backfill over landed data."""
     return encode_stage(transform_messages(decode_stage(frames), fn, enabled=enabled))
+
+
+def run_pipeline_fused(
+    frames: DataFrame,
+    fn: MessageFunction | None = None,
+    enabled: bool = True,
+) -> DataFrame:
+    """decode -> transform -> encode FUSED into one Arrow stage.
+
+    The staged pipeline crosses the Python/Arrow boundary three times
+    (decode pandas_udf, transform mapInPandas, encode pandas_udf), and
+    each crossing serializes the ``map<string,array<string>>`` headers
+    column — the most expensive Arrow conversion in the schema. Fusing
+    runs the same three steps inside ONE mapInPandas: binary in, binary
+    out, headers never leave the Python worker. Same ``MessageFunction``
+    contract (the fn still sees a pandas batch with headers/payload), and
+    output is parity-tested byte-for-byte against the staged path.
+
+    This is standard operator fusion, not a semantic change — the
+    reference itself runs decode->fn->encode pipelined per record
+    (StreamsApplication.java:146-163). Use the staged form when the
+    intermediate Message frame is needed (observability taps, joins
+    against decoded columns); use the fused form for pure
+    source->transform->sink replication, where it is ~2x faster.
+    """
+    import pandas as pd
+
+    from .codec import decode_py, encode_py
+
+    def fused(batches):
+        prefix_cache: dict[tuple, bytes] = {}
+
+        def prefix_for(h) -> bytes:
+            key = tuple((k, tuple(v)) for k, v in (h or {}).items())
+            p = prefix_cache.get(key)
+            if p is None:
+                p = encode_py(h, b"")
+                prefix_cache[key] = p
+            return p
+
+        for pdf in batches:
+            headers, payloads = [], []
+            for data in pdf["value"]:
+                h, p = decode_py(bytes(data))
+                headers.append(h)
+                payloads.append(p)
+            batch = pd.DataFrame({"headers": headers, "payload": payloads})
+            if enabled and fn is not None:
+                batch = fn(batch)
+            values = [
+                prefix_for(h) + (bytes(p) if p is not None else b"")
+                for h, p in zip(batch["headers"], batch["payload"])
+            ]
+            # null key mirrors the reference's ProducerRecord(topic, null, value)
+            yield pd.DataFrame({"key": [None] * len(values), "value": values})
+
+    return frames.mapInPandas(fused, schema=WIRE_FRAME_DDL)

@@ -54,6 +54,21 @@ def test_batch_pipeline_uppercase_parity(spark):
     assert by_payload[b"WORLD"] == {"Accept": ["*/*"], "Content-Type": ["text/plain"]}
 
 
+def test_fused_pipeline_byte_parity_with_staged(spark):
+    """The one-Arrow-pass fused pipeline (run_pipeline_fused) must be
+    byte-identical to the staged decode->transform->encode composition,
+    for both the uppercase transform and the identity bypass — it is an
+    operator-fusion optimization, not a semantic variant."""
+    from kafka_stream_service_spark.pipeline import run_pipeline_fused
+
+    frames = wire_frames_df(spark)
+    for fn, enabled in ((uppercase_function, True), (identity_function, True), (None, False)):
+        staged = sorted(bytes(r.value) for r in run_pipeline_batch(frames, fn, enabled=enabled).collect())
+        fused = sorted(bytes(r.value) for r in run_pipeline_fused(frames, fn, enabled=enabled).collect())
+        assert fused == staged
+    assert all(r.key is None for r in run_pipeline_fused(frames, uppercase_function).collect())
+
+
 def test_identity_bypass(spark):
     """R9: enabled=False skips the transform stage entirely — output equals
     input bytes."""
