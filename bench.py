@@ -49,6 +49,8 @@ HEADLINE = [
     "q_hash_sample",
     "q_corpus_mixture",
     "q_text_redact_pii",
+    "q_decontaminate_ngram",
+    "q_inverted_index",
 ]
 
 

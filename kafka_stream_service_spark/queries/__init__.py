@@ -30,3 +30,4 @@ from . import multimodal2  # noqa: E402,F401
 from . import streaming_replay  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
+from . import corpus_ops  # noqa: E402,F401

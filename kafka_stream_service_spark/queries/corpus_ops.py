@@ -1,0 +1,182 @@
+"""Corpus-engineering operators: benchmark decontamination, inverted
+index construction, and skew-salted joins.
+
+These extend the LLM-data surface (SURVEY.md north-star: training-data
+pipeline ops at 100 TB) past dedup/similarity into the remaining
+pipeline stages a real pretraining corpus build runs: removing eval-set
+contamination, building token->doc posting lists for corpus search, and
+keeping shuffle-joins alive under key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from ._util import REVENUE_SQL, dsum, revenue_expr
+from .registry import query
+
+
+def _trigrams(toks: F.Column) -> F.Column:
+    """Distinct word trigrams (array<string>); docs under 3 tokens yield
+    an empty array (sequence would count DOWN below 3 tokens — same
+    guard as functions/text.py:ngrams)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i.cast("int")),
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@query(
+    "q_decontaminate_ngram",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1), i ->
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 23 = 0),
+    corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 23 != 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.gram) AS overlap_ngrams,
+           COUNT(DISTINCT b.bench_id) AS bench_docs,
+           (COUNT(DISTINCT c.gram) >= 10) AS contaminated
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.gram) >= 3
+    """,
+    tags=("text", "decontamination", "llm-data"),
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): flag training
+    documents sharing word-trigram spans with a held-out benchmark set
+    (here the deterministic doc_id % 23 slice standing in for an eval
+    suite). A doc with >= 10 distinct overlapping trigrams is a
+    contamination hit (near-dup of a benchmark doc); >= 3 is the review
+    threshold.
+
+    Scale shape: the benchmark side is tiny by construction (eval suites
+    are thousands of docs, the corpus is billions), so its exploded
+    n-gram set broadcasts — the corpus n-grams stream map-side through
+    the broadcast hash join and only matched (doc_id, gram, bench_id)
+    rows enter the counting shuffle. No corpus self-join anywhere.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    grams = d.select("doc_id", F.explode(_trigrams(toks)).alias("gram"))
+    bench = grams.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") % 23 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("overlap_ngrams"),
+            F.countDistinct("bench_id").alias("bench_docs"),
+        )
+        .filter(F.col("overlap_ngrams") >= 3)
+        .select(
+            "doc_id",
+            "overlap_ngrams",
+            "bench_docs",
+            (F.col("overlap_ngrams") >= 10).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS df_count,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) BETWEEN 5 AND 50
+    """,
+    tags=("text", "index", "llm-data"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> sorted posting list of the
+    documents containing it (the search-engine/corpus-lookup primitive),
+    restricted to mid-frequency tokens (df 5..50 — head stopwords and
+    hapaxes are useless postings).
+
+    One shuffle (groupBy token) after a map-side distinct-explode; the
+    posting list is sort_array(collect_set(...)) so output is
+    deterministic regardless of partition order. At 100 TB the postings
+    of head tokens are the skew risk — the df cap bounds them here; the
+    production variant shards head tokens into (token, shard) postings.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            # serialized (comma-joined) so the driver's exact value-hash
+            # can compare it against the DuckDB list oracle
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+        )
+        .filter(F.col("df_count").between(5, 50))
+    )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT s_name,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    tags=("join", "skew", "scale"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join, oracle-checked against the plain join:
+    the fact side gets a deterministic salt (pmod of xxhash64 over the
+    order key), the dim side is replicated across all SALT values, and
+    the join key becomes (suppkey, salt) — splitting any hot supplier's
+    rows across SALT reducers. Results are identical to the unsalted
+    join by construction; this query proves it under the driver's exact
+    value-hash.
+
+    This is the manual mitigation for the case AQE skew-join can't fix
+    (single hot KEY inside one partition, dim too big to broadcast —
+    forced here via a merge hint so the salted path actually exercises
+    the shuffle machinery). Cost model: dim side inflates SALT x, which
+    is the explicit knob traded against reducer balance.
+    """
+    t = tables(spark, sf_dir)
+    salt_n = 8
+    li = t["lineitem"].withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(salt_n)).cast("int")
+    )
+    sup = t["supplier"].withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    joined = li.hint("merge").join(
+        sup, (li.l_suppkey == sup.s_suppkey) & (li._salt == sup._salt)
+    )
+    return joined.groupBy("s_name").agg(
+        dsum(revenue_expr(), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

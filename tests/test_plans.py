@@ -154,3 +154,23 @@ def test_mixture_broadcasts_rate_table(spark):
     rows."""
     df = QUERIES["q_corpus_mixture"].spark_fn(spark, SF)
     assert_broadcast_join(df, at_least=1)
+
+
+def test_salted_join_is_shuffle_join_with_spread_keys(spark):
+    """q_join_skew_salted must actually exercise the salted SHUFFLE path:
+    a sort-merge join on the composite (suppkey, salt) key, no broadcast
+    — broadcasting the dim would silently bypass the skew mitigation the
+    query exists to prove correct."""
+    plan = physical_plan(QUERIES["q_join_skew_salted"].spark_fn(spark, SF))
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, "salted join degenerated to broadcast"
+    assert "_salt" in plan  # composite key reached the join
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The eval-set n-gram side is tiny by construction and must
+    broadcast; a shuffle join here would move the full corpus n-gram
+    explosion — the exact failure mode at 100 TB."""
+    df = QUERIES["q_decontaminate_ngram"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
