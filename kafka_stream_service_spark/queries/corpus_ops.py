@@ -139,6 +139,127 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# symmetric per-vector int8 quantization, shared by the two queries below:
+# scale = max|x| / 127, q_i = round(x_i / scale). All downstream dot
+# products are integer-exact (|q_i| <= 127, dim 64 => |dot| <= ~1e6), so
+# the oracle hash cannot drift in float ulps the way float-sum oracles can.
+_QUANT_SQL = """
+    quant AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q8 AS (
+      SELECT vec_id, label, v, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+      FROM quant
+    )
+"""
+
+
+def _quantized(e: DataFrame) -> DataFrame:
+    """Adds v (double vector), scale, qv (int8-range vector) columns."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    out = e.filter(F.col("embedding").isNotNull()).withColumn("v", v)
+    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)
+    out = out.withColumn("scale", scale)
+    return out.withColumn(
+        "qv", F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    )
+
+
+@query(
+    "q_embedding_quantize_int8",
+    oracle=f"""
+    WITH {_QUANT_SQL}
+    SELECT vec_id, round(scale, 6) AS scale6,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_dot_product(qv, qv) AS BIGINT) AS q_norm_sq,
+           round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - qv[i] * scale) ^ 2))), 6) AS recon_err
+    FROM q8
+    """,
+    tags=("similarity", "quantization", "llm-data"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector scales — the
+    4x storage/IO reduction that makes 100 TB embedding search pay for
+    itself — plus the reconstruction-error audit a production pipeline
+    runs before swapping the fp32 index out.
+
+    Map-side only (no shuffle): every output column derives from the
+    row's own vector. Integer summaries (q_sum, q_norm_sq) are exact;
+    only the audit error is float-rounded.
+    """
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    err_sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, q: (x - q * F.col("scale")) * (x - q * F.col("scale"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from ..operators.similarity import dot_col
+
+    return e.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale6"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
+        dot_col(F.col("qv"), F.col("qv")).cast("bigint").alias("q_norm_sq"),
+        F.round(F.sqrt(err_sq), 6).alias("recon_err"),
+    )
+
+
+@query(
+    "q_knn_cosine_int8",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    pairs AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             list_dot_product(qa.qv, ca.qv)
+             / (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(ca.qv, ca.qv))) AS cos_raw
+      FROM q8 qa JOIN q8 ca ON ca.vec_id != qa.vec_id
+      WHERE qa.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS q_cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "quantization", "knn", "llm-data"),
+)
+def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors computed IN the int8-quantized space
+    (same shape as q_knn_cosine_bruteforce, which is its fp32 reference
+    point): quantized dots are integer-exact, so the oracle hash-matches
+    bit-for-bit — the correctness proof that the 4x-compressed index
+    returns a faithful ranking. Broadcast queries, zero corpus shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import dot_col
+
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c_qv"))
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    cos = dot_col(F.col("q_qv"), F.col("c_qv")) / (
+        F.sqrt(dot_col(F.col("q_qv"), F.col("q_qv"))) * F.sqrt(dot_col(F.col("c_qv"), F.col("c_qv")))
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 6).alias("q_cosine"))
+    )
+
+
 @query(
     "q_join_skew_salted",
     oracle=f"""

@@ -97,6 +97,21 @@ def test_ivf_recall_against_bruteforce(spark):
     assert recall >= 0.6, f"IVF recall collapsed: {recall}"
 
 
+def test_int8_knn_preserves_fp32_ranking(spark):
+    """The int8-quantized top-5 must recover nearly all fp32 top-5
+    neighbors — the quality bound that justifies shipping the
+    4x-compressed index. Empirically 39/40 at sf0.01; assert >= 0.9."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_knn_cosine_bruteforce"].spark_fn(spark, SF).collect()
+    }
+    q8 = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_knn_cosine_int8"].spark_fn(spark, SF).collect()
+    }
+    assert len(bf & q8) / len(bf) >= 0.9
+
+
 def test_dedup_clusters_canonical_invariants(spark):
     rows = QUERIES["q_dedup_clusters"].spark_fn(spark, SF).collect()
     assert rows, "expected near-dup clusters in the fixture corpus"
