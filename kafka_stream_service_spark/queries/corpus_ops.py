@@ -139,6 +139,35 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_partitioned_pruning",
+    oracle="""
+    SELECT source, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+    tags=("source", "partitioning", "scale"),
+)
+def q_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning — the single biggest scan lever at
+    100 TB: write the corpus partitioned by ``lang``, then aggregate one
+    language; the rewritten scan must touch ONLY the lang=en directory
+    (PartitionFilters, asserted in tests/test_plans.py), so a 30-language
+    corpus reads ~1/30 of its bytes. The oracle aggregates the original
+    unpartitioned table — the hash match proves pruning loses nothing.
+    """
+    import tempfile
+
+    d = tables(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="part_docs_") + "/docs"
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
 # symmetric per-vector int8 quantization, shared by the two queries below:
 # scale = max|x| / 127, q_i = round(x_i / scale). All downstream dot
 # products are integer-exact (|q_i| <= 127, dim 64 => |dot| <= ~1e6), so

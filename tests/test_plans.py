@@ -174,3 +174,14 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     df = QUERIES["q_decontaminate_ngram"].spark_fn(spark, SF)
     assert_broadcast_join(df, at_least=1)
     assert_no_cartesian(df)
+
+
+def test_partitioned_write_prunes_directories(spark):
+    """q_partitioned_pruning's re-read must carry the lang filter as a
+    PARTITION filter (directory pruning — zero IO for other langs), not
+    just a data filter after a full scan."""
+    import re
+
+    plan = physical_plan(QUERIES["q_partitioned_pruning"].spark_fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*\]", plan)
+    assert m, f"lang never became a partition filter:\n{plan[:3000]}"
