@@ -24,6 +24,7 @@ def salted_join(
     small_key: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """Equi-join big⋈small on big_key = small_key with salt-scattered
     hot keys.
@@ -31,7 +32,16 @@ def salted_join(
     The big side gets a deterministic per-row salt in [0, S) (hash of all
     columns); the small side is exploded S times so every (key, salt)
     pair finds its match.
+
+    ``force_shuffle`` adds a merge hint so the join cannot silently plan
+    as a broadcast: salting only matters on the shuffle path, and at a
+    small test SF the planner would otherwise broadcast the exploded
+    side and never exercise the machinery being verified. Production
+    callers leave it False — if the side fits a broadcast, broadcasting
+    beats salting and the salt columns are harmless.
     """
+    if force_shuffle:
+        big = big.hint("merge")
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int")
     )

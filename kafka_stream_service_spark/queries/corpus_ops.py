@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import tables
-from ._util import REVENUE_SQL, dsum, revenue_expr
 from .registry import query
 
 
@@ -289,44 +288,6 @@ def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_join_skew_salted",
-    oracle=f"""
-    SELECT s_name,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-    GROUP BY s_name
-    """,
-    tags=("join", "skew", "scale"),
-)
-def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted shuffle join, oracle-checked against the plain join:
-    the fact side gets a deterministic salt (pmod of xxhash64 over the
-    order key), the dim side is replicated across all SALT values, and
-    the join key becomes (suppkey, salt) — splitting any hot supplier's
-    rows across SALT reducers. Results are identical to the unsalted
-    join by construction; this query proves it under the driver's exact
-    value-hash.
-
-    This is the manual mitigation for the case AQE skew-join can't fix
-    (single hot KEY inside one partition, dim too big to broadcast —
-    forced here via a merge hint so the salted path actually exercises
-    the shuffle machinery). Cost model: dim side inflates SALT x, which
-    is the explicit knob traded against reducer balance.
-    """
-    t = tables(spark, sf_dir)
-    salt_n = 8
-    li = t["lineitem"].withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(salt_n)).cast("int")
-    )
-    sup = t["supplier"].withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
-    )
-    joined = li.hint("merge").join(
-        sup, (li.l_suppkey == sup.s_suppkey) & (li._salt == sup._salt)
-    )
-    return joined.groupBy("s_name").agg(
-        dsum(revenue_expr(), "revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+# NOTE: skew-salted joins live in operators/salted.py (salted_join) and
+# are oracle-checked by q_salted_skew_join in extras.py, with the forced
+# sort-merge path plan-asserted in tests/test_plans.py.

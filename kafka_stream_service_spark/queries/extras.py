@@ -102,12 +102,20 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted-join operator must be *semantically invisible*: same
     result as the plain equi-join (oracle), different physical
-    distribution (hot keys scattered across 8 salt buckets)."""
+    distribution (hot keys scattered across 8 salt buckets).
+    force_shuffle pins the sort-merge path (plan-asserted in
+    tests/test_plans.py) — without it the small test SF would broadcast
+    and the salted shuffle machinery would go unexercised."""
     from ..operators.salted import salted_join
 
     t = tables(spark, sf_dir)
     joined = salted_join(
-        t["lineitem"], t["orders"], big_key="l_orderkey", small_key="o_orderkey", salt_buckets=8
+        t["lineitem"],
+        t["orders"],
+        big_key="l_orderkey",
+        small_key="o_orderkey",
+        salt_buckets=8,
+        force_shuffle=True,
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum(dec("l_quantity", 18, 2), "sum_qty")

@@ -157,11 +157,12 @@ def test_mixture_broadcasts_rate_table(spark):
 
 
 def test_salted_join_is_shuffle_join_with_spread_keys(spark):
-    """q_join_skew_salted must actually exercise the salted SHUFFLE path:
-    a sort-merge join on the composite (suppkey, salt) key, no broadcast
-    — broadcasting the dim would silently bypass the skew mitigation the
-    query exists to prove correct."""
-    plan = physical_plan(QUERIES["q_join_skew_salted"].spark_fn(spark, SF))
+    """q_salted_skew_join must actually exercise the salted SHUFFLE path:
+    a sort-merge join on the composite (key, salt), no broadcast —
+    broadcasting would silently bypass the skew mitigation the query
+    exists to prove correct (which is what happened before force_shuffle:
+    at test SF the planner broadcast the exploded side)."""
+    plan = physical_plan(QUERIES["q_salted_skew_join"].spark_fn(spark, SF))
     assert "SortMergeJoin" in plan, plan[:2000]
     assert "BroadcastHashJoin" not in plan, "salted join degenerated to broadcast"
     assert "_salt" in plan  # composite key reached the join
