@@ -265,6 +265,100 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_outer_join_replay",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (  -- final global watermark = min of the two per-stream
+             -- watermarks (each = that stream's max event time - 2h)
+      SELECT LEAST((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+             - INTERVAL 2 HOUR AS wm_ts
+    ),
+    matched AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id AS user_id
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <= p.ts
+    ),
+    unmatched AS (
+      SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+             p.user_id AS user_id
+      FROM p
+      WHERE NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+                AND c.ts <= p.ts)
+        AND p.ts < (SELECT wm_ts FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "outer", "replay"),
+)
+def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, executed for real — the
+    hardest Structured Streaming semantic: an unmatched left row may
+    only emit (null-extended) once the watermark proves no matching
+    right row can still arrive.
+
+    Replay: two TIME-ORDERED chunks (split at the median ts), 2-hour
+    watermark on both sides. Time-ordering makes every row on time, and
+    the interval shape (clicks at or before the purchase) means a
+    purchase's partner clicks can never be in a later chunk than rows
+    newer than the purchase — with the 2h delay, no click state is
+    evicted while a reachable partner is pending (eviction needs
+    wm > c_ts + 1h, but a matching later purchase has p_ts <= c_ts + 1h
+    and would itself be on time). The final no-data batch flushes state
+    against the final watermark min(max_p_ts, max_c_ts) - 2h, so:
+
+    - every batch inner match emits exactly once;
+    - every unmatched purchase with p_ts < final watermark emits with a
+      null click_id;
+    - unmatched purchases inside the last 2h stay open (never emitted).
+
+    The oracle states precisely that algebra; boundary ties (p_ts equal
+    to the watermark to the microsecond) do not occur in the fixture.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
+    half = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0].m
+    base = tempfile.mkdtemp(prefix="ssouter_")
+    flat = _write_chunks(
+        [ev.filter(F.col("ts") <= F.lit(half)), ev.filter(F.col("ts") > F.lit(half))], base
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(spark, joined, base, shuffle_partitions=4)
+
+
+@query(
     "q_continuous_aggregate",
     oracle="""
     SELECT date_trunc('day', ts) AS window_start,
