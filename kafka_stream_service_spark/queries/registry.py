@@ -84,6 +84,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # Everything not listed keeps its module registration order after these.
 PRIORITY_ORDER: tuple[str, ...] = (
     # (a) never driver-sampled
+    "q_stateful_running_totals_replay",
     "q_stream_outer_join_replay",
     "q_decontaminate_ngram",
     "q_inverted_index",
@@ -135,7 +136,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_stream_join_replay",
     "q_continuous_aggregate",
     "q_gapfill_interpolate",
-    "q_udf_pandas_scalar",
 )
 
 

@@ -65,7 +65,11 @@ def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
 
 
 def _run_to_memory(
-    spark: SparkSession, stream_df: DataFrame, base: str, shuffle_partitions: int | None = None
+    spark: SparkSession,
+    stream_df: DataFrame,
+    base: str,
+    shuffle_partitions: int | None = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Run the stream to completion into a memory sink.
 
@@ -84,7 +88,7 @@ def _run_to_memory(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", os.path.join(base, "ckpt"))
             .start()
         )
@@ -262,6 +266,88 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(spark, joined, base, shuffle_partitions=4)
+
+
+@query(
+    "q_stateful_running_totals_replay",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    even AS (  -- state after micro-batch 0 (the even-event_id chunk)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM ev WHERE event_id % 2 = 0 GROUP BY user_id
+    ),
+    allr AS (  -- state after micro-batch 1 (odd chunk merged on top)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_events, total_cents FROM even
+    UNION ALL
+    SELECT user_id, n_events, total_cents FROM allr WHERE n_odd > 0
+    """,
+    tags=("streaming", "stateful", "replay"),
+)
+def q_stateful_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY stateful operator (applyInPandasWithState) with an exact
+    oracle — upgrading the custom-state surface from pytest-only to a
+    hard driver verdict: per-user running (count, total) maintained in
+    group state across a deterministic 2-batch replay (chunked by
+    event_id parity), one update row emitted per key per batch the key
+    appears in.
+
+    The final update-mode table is therefore: each user's totals over
+    their even-id events (batch-0 emission, absent for users with no
+    even events), plus each user's totals over ALL their events (batch-1
+    emission, absent for users with no odd events) — exactly what the
+    oracle states. Money accumulates as integer cents
+    (floor(v*100 + .5), identical arithmetic in both engines), so the
+    result is order-independent and hash-exact no matter how rows
+    arrive within a batch. State is O(active users), stream-length
+    independent — the scale contract of the custom-state API.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="statefulrt_")
+    flat = _write_chunks(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)], base
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+
+    def running(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        running, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_memory(spark, totals, base, shuffle_partitions=8, output_mode="update")
 
 
 @query(
