@@ -45,6 +45,38 @@ def test_connected_components_bounded_plan_size(spark):
     assert plan.count("Join") <= 8, f"{plan.count('Join')} joins — lineage not truncated"
 
 
+def test_lsh_pair_expansion_matches_combinations(spark):
+    """The in-bucket pair generator (groupBy + JVM combination expansion,
+    which replaced the band self-join) must produce exactly
+    itertools.combinations of each bucket's sorted ids, deduped across
+    bands, with hot buckets dropped by the cap — pinned on a constructed
+    corpus where bucket membership is forced via identical signatures."""
+    import itertools
+
+    from kafka_stream_service_spark.operators import lsh_candidate_pairs
+
+    # 4 docs share signature A (one bucket of 4), 2 share B, 1 unique;
+    # k=4 / bands=2 => each signature yields 2 identical (band, bucket)
+    # groups, exercising the cross-band dedup
+    sig_a, sig_b, sig_c = [1, 2, 3, 4], [9, 9, 8, 8], [7, 6, 5, 4]
+    rows = [(i, sig_a) for i in (10, 30, 20, 40)] + [(i, sig_b) for i in (2, 1)] + [(99, sig_c)]
+    docs = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, id_col="doc_id", k=4, bands=2, sig_col="sig").collect()
+    }
+    want = set(itertools.combinations(sorted((10, 20, 30, 40)), 2)) | {(1, 2)}
+    assert got == want
+    # the hot-bucket cap drops the 4-doc bucket entirely, keeping the pair
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            docs, id_col="doc_id", k=4, bands=2, sig_col="sig", max_bucket_size=3
+        ).collect()
+    }
+    assert capped == {(1, 2)}
+
+
 def test_lsh_recall_against_exact_jaccard(spark):
     """Quantified correctness bound for the LSH candidate generator: on
     the sf0.01 corpus, candidates must capture >= 0.9 of the TRUE
