@@ -44,14 +44,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>.
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) from a TOKEN ARRAY
+    column. ``toks`` must be a materialized column reference, not an
+    inline ``split()`` expression — an inline expression gets re-inlined
+    into every ``try_element_at``, re-splitting the text n times per
+    position (O(len^2) per row; measured 3x wall-clock on the
+    decontamination query before the fix).
 
     Texts with fewer than ``n`` tokens produce one short shingle (the
     whole text): ``try_element_at`` yields NULL past the end, which
     ``concat_ws`` skips — element_at would be an ANSI
     INVALID_ARRAY_INDEX crash on short/dirty docs."""
-    toks = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
@@ -61,6 +65,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """``word_shingles_from_tokens`` over an inline split — convenient
+    for one-off expressions; hot paths should project the token array
+    first and call the ``_from_tokens`` form (see its docstring)."""
+    return word_shingles_from_tokens(F.split(text, " "), n)
 
 
 def hashed_word_shingles(text: Column, n: int = 3) -> Column:

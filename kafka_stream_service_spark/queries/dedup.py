@@ -120,8 +120,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's planted near-dup pairs, so the sf0.01 result is non-empty
     (7 pairs, J 0.95+) — a broken-but-empty query cannot pass.
     """
+    from ..operators.dedup import word_shingles_from_tokens
+
     d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
-    sh = d.select("doc_id", _word_shingles(3).alias("shingles"))
+    # project the token array first — inlining split() into the shingle
+    # lambda re-splits the text per element (see word_shingles_from_tokens)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = t.select("doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.alias("a")

@@ -106,7 +106,10 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequencies over the English slice of the corpus."""
     d = tables(spark, sf_dir)["documents"].filter(F.col("lang") == "en")
-    toks = F.split(F.col("text"), " ")
+    # token array materialized in its own projection (an inline split()
+    # would be re-inlined into each element_at — O(len^2) per row)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(
@@ -114,7 +117,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        d.filter(F.size(toks) >= 2)
+        t.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
