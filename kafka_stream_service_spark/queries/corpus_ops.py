@@ -295,3 +295,62 @@ def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOTE: skew-salted joins live in operators/salted.py (salted_join) and
 # are oracle-checked by q_salted_skew_join in extras.py, with the forced
 # sort-merge path plan-asserted in tests/test_plans.py.
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_toks FROM freq),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln(CAST(freq.n AS DOUBLE) / total_toks) AS part,
+             tf.tf
+      FROM tf JOIN freq USING (token) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           round(list_sum(list(part ORDER BY token)) / SUM(tf), 6) AS avg_logprob,
+           (list_sum(list(part ORDER BY token)) / SUM(tf) >= -9.0) AS keep
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm-data"),
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/perplexity-filter proxy):
+    each document's mean token log-probability under the corpus's own
+    unigram distribution. Outlier docs (very negative) are gibberish or
+    off-distribution — the classic cheap quality gate before an actual
+    LM scorer.
+
+    Determinism: float log-prob parts are summed in SORTED-token order
+    on both engines (sort_array fold here, list(... ORDER BY token) in
+    DuckDB) — summation order is pinned, so the double arithmetic and
+    the 6-digit round agree bit-for-bit. Two shuffles (tf groupBy,
+    per-doc groupBy); the vocabulary frequency table broadcasts.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total_toks = freq.agg(F.sum("n")).collect()[0][0]  # one scalar, exact
+    part = F.col("tf") * F.log(F.col("n").cast("double") / F.lit(float(total_toks)))
+    scored = tf.join(F.broadcast(freq), "token").select(
+        "doc_id", "token", part.alias("part"), "tf"
+    )
+    summed = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("token", "part"))), lambda s: s["part"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    avg = summed / F.sum("tf")
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(avg, 6).alias("avg_logprob"),
+        (avg >= -9.0).alias("keep"),
+    )

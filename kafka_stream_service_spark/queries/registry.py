@@ -86,6 +86,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (a) never driver-sampled
     "q_stateful_running_totals_replay",
     "q_stream_outer_join_replay",
+    "q_text_unigram_logprob",
     "q_decontaminate_ngram",
     "q_inverted_index",
     "q_partitioned_pruning",
@@ -135,7 +136,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_dedup_replay",
     "q_stream_stream_join_replay",
     "q_continuous_aggregate",
-    "q_gapfill_interpolate",
 )
 
 

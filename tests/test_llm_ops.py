@@ -129,6 +129,41 @@ def test_ivf_recall_against_bruteforce(spark):
     assert recall >= 0.6, f"IVF recall collapsed: {recall}"
 
 
+def test_distributed_ivf_trainer_recall(spark):
+    """The fully distributed Lloyd trainer (the no-driver-sample path —
+    q_knn_ivf uses the sampled trainer) must still produce centroids
+    good enough for >= 0.6 recall against brute force, and its update
+    step must agree with the numpy trainer when the 'sample' is the
+    whole corpus (same init, same argmin ties, same means)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.operators.ivf import (
+        ivf_knn,
+        train_ivf_centroids,
+        train_ivf_centroids_sampled,
+    )
+    from kafka_stream_service_spark.tables import tables
+
+    e = tables(spark, SF)["embeddings"]
+    dist = train_ivf_centroids(e, k=16, iterations=2)
+    # sampled trainer over a sample >= corpus size sees every vector =>
+    # identical Lloyd trajectory (to float tolerance)
+    full = train_ivf_centroids_sampled(e, k=16, iterations=2, sample_size=10**6)
+    for cd, cf in zip(dist, full):
+        assert max(abs(a - b) for a, b in zip(cd, cf)) < 1e-6
+
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_knn_cosine_bruteforce"].spark_fn(spark, SF).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_knn(e, q, dist, k=5, n_probe=8).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.6
+
+
 def test_int8_knn_preserves_fp32_ranking(spark):
     """The int8-quantized top-5 must recover nearly all fp32 top-5
     neighbors — the quality bound that justifies shipping the
