@@ -104,3 +104,119 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare rounded to 6 — the fill fraction is the only inexact term."""
     g = dense_grid(_hourly(spark, sf_dir), "bucket_ts", ["event_type"], "1 hour")
     return fill_linear(g, "sum_value", "bucket_ts", ["event_type"])
+
+
+@query(
+    "q_ohlc_resample",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT event_type, bucket_ts,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_z = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY event_type, bucket_ts
+    """,
+    tags=("timeseries", "resample", "ohlc", "window"),
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial/metrics resample primitive):
+    per (series, hour) the opening value, high, low, closing value and
+    tick count. Open/close are picked by deterministic (ts, event_id)
+    rank — not first()/last(), whose result depends on partition
+    arrival order — so the values are exact stored doubles and the
+    oracle hash-matches without rounding. One shuffle for the window,
+    reused by the aggregate (same partition key prefix).
+    """
+    from pyspark.sql import Window as W
+
+    ev = tables(spark, sf_dir)["events"]
+    b = F.date_trunc("hour", F.col("ts"))
+    wa = W.partitionBy("event_type", "bucket_ts").orderBy("ts", "event_id")
+    wz = W.partitionBy("event_type", "bucket_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        ev.select("event_type", b.alias("bucket_ts"), "ts", "event_id", "value")
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_z", F.row_number().over(wz))
+    )
+    return ranked.groupBy("event_type", "bucket_ts").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_conversion_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS name, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 2, 'view>click', COUNT(*) FROM c
+    UNION ALL SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    advances a stage only with an event at-or-after their first event
+    of the previous stage (the standard product-analytics semantics,
+    all integer counts — hash-exact). Each stage is one groupBy over
+    the filtered events joined to the prior stage's (small) user set,
+    which broadcasts; the event table streams once per stage with the
+    event_type filter pushed to the scan.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, num: int, name: str):
+        return df.agg(
+            F.lit(num).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+        ).select("stage", "name", "n_users")
+
+    return (
+        stage(v, 1, "view")
+        .unionAll(stage(c, 2, "view>click"))
+        .unionAll(stage(p, 3, "view>click>purchase"))
+    )
