@@ -122,6 +122,42 @@ def decode_message(value: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"headers": headers, "payload": payloads})
 
 
+# struct<headers, payload, error string> — the lenient decode shape
+# (a StructType, not a DDL string: pandas_udf decorators at import time
+# have no active session to parse DDL with)
+MESSAGE_SCHEMA_LENIENT = T.StructType(
+    list(MESSAGE_SCHEMA.fields) + [T.StructField("error", T.StringType())]
+)
+
+
+@F.pandas_udf(MESSAGE_SCHEMA_LENIENT)
+def decode_message_lenient(value: pd.Series) -> pd.DataFrame:
+    """binary -> struct<headers, payload, error> that never throws.
+
+    The reference deserializer raises on a malformed frame
+    (MessageDeserializer.java:52 asserts the 0xff marker), which kills
+    the whole stream — and a DETERMINISTIC poison message would then
+    trap the R14 restart loop in an infinite crash cycle. The
+    production-grade behavior at scale is a dead-letter lane: decode
+    failures become (null, null, error-string) rows the pipeline routes
+    to a DLQ sink while good rows flow on (see
+    pipeline.run_pipeline_with_dlq). ``error`` is NULL on success, so
+    filtering is a plain column predicate.
+    """
+    headers, payloads, errors = [], [], []
+    for data in value:
+        try:
+            h, p = decode_py(bytes(data) if data is not None else b"")
+            headers.append(h)
+            payloads.append(p)
+            errors.append(None)
+        except Exception as exc:  # malformed frame — capture, don't crash
+            headers.append(None)
+            payloads.append(None)
+            errors.append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame({"headers": headers, "payload": payloads, "error": errors})
+
+
 def message_struct(headers: Column, payload: Column) -> Column:
     """Build a Message struct column from headers + payload columns."""
     return F.struct(headers.alias("headers"), payload.alias("payload"))

@@ -148,6 +148,38 @@ def run_pipeline_batch(
     return encode_stage(transform_messages(decode_stage(frames), fn, enabled=enabled))
 
 
+def run_pipeline_with_dlq(
+    frames: DataFrame,
+    fn: MessageFunction | None = None,
+    enabled: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Poison-message-safe pipeline: returns (good_output, dead_letters).
+
+    The reference's strict deserializer kills the stream on one
+    malformed frame, and its restart loop (R14) would then crash-cycle
+    forever on a deterministic poison record. Here the decode is
+    lenient: failures split into a dead-letter frame carrying the raw
+    wire bytes plus the decode error (ready for a DLQ topic/path sink
+    and offline inspection), while good rows continue through
+    transform -> encode unchanged.
+
+    Both returned frames derive from ONE decode pass over a shared
+    plan; in streaming each can get its own sink (foreachBatch splits
+    the micro-batch the same way).
+    """
+    from .codec import decode_message_lenient
+
+    decoded = frames.select(
+        F.col("value").alias("_raw"), decode_message_lenient(F.col("value")).alias("msg")
+    )
+    dead = decoded.filter(F.col("msg.error").isNotNull()).select(
+        F.col("_raw").alias("value"), F.col("msg.error").alias("error")
+    )
+    good = decoded.filter(F.col("msg.error").isNull()).select("msg.headers", "msg.payload")
+    out = encode_stage(transform_messages(good, fn, enabled=enabled))
+    return out, dead
+
+
 def run_pipeline_fused(
     frames: DataFrame,
     fn: MessageFunction | None = None,

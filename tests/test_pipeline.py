@@ -54,6 +54,30 @@ def test_batch_pipeline_uppercase_parity(spark):
     assert by_payload[b"WORLD"] == {"Accept": ["*/*"], "Content-Type": ["text/plain"]}
 
 
+def test_dlq_pipeline_splits_poison_messages(spark):
+    """A malformed frame (bad marker / truncated header section) must
+    land in the dead-letter frame with the raw bytes and an error
+    string, while every good record flows through transform->encode
+    exactly as in the strict pipeline — one poison message must never
+    kill the stream (the reference's strict deserializer + restart loop
+    would crash-cycle forever on it)."""
+    from kafka_stream_service_spark.pipeline import run_pipeline_with_dlq
+
+    good_rows = [(None, bytearray(encode_py(h, p))) for h, p in MESSAGES]
+    poison = [
+        (None, bytearray(b"\x00not-a-frame")),  # missing 0xff marker
+        (None, bytearray(b"\xff\x05trunc")),  # header count points past end
+    ]
+    frames = spark.createDataFrame(good_rows + poison, "key binary, value binary")
+    out, dead = run_pipeline_with_dlq(frames, uppercase_function)
+    assert sorted(p for _, p in decode_outputs(out.collect())) == sorted(
+        p.decode().upper().encode() for _, p in MESSAGES
+    )
+    dead_rows = dead.collect()
+    assert {bytes(r.value) for r in dead_rows} == {bytes(v) for _, v in poison}
+    assert all(r.error for r in dead_rows)
+
+
 def test_fused_pipeline_byte_parity_with_staged(spark):
     """The one-Arrow-pass fused pipeline (run_pipeline_fused) must be
     byte-identical to the staged decode->transform->encode composition,
