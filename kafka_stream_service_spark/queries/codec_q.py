@@ -45,3 +45,66 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("msg.payload"), "utf-8").alias("payload_text"),
         F.length(F.decode(F.col("msg.payload"), "utf-8")).alias("payload_len"),
     )
+
+
+@query(
+    "q_codec_dlq_split",
+    oracle="""
+    SELECT 'good' AS lane, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mod7
+    FROM events WHERE event_id % 101 != 0
+    UNION ALL
+    SELECT 'dead', CAST((SELECT COUNT(*) FROM events WHERE event_id % 101 = 0) AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+    tags=("codec", "dlq", "robustness"),
+)
+def q_codec_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-message routing, driver-verified: every event is framed
+    through the wire codec, then frames for event_id % 101 == 0 are
+    CORRUPTED (0xff marker flipped) before the lenient pipeline runs.
+    The dead-letter lane must receive exactly the corrupted frames and
+    the good lane everything else, decoded intact (the mod-7 probe
+    counts a header-derived value on the good lane, proving the decode
+    ran rather than just counting rows).
+    """
+    from ..pipeline import run_pipeline_with_dlq
+    from ..transform import identity_function
+
+    ev = tables(spark, sf_dir)["events"]
+    headers = F.create_map(
+        F.lit("id"), F.array(F.col("event_id").cast("string")),
+        F.lit("mod7"), F.array((F.col("event_id") % 7 == 0).cast("string")),
+    )
+    framed = ev.select(
+        F.lit(None).cast("binary").alias("key"),
+        encode_message(message_struct(headers, F.encode(F.col("event_type"), "utf-8"))).alias(
+            "value"
+        ),
+        F.col("event_id"),
+    )
+    # corrupt every 101st frame: flip the 0xff start marker to 0x00
+    corrupted = framed.select(
+        "key",
+        F.when(
+            F.col("event_id") % 101 == 0,
+            F.concat(F.lit(bytes([0x00])), F.expr("substring(value, 2, length(value))")),
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out, dead = run_pipeline_with_dlq(corrupted, identity_function)
+    decoded_good = out.select(decode_message(F.col("value")).alias("msg")).select(
+        (F.element_at(F.col("msg.headers"), "mod7").getItem(0) == "true").alias("is7")
+    )
+    good_row = decoded_good.agg(
+        F.lit("good").alias("lane"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is7").cast("bigint")).alias("n_mod7"),
+    ).select("lane", "n", "n_mod7")
+    dead_row = dead.agg(
+        F.lit("dead").alias("lane"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0).cast("bigint").alias("n_mod7"),
+    ).select("lane", "n", "n_mod7")
+    return good_row.unionAll(dead_row)
