@@ -106,6 +106,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_salted_skew_join",
     "q_dedup_ngram_jaccard",
     "q_codec_roundtrip",
+    "q_codec_dlq_split",
     # (c) flagship re-validation under the round-4 session config
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -127,7 +128,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_text_token_stats",
     "q_text_quality_score",
     "q_text_repetition",
-    "q_tfidf_top_terms",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
     "q_hash_sample",
