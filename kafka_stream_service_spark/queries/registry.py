@@ -86,6 +86,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (a) never driver-sampled
     "q_stateful_running_totals_replay",
     "q_stream_outer_join_replay",
+    "q_stream_incremental_dedup",
     "q_text_unigram_logprob",
     "q_decontaminate_ngram",
     "q_inverted_index",
@@ -127,7 +128,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_text_wordcount",
     "q_text_token_stats",
     "q_text_quality_score",
-    "q_text_repetition",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
     "q_hash_sample",

@@ -445,6 +445,58 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_incremental_dedup",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE sha256(text) NOT IN (
+      SELECT sha256(text) FROM documents WHERE doc_id < 250
+    )
+    """,
+    tags=("streaming", "dedup", "incremental", "replay"),
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: new documents stream in and are
+    deduplicated against the STATIC already-ingested corpus (here the
+    doc_id < 250 slice standing in for yesterday's deduped output) via a
+    stream-static LEFT ANTI join on the content hash — the op a
+    production pipeline runs on every append of fresh crawl data.
+
+    The static side re-evaluates per micro-batch (stream-static join
+    semantics), stays hash-projected (content never joins, only its
+    sha256), and broadcasts when dimension-sized; at 100 TB the
+    historical hash set is a bucketed table co-located on the hash.
+    Exactness: the anti-join is set membership — no floats, no order
+    sensitivity — so a 2-chunk replay must equal the batch anti-join,
+    which is what the oracle states (within-batch duplicates of NEW
+    content pass through by design; cross-batch exact dedup of new
+    content is q_stream_dedup_replay's job).
+    """
+    d = tables(spark, sf_dir)["documents"]
+    historical = d.filter(F.col("doc_id") < 250).select(
+        F.sha2(F.col("text"), 256).alias("seen_hash")
+    )
+    ev = d.select("doc_id", "lang", "source", "text")
+    base = tempfile.mkdtemp(prefix="incdedup_")
+    flat = _write_chunks(
+        [ev.filter(F.col("doc_id") % 2 == 0), ev.filter(F.col("doc_id") % 2 == 1)], base
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    fresh = (
+        stream.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .join(
+            F.broadcast(historical),
+            F.col("content_hash") == F.col("seen_hash"),
+            "left_anti",
+        )
+        .select("doc_id", "lang", "source")
+    )
+    return _run_to_memory(spark, fresh, base, shuffle_partitions=8)
+
+
+@query(
     "q_continuous_aggregate",
     oracle="""
     SELECT date_trunc('day', ts) AS window_start,
