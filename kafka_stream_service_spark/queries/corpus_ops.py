@@ -354,3 +354,84 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_logprob"),
         (avg >= -9.0).alias("keep"),
     )
+
+
+@query(
+    "q_salted_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregation", "skew", "scale"),
+)
+def q_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT): phase 1 groups on
+    (key, salt(user)) and collects per-salt distinct counts after an
+    in-partition dedup, phase 2 sums the per-salt counts — correct
+    because the salt is a function of the distinct-target itself, so
+    each distinct user lands in exactly one salt bucket.
+
+    This is the manual mitigation for distinct-aggregation skew that
+    AQE cannot touch (one hot GROUP key whose distinct set is huge:
+    Spark's expand-based distinct sends every row of that key to one
+    reducer; salting fans it out SALT ways). Oracle = the plain
+    COUNT(DISTINCT), proving the decomposition is semantically
+    invisible. n_events rides along summed from phase 1.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    salt_n = 16
+    phase1 = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(salt_n)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("nd").alias("n_users"), F.sum("ne").alias("n_events")
+    )
+
+
+@query(
+    "q_schema_evolution_merge",
+    oracle="""
+    WITH v1 AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+    v2 AS (SELECT event_id, event_type, value, user_id FROM events WHERE event_id % 2 = 1)
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old_schema,
+           COUNT(user_id) AS n_with_user
+    FROM (SELECT event_id, event_type, value, NULL AS user_id FROM v1
+          UNION ALL SELECT * FROM v2)
+    GROUP BY event_type
+    """,
+    tags=("source", "schema-evolution", "format"),
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: generation 1 files lack the ``user_id``
+    column, generation 2 files carry it; one mergeSchema read unifies
+    them with NULL backfill for the old files — the append-only column
+    addition every long-lived 100 TB table eventually needs, verified
+    lossless against the oracle's explicit UNION.
+
+    (mergeSchema costs a footer pass per file at planning time — on a
+    real table it is set once via the table schema, not per query; the
+    per-file merge here is the correctness demonstration.)
+    """
+    import tempfile
+
+    ev = tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="schemaevo_") + "/table"
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).parquet(base + "/gen=1")
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", "user_id"
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("n_old_schema"),
+        F.count("user_id").alias("n_with_user"),
+    )
