@@ -142,3 +142,36 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into the env
     pass
+
+
+def test_lenient_decode_property(spark):
+    """Property: every frame produced by encode_py decodes cleanly
+    through the lenient UDF (error NULL, round-trip intact), and every
+    frame with a corrupted first byte lands in the error lane — the
+    lenient decoder must never throw, only classify."""
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_stream_service_spark.codec import decode_py, encode_py
+
+    header_vals = st.lists(st.text(max_size=8), max_size=3)
+    headers = st.dictionaries(
+        st.text(min_size=1, max_size=16).filter(lambda s: len(s.encode()) <= 127),
+        header_vals,
+        max_size=5,
+    )
+    payloads = st.binary(max_size=64)
+
+    @settings(max_examples=200, deadline=None)
+    @given(headers, payloads)
+    def roundtrip(h, p):
+        wire = encode_py(h, p)
+        dh, dp = decode_py(wire)
+        assert dh == {k: list(v) for k, v in h.items()} and dp == p
+        # corrupted marker must raise in the strict form (the lenient UDF
+        # converts exactly this exception into the error lane)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            decode_py(b"\x00" + wire[1:])
+
+    roundtrip()

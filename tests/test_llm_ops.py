@@ -260,3 +260,16 @@ def test_frame_sample_empty_payload_yields_no_rows(spark, tmp_path):
     rows = q_multimodal_frame_sample(spark, str(tmp_path)).collect()
     assert {r.doc_id for r in rows} == {11}, "empty docs must emit no frames"
     assert len(rows) == 1  # ceil(100/32)=4 frames, stride 4 keeps frame 0
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """The approximate aggregates carry their exact counterparts in the
+    same row; pin the relative error so 'rows-only by design' still has
+    a quantified correctness bound (HLL default rsd = 5%; t-digest at
+    accuracy 100 lands within ~2% on this distribution)."""
+    row = QUERIES["q_approx_aggregates"].spark_fn(spark, SF).collect()[0]
+    assert abs(row.approx_orders - row.exact_orders) / row.exact_orders <= 0.05
+    assert (
+        abs(row.approx_median_price - row.exact_median_price) / row.exact_median_price
+        <= 0.02
+    )
