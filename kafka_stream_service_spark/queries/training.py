@@ -277,3 +277,39 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_emails") > 0) | (F.col("n_digit_runs") > 0) | (F.col("n_entities") > 0)
         )
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars, round(k, 6) AS sample_key FROM (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) + 0.5)
+                / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    tags=("training", "sampling", "weighted", "llm-data"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the A-ES
+    reservoir trick): each doc draws a content-hash uniform u and the
+    top-k by ln(u)/w are the sample — inclusion probability proportional
+    to the weight (n_chars here as the quality/length proxy). No RNG:
+    the same corpus yields the same sample on any engine, partitioning,
+    or rerun — the property a resumable training-data pipeline needs,
+    and exactly how you over-sample high-quality sources without a
+    shuffle (map-side key + TakeOrdered top-k; the k rows are the only
+    thing that reaches the driver side of the sort).
+    """
+    d = tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint") + 0.5
+    ) / F.lit(float(2**32))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
