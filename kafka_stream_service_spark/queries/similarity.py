@@ -159,6 +159,23 @@ LSH_PLANE_VALUES = [
 ]
 
 
+def hyperplane_bucket(emb: F.Column) -> F.Column:
+    """8-sign-bit bucket id (0..255) for an embedding column — the
+    shared bucket expression of q_knn_lsh_buckets, exposed so tests can
+    bound its recall on planted near-dup vectors."""
+    bucket = None
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(v) for v in LSH_PLANE_VALUES[p]])
+        proj = F.aggregate(
+            F.zip_with(emb, plane, lambda x, w_: x.cast("double") * w_),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return bucket
+
+
 @query(
     "q_knn_lsh_buckets",
     oracle=None,  # approximate (recall<1) — driver rows-only check
@@ -174,20 +191,9 @@ def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG state) keep the query reproducible across runs and engines.
     """
     e = tables(spark, sf_dir)["embeddings"]
-    emb = F.col("embedding")
-
-    bucket = None
-    for p in range(LSH_PLANES):
-        plane = F.array(*[F.lit(v) for v in LSH_PLANE_VALUES[p]])
-        proj = F.aggregate(
-            F.zip_with(emb, plane, lambda x, w_: x.cast("double") * w_),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = e.select(
+        "vec_id", "embedding", hyperplane_bucket(F.col("embedding")).alias("bucket")
+    )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
     )

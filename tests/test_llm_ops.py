@@ -273,3 +273,79 @@ def test_approx_aggregates_error_bounds(spark):
         abs(row.approx_median_price - row.exact_median_price) / row.exact_median_price
         <= 0.02
     )
+
+
+def test_simhash_separates_near_dups_from_background(spark):
+    """Quantified bound for the rows-only SimHash op, grounded in the
+    measured fixture geometry: same-domain docs share vocabulary, so the
+    background Hamming distance is ~13 bits (NOT the 32 of independent
+    random docs — template-generated corpora correlate heavily). The
+    signal that makes SimHash usable is the SEPARATION: true near-dup
+    pairs (shingle Jaccard >= 0.5; measured mean 5.6, max 11) must
+    average well below the background mean (measured 13.2)."""
+    import itertools
+
+    from kafka_stream_service_spark.operators import minhash_frame
+    from kafka_stream_service_spark.operators.dedup import simhash_frame
+    from kafka_stream_service_spark.tables import tables
+
+    d = tables(spark, SF)["documents"]
+    sh = minhash_frame(d, n=3, k=16).filter(F.size("shingles") > 0)
+    shingle_sets = {r.doc_id: set(r.shingles) for r in sh.select("doc_id", "shingles").collect()}
+    near = []
+    for a, b in itertools.combinations(sorted(shingle_sets), 2):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= 0.5:
+            near.append((a, b))
+    assert near
+    fp = {r.doc_id: r.simhash for r in simhash_frame(d).collect()}
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    near_d = [ham(fp[a], fp[b]) for a, b in near]
+    ids = sorted(fp)[:60]
+    near_set = set(near)
+    far_d = [
+        ham(fp[a], fp[b])
+        for a, b in itertools.combinations(ids, 2)
+        if (a, b) not in near_set
+    ]
+    near_mean = sum(near_d) / len(near_d)
+    far_mean = sum(far_d) / len(far_d)
+    assert max(near_d) <= 16, f"near-dup hamming too large: {max(near_d)}"
+    assert near_mean <= 8, f"near-dup mean drifted: {near_mean}"
+    assert far_mean >= near_mean + 4, f"no separation: near {near_mean} vs far {far_mean}"
+
+
+def test_hyperplane_lsh_buckets_capture_planted_twins(spark):
+    """Quantified recall bound for the rows-only hyperplane-LSH op. The
+    gaussian fixture has no natural high-cosine pairs (measured max
+    0.47), so near-dups are PLANTED: each of 40 vectors gets a twin
+    perturbed by 5% relative deterministic noise (cosine ~0.999). The
+    8-bit bucket must put >= 0.6 of twin pairs in the same bucket —
+    theory: P = (1 - theta/pi)^8 ~ 0.9 at theta ~ 2.6 degrees."""
+    import numpy as np
+
+    from kafka_stream_service_spark.queries.similarity import hyperplane_bucket
+    from kafka_stream_service_spark.tables import tables
+
+    e = tables(spark, SF)["embeddings"].filter(F.col("vec_id") < 40)
+    rows = [(r.vec_id, list(map(float, r.embedding))) for r in e.collect()]
+    planted = []
+    for vid, v in rows:
+        arr = np.asarray(v)
+        rng = np.random.default_rng(vid)  # deterministic per-vector noise
+        noise = rng.standard_normal(len(arr))
+        twin = arr + 0.05 * np.linalg.norm(arr) / np.linalg.norm(noise) * noise
+        planted.append((vid, v))
+        planted.append((vid + 10_000, list(map(float, twin))))
+    df = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    buckets = {
+        r.vec_id: r.b
+        for r in df.select("vec_id", hyperplane_bucket(F.col("embedding")).alias("b")).collect()
+    }
+    same = sum(1 for vid, _ in rows if buckets[vid] == buckets[vid + 10_000])
+    recall = same / len(rows)
+    assert recall >= 0.6, f"twin bucket-collision rate {recall} < 0.6"
