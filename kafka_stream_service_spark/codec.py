@@ -91,24 +91,28 @@ def decode_py(data: bytes) -> tuple[dict[str, list[str]], bytes]:
     return headers, data[pos:]
 
 
+def encode_with_prefix_cache(headers, payload, cache: dict) -> bytes:
+    """Encode one message, memoizing the wire prefix (marker + header
+    section) per distinct header set — the prefix is a pure function of
+    the headers, which repeat across records, so only the payload concat
+    runs per record. SINGLE implementation shared by the staged
+    `encode_message` UDF and the fused pipeline: the byte-parity
+    contract between them depends on this being one code path."""
+    key = tuple((k, tuple(v)) for k, v in (headers or {}).items())
+    prefix = cache.get(key)
+    if prefix is None:
+        prefix = encode_py(headers, b"")
+        cache[key] = prefix
+    return prefix + (bytes(payload) if payload is not None else b"")
+
+
 @F.pandas_udf(T.BinaryType())
 def encode_message(msg: pd.DataFrame) -> pd.Series:
-    """struct<headers map<string,array<string>>, payload binary> -> binary.
-
-    The wire prefix (marker + header section) is a pure function of the
-    headers, which repeat across records — it is cached per distinct
-    header set and only the payload concat runs per record."""
-    prefix_cache: dict[tuple, bytes] = {}
-
-    def enc(h, p) -> bytes:
-        key = tuple((k, tuple(v)) for k, v in (h or {}).items())
-        prefix = prefix_cache.get(key)
-        if prefix is None:
-            prefix = encode_py(h, b"")
-            prefix_cache[key] = prefix
-        return prefix + (bytes(p) if p is not None else b"")
-
-    return pd.Series([enc(h, p) for h, p in zip(msg["headers"], msg["payload"])])
+    """struct<headers map<string,array<string>>, payload binary> -> binary."""
+    cache: dict[tuple, bytes] = {}
+    return pd.Series(
+        [encode_with_prefix_cache(h, p, cache) for h, p in zip(msg["headers"], msg["payload"])]
+    )
 
 
 @F.pandas_udf(MESSAGE_SCHEMA)

@@ -253,22 +253,24 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     # all (i < j) combinations of the sorted bucket ids — id_a < id_b by
-    # construction, so no orientation fixup is needed afterwards
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
-                lambda b: F.struct(
-                    F.element_at(F.col("ids"), i.cast("int")).alias("id_a"),
-                    b.alias("id_b"),
-                ),
-            ),
-        )
+    # construction, so no orientation fixup is needed afterwards.
+    # TWO nested explodes, not one flattened combos array: a single
+    # array of all C(n,2) pair structs for a bucket is one row-value of
+    # quadratic size (a 70k-doc hot bucket with max_bucket_size=None
+    # would build a 2.4e9-element array — past Spark's array limit),
+    # while the staged form emits one row per (bucket, i) whose largest
+    # array is the <= n-element tail slice, so memory per row stays
+    # linear in the bucket size and the quadratic pair set streams.
+    expanded = grouped.select(
+        "ids", F.explode(F.sequence(F.lit(1), F.size("ids") - 1)).alias("i")
     )
     return (
-        grouped.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b")
+        expanded.select(
+            F.element_at("ids", F.col("i").cast("int")).alias("id_a"),
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 1, F.size("ids") - F.col("i"))
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 

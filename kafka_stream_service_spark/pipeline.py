@@ -205,19 +205,10 @@ def run_pipeline_fused(
     """
     import pandas as pd
 
-    from .codec import decode_py, encode_py
+    from .codec import decode_py, encode_with_prefix_cache
 
     def fused(batches):
         prefix_cache: dict[tuple, bytes] = {}
-
-        def prefix_for(h) -> bytes:
-            key = tuple((k, tuple(v)) for k, v in (h or {}).items())
-            p = prefix_cache.get(key)
-            if p is None:
-                p = encode_py(h, b"")
-                prefix_cache[key] = p
-            return p
-
         for pdf in batches:
             headers, payloads = [], []
             for data in pdf["value"]:
@@ -228,7 +219,7 @@ def run_pipeline_fused(
             if enabled and fn is not None:
                 batch = fn(batch)
             values = [
-                prefix_for(h) + (bytes(p) if p is not None else b"")
+                encode_with_prefix_cache(h, p, prefix_cache)
                 for h, p in zip(batch["headers"], batch["payload"])
             ]
             # null key mirrors the reference's ProducerRecord(topic, null, value)

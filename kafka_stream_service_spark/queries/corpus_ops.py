@@ -159,10 +159,10 @@ def q_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus reads ~1/30 of its bytes. The oracle aggregates the original
     unpartitioned table — the hash match proves pruning loses nothing.
     """
-    import tempfile
+    from ._util import work_dir
 
     d = tables(spark, sf_dir)["documents"]
-    path = tempfile.mkdtemp(prefix="part_docs_") + "/docs"
+    path = work_dir("part_docs", sf_dir) + "/docs"
     d.write.mode("overwrite").partitionBy("lang").parquet(path)
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
     return back.groupBy("source").agg(
@@ -180,7 +180,9 @@ _QUANT_SQL = """
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
     ),
     q8 AS (
       SELECT vec_id, label, v, scale,
@@ -191,11 +193,14 @@ _QUANT_SQL = """
 
 
 def _quantized(e: DataFrame) -> DataFrame:
-    """Adds v (double vector), scale, qv (int8-range vector) columns."""
+    """Adds v (double vector), scale, qv (int8-range vector) columns.
+    All-zero vectors are dropped (scale would be 0 — dividing yields NaN
+    quantized garbage in Spark and an error/NULL in the oracle; a zero
+    vector has no direction to search anyway). Same guard in _QUANT_SQL."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     out = e.filter(F.col("embedding").isNotNull()).withColumn("v", v)
     scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)
-    out = out.withColumn("scale", scale)
+    out = out.withColumn("scale", scale).filter(F.col("scale") > 0)
     return out.withColumn(
         "qv", F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
     )
@@ -419,10 +424,10 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     real table it is set once via the table schema, not per query; the
     per-file merge here is the correctness demonstration.)
     """
-    import tempfile
+    from ._util import work_dir
 
     ev = tables(spark, sf_dir)["events"]
-    base = tempfile.mkdtemp(prefix="schemaevo_") + "/table"
+    base = work_dir("schemaevo", sf_dir) + "/table"
     ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type", "value").write.mode(
         "overwrite"
     ).parquet(base + "/gen=1")

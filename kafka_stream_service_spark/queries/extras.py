@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..tables import tables
-from ._util import dec, dsum
+from ._util import dec, dsum, work_dir
 from .registry import query
 
 
@@ -185,12 +185,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown and column pruning apply to the re-read the same
     way test_plans.py asserts for parquet scans.
     """
-    import tempfile
-
-    from ._util import dec, dsum
-
     ev = tables(spark, sf_dir)["events"]
-    path = tempfile.mkdtemp(prefix="orc_rt_") + "/events_orc"
+    path = work_dir("orc_rt", sf_dir) + "/events_orc"
     ev.write.mode("overwrite").option("compression", "zstd").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("event_type").agg(
@@ -219,12 +215,8 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-roundtrip decimal text. Timestamps are deliberately not put
     through CSV (format-dependent); they belong in columnar formats or
     JSON."""
-    import tempfile
-
-    from ._util import dec, dsum
-
     ev = tables(spark, sf_dir)["events"].select("event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="csv_rt_") + "/events_csv"
+    path = work_dir("csv_rt", sf_dir) + "/events_csv"
     ev.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema("event_id long, event_type string, user_id long, value double").option(
         "header", True
@@ -254,15 +246,13 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (meta.lang/meta.source) plus its token array, read back with an
     explicit nested schema, and re-aggregated from the nested fields.
     A hash match proves structs and arrays survive the text round trip."""
-    import tempfile
-
     d = tables(spark, sf_dir)["documents"]
     nested = d.select(
         "doc_id",
         F.struct(F.col("lang"), F.col("source")).alias("meta"),
         F.split(F.col("text"), " ").alias("tokens"),
     )
-    path = tempfile.mkdtemp(prefix="json_rt_") + "/docs_json"
+    path = work_dir("json_rt", sf_dir) + "/docs_json"
     nested.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "doc_id long, meta struct<lang:string, source:string>, tokens array<string>"

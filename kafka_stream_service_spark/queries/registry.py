@@ -71,16 +71,19 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``queries()``. Round-4 rotation: rounds 1-3 hard-verified 126 distinct
 # queries (every round-3 slot went green), so the window now packs
-# (a) every never-driver-sampled query — the six new round-4 operators
-# (decontamination, inverted index, int8 quantization x2, partition
-# pruning, left-outer stream join replay) plus the long-tail rows-only
-# ops and the two scalar demos that gave up their slots in r3;
+# (a) every never-driver-sampled query — all fifteen new round-4
+# operators (decontamination, inverted index, int8 quantization x2,
+# partition pruning, outer/stateful/incremental stream replays, unigram
+# logprob, DLQ split, weighted sample, salted count-distinct, schema
+# evolution, OHLC, funnel) plus the long-tail rows-only ops and the two
+# scalar demos that gave up their slots in r3 — 30 names, leaving no
+# oracled query without a driver verdict after this round;
 # (b) the queries whose implementation changed this round (LSH pair
 # generation rewrite, salted join force_shuffle, IVF sampled trainer,
-# connected-components fingerprint loop);
+# connected-components fingerprint loop, codec module additions);
 # (c) flagship re-validation — every query now runs under the changed
 # session config (AQE cached-plan re-coalescing), so the headline
-# relational/streaming/UDF set rotates back in for a fresh verdict.
+# relational/streaming set fills the remaining slots for a fresh verdict.
 # Everything not listed keeps its module registration order after these.
 PRIORITY_ORDER: tuple[str, ...] = (
     # (a) never driver-sampled
@@ -93,6 +96,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_partitioned_pruning",
     "q_embedding_quantize_int8",
     "q_knn_cosine_int8",
+    "q_codec_dlq_split",
+    "q_weighted_sample",
+    "q_salted_count_distinct",
+    "q_schema_evolution_merge",
+    "q_ohlc_resample",
+    "q_conversion_funnel",
     "q_bitwise_ops",
     "q_sequence_generate",
     "q_approx_aggregates",
@@ -107,7 +116,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_salted_skew_join",
     "q_dedup_ngram_jaccard",
     "q_codec_roundtrip",
-    "q_codec_dlq_split",
     # (c) flagship re-validation under the round-4 session config
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -116,21 +124,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q06_forecast_revenue_filter",
     "q10_returned_items",
     "q_window_topk_per_group",
-    "q_window_running_sum",
-    "q_tumbling_window",
     "q_session_window",
     "q_asof_join",
     "q_dedup_exact_hash",
-    "q_dedup_keep_first",
     "q_dedup_embedding_cosine",
     "q_knn_cosine_bruteforce",
     "q_cosine_pairs_blocked",
     "q_text_wordcount",
-    "q_text_token_stats",
     "q_text_quality_score",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
-    "q_hash_sample",
     "q_corpus_mixture",
     "q_stream_watermark_drop",
     "q_stream_dedup_replay",

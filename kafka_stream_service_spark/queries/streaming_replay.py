@@ -33,7 +33,6 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import tempfile
 import time
 import uuid
 from datetime import timedelta
@@ -42,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import tables
-from ._util import dec, dsum
+from ._util import dec, dsum, work_dir
 from .registry import query
 
 WM_MIN = 30  # watermark delay for the late-drop query, minutes
@@ -145,7 +144,7 @@ def q_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     week_cut = bounds.mn + timedelta(days=7)
     fresh = ev.orderBy(F.col("ts").desc(), "event_id").limit(1)
     stragglers = ev.filter(F.col("ts") < F.lit(week_cut))
-    base = tempfile.mkdtemp(prefix="wmdrop_")
+    base = work_dir("wmdrop", sf_dir)
     flat = _write_chunks([ev, fresh, stragglers], base)
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
@@ -185,7 +184,7 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"].select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
-    base = tempfile.mkdtemp(prefix="dedupreplay_")
+    base = work_dir("dedupreplay", sf_dir)
     flat = _write_chunks([ev, ev], base)
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
@@ -233,7 +232,7 @@ def q_stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hard driver verdict.
     """
     ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
-    base = tempfile.mkdtemp(prefix="ssjoin_")
+    base = work_dir("ssjoin", sf_dir)
     flat = _write_chunks(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)], base
     )
@@ -317,7 +316,7 @@ def q_stateful_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "value")
-    base = tempfile.mkdtemp(prefix="statefulrt_")
+    base = work_dir("statefulrt", sf_dir)
     flat = _write_chunks(
         [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)], base
     )
@@ -409,7 +408,7 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
     half = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0].m
-    base = tempfile.mkdtemp(prefix="ssouter_")
+    base = work_dir("ssouter", sf_dir)
     flat = _write_chunks(
         [ev.filter(F.col("ts") <= F.lit(half)), ev.filter(F.col("ts") > F.lit(half))], base
     )
@@ -477,7 +476,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("seen_hash")
     )
     ev = d.select("doc_id", "lang", "source", "text")
-    base = tempfile.mkdtemp(prefix="incdedup_")
+    base = work_dir("incdedup", sf_dir)
     flat = _write_chunks(
         [ev.filter(F.col("doc_id") % 2 == 0), ev.filter(F.col("doc_id") % 2 == 1)], base
     )
@@ -522,7 +521,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "event_type", "value")
     half = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0].m
-    base = tempfile.mkdtemp(prefix="contagg_")
+    base = work_dir("contagg", sf_dir)
     flat = _write_chunks(
         [ev.filter(F.col("ts") <= F.lit(half)), ev.filter(F.col("ts") > F.lit(half))], base
     )
