@@ -220,3 +220,44 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(c, 2, "view>click"))
         .unionAll(stage(p, 3, "view>click>purchase"))
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "analytics"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics staple): users grouped by
+    first-seen ISO week, counted per week-offset of later activity —
+    the diagonal table every growth dashboard draws. Integer counts,
+    Monday-truncated weeks in both engines, so the oracle hash-matches
+    with no float anywhere.
+
+    Two shuffles: the per-user first-seen aggregate (a small frame that
+    broadcasts back into the activity join) and the final
+    (cohort, offset) count-distinct.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    week = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("active_week")).distinct()
+    offset = (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int")
+    return (
+        active.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
