@@ -102,6 +102,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_schema_evolution_merge",
     "q_ohlc_resample",
     "q_conversion_funnel",
+    "q_cohort_retention",
     "q_bitwise_ops",
     "q_sequence_generate",
     "q_approx_aggregates",
@@ -134,7 +135,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_text_quality_score",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
-    "q_corpus_mixture",
     "q_stream_watermark_drop",
     "q_stream_dedup_replay",
     "q_stream_stream_join_replay",
