@@ -1,27 +1,29 @@
 """Multimodal plumbing, part 2: frame sampling (video) and resize (image).
 
-Extends queries/multimodal.py's decode/feature-extract stubs with the two
-remaining media ops a training-data pipeline needs. As there (and as with
-the reference's opaque payload, MessageDeserializer.java:68), media bytes
-are opaque binaries; the *decode* math is stubbed deterministically while
-every Spark-side concern — 1→N row explosion, Arrow batch shape, binary
-output columns, partitioning — is real.
+Extends queries/multimodal.py's real PNG decode with the two remaining
+media ops a training-data pipeline needs. As there (and as with the
+reference's opaque payload, MessageDeserializer.java:68), media bytes are
+opaque binaries.
 
 Frame sampling is expressed with pure JVM expressions (sequence + explode
-over payload slices), so it IS oracle-checkable; resize is an Arrow-batched
-binary→binary mapInPandas with a deterministic stride-downsample stub
-(rows-only).
+over payload slices), so it IS oracle-checkable; resize (round 5) is the
+REAL pipeline: PNG decode → true integer box-filter downsample →
+pixel-exact statistics, hash-checked against a pure-SQL oracle that
+recomputes the block means arithmetically.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.imagecodec import box_resize, decode_png
 from ..tables import tables
+from .multimodal import png_images_df
 from .registry import query
 
 FRAME_SIZE = 32  # bytes per pseudo-frame
@@ -80,41 +82,100 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def resize_stub(payload: bytes, factor: int) -> bytes:
-    """STUB for image resize (no PIL/opencv in-container): deterministic
-    stride downsample — every ``factor``-th byte. Swapping in a real
-    ``PIL.Image.resize`` changes only this function; the Arrow batch
-    plumbing, binary schema, and metadata recomputation stay as-is."""
-    return payload[::factor]
+RESIZE_FACTOR = 4  # box-filter downsample factor (complete blocks only)
 
 
 @query(
-    "q_multimodal_resize_stub",
-    oracle=None,  # stubbed media math — driver rows-only check
-    tags=("multimodal", "resize", "mapInPandas", "llm-data"),
+    "q_multimodal_resize",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 11 = 0
+    ), px AS (
+      SELECT doc_id, w, h, c,
+             unnest(range(0, w*h*c)) AS j,
+             ascii(substring(text, CAST(j % n AS INT) + 1, 1)) AS v
+      FROM params
+    ), coords AS (
+      SELECT doc_id, w, h, c,
+             (j // c) // w AS r, (j // c) % w AS col, j % c AS ch, v
+      FROM px
+    ), blocks AS (
+      SELECT doc_id, c, w // {RESIZE_FACTOR} AS ow, h // {RESIZE_FACTOR} AS oh,
+             r // {RESIZE_FACTOR} AS br, col // {RESIZE_FACTOR} AS bc, ch,
+             SUM(v) AS block_sum
+      FROM coords
+      WHERE r < (h // {RESIZE_FACTOR}) * {RESIZE_FACTOR}
+        AND col < (w // {RESIZE_FACTOR}) * {RESIZE_FACTOR}
+      GROUP BY doc_id, c, w, h, r // {RESIZE_FACTOR}, col // {RESIZE_FACTOR}, ch
+    ), outs AS (
+      SELECT doc_id, c, ow, oh,
+             (br * ow + bc) * c + ch AS m,
+             block_sum // {RESIZE_FACTOR * RESIZE_FACTOR} AS v
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           CAST(c AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS resized_sum,
+           CAST(SUM((m % 251 + 1) * v) AS BIGINT) AS resized_wsum
+    FROM outs
+    GROUP BY doc_id, ow, oh, c
+    """,
+    tags=("multimodal", "resize", "mapInPandas", "llm-data", "imagecodec"),
 )
-def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize operator shape: binary in → smaller binary out +
-    updated metadata, via Arrow-batched mapInPandas.
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: PNG decode (operators/imagecodec.py) → true
+    box-filter downsample by {RESIZE_FACTOR} (floor-mean over complete
+    k×k blocks) → exact integer statistics of the resized pixels.
 
-    Binary→binary transforms are the one multimodal op that *must* round
-    bytes through Python (Spark has no pixel ops); batches amortize codec
-    setup, and the output stays columnar for downstream JVM ops — the
-    digest/length checks here run on the JVM over the returned binaries.
+    The oracle recomputes every output pixel arithmetically (group text
+    bytes into k×k blocks, integer-divide the block sum), so the driver
+    hash gate verifies decoder + resampler end-to-end. Binary→binary
+    pixel transforms are the one multimodal op that must round bytes
+    through Python (Spark has no pixel ops); Arrow batches amortize
+    setup and the work is embarrassingly parallel across executors.
     """
-    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 11 == 0)
-    binary_df = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    images = png_images_df(spark, sf_dir, modulus=11)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [resize_stub(bytes(p), 4) for p in pdf["payload"]]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "resized": resized})
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "out_width",
+                    "out_height",
+                    "channels",
+                    "resized_sum",
+                    "resized_wsum",
+                )
+            }
+            for did, png in zip(pdf["doc_id"], pdf["png"]):
+                px = decode_png(bytes(png))
+                small = box_resize(px, RESIZE_FACTOR)
+                oh, ow = small.shape[:2]
+                c = 1 if small.ndim == 2 else small.shape[2]
+                flat = small.reshape(-1).astype(np.int64)
+                m = np.arange(flat.size, dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["channels"].append(c)
+                out["resized_sum"].append(int(flat.sum()))
+                out["resized_wsum"].append(int(((m % 251 + 1) * flat).sum()))
+            yield pd.DataFrame(out)
 
-    out = binary_df.mapInPandas(resize_batches, schema="doc_id long, resized binary")
-    return out.select(
-        "doc_id",
-        F.length("resized").cast("int").alias("n_bytes"),
-        F.sha2(F.col("resized"), 256).alias("resized_sha"),
+    return images.mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id long, out_width int, out_height int, channels int, "
+            "resized_sum long, resized_wsum long"
+        ),
     ).orderBy("doc_id")
 
 

@@ -108,8 +108,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_approx_aggregates",
     "q_dedup_simhash",
     "q_knn_lsh_buckets",
-    "q_multimodal_decode_stub",
-    "q_multimodal_resize_stub",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
     # (b) implementation changed this round
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
