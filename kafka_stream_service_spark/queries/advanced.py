@@ -103,18 +103,52 @@ def q_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_aggregates",
-    oracle=None,  # approximate by construction — driver rows-only check
+    # Derived oracle (round 5): the approx estimates themselves are
+    # engine-specific, but their ERROR BOUNDS vs the exact counterparts
+    # are not — the output carries the exact values (integer-safe cents)
+    # plus bound booleans, which DuckDB reproduces as literal TRUEs. A
+    # broken HLL/t-digest (or a broken exact agg) flips a column and
+    # fails the hash gate, so this is a real check, not decoration.
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(2 * quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+                AS BIGINT) AS exact_median_cents_x2,
+           TRUE AS hll_within_5pct,
+           TRUE AS tdigest_within_5pct
+    FROM lineitem
+    """,
     tags=("agg", "approx"),
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx_count_distinct + t-digest percentile_approx, with exact
-    counterparts alongside for error inspection."""
+    """HLL approx_count_distinct + t-digest percentile_approx, reduced to
+    exact counterparts + error-bound booleans so the result is
+    engine-portable and driver-hashable.
+
+    Numeric notes: prices go through round(x*100) cents BIGINTs so the
+    median interpolation (a + (b-a)*0.5 over integer-valued doubles) is
+    exact in IEEE on both engines; doubling it yields a pure integer.
+    HLL runs at rsd=0.01 and t-digest at accuracy=1000, so the 5%% bound
+    is ~5 sigma — deterministic data, no flakiness margin needed.
+    """
     li = tables(spark, sf_dir)["lineitem"]
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 100).alias("approx_median_price"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.percentile_approx(cents, F.lit(0.5), F.lit(1000)).alias("approx_median_cents"),
+        F.percentile(cents, F.lit(0.5)).alias("exact_median_cents"),
+    )
+    return agg.select(
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        (F.col("exact_median_cents") * 2).cast("bigint").alias("exact_median_cents_x2"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_median_cents") - F.col("exact_median_cents"))
+            <= 0.05 * F.col("exact_median_cents")
+        ).alias("tdigest_within_5pct"),
     )
 
 
