@@ -160,7 +160,7 @@ def kafka_transactional_batch_writer(
     value_col: str = "value",
     bootstrap_servers: str = "localhost:9092",
     last_committed_epoch: int | None = None,
-    partitioned: bool = False,
+    partitioned: bool = True,
     last_committed_epochs: dict[int, int] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch adapter over ``KafkaTransactionalEpochWriter``.
@@ -171,13 +171,15 @@ def kafka_transactional_batch_writer(
 
     Two produce topologies:
 
-    - ``partitioned=False`` (default): ONE driver-side producer, records
+    - ``partitioned=False``: ONE driver-side producer, records
       pulled with ``toLocalIterator`` — mirrors the reference's
       one-app-one-producer shape (StreamsApplication.java:112) and keeps
       the global send order of the reference's sequential ``concatMap``.
-      Fine for the reference's message rates; the driver is the
-      bottleneck for produce-bound jobs.
-    - ``partitioned=True``: the scale path. ``foreachPartition`` runs a
+      Opt-in for callers that need the reference's *global* ordering or
+      whose injected producer lives in driver memory; the driver is the
+      bottleneck for produce-bound jobs, which is why it is no longer
+      the default.
+    - ``partitioned=True`` (default — the scale path): ``foreachPartition`` runs a
       ``KafkaTransactionalEpochWriter`` inside each executor task with
       ``transactional.id = f"{transactional_id}-{partition_index}"`` —
       N partitions produce through N independent, independently-fenced

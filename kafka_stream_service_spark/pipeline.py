@@ -18,13 +18,14 @@ the intentional scale upgrade.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import decode_message, encode_message
-from .eos import ForeachBatchIdempotentWriter
+from .eos import ForeachBatchIdempotentWriter, kafka_transactional_batch_writer
 from .sources import stream_file_source, stream_kafka_source, write_kafka_sink, write_memory_sink
 from .transform import FunctionConfig, MessageFunction, transform_messages
 
@@ -36,7 +37,7 @@ class PipelineConfig:
     StreamsApplication.java:42-64, streams.yaml:27-28)."""
 
     source: str = "kafka"  # kafka | files
-    sink: str = "kafka"  # kafka | memory | eos-files
+    sink: str = "kafka"  # kafka | memory | eos-files | kafka-eos
     bootstrap_servers: str = "localhost:9092"
     input_topic: str = "uppercase"
     output_topic: str = "replies"
@@ -47,6 +48,12 @@ class PipelineConfig:
     function: FunctionConfig = field(default_factory=FunctionConfig)
     degraded_ordering: bool = False  # R15 after-failure mode
     max_offsets_per_trigger: int | None = None
+    # kafka-eos sink (R12 transactional produce as the pipeline's default
+    # scale path): injected producer factory (None binds kafka-python),
+    # stable transactional.id prefix, recovered per-partition marker tails
+    transactional_id: str = "kssp-replies-0"
+    producer_factory: Callable[[str], object] | None = None
+    last_committed_epochs: dict[int, int] | None = None
 
 
 WIRE_FRAME_DDL = "key binary, value binary"
@@ -131,6 +138,20 @@ def start_pipeline(spark: SparkSession, cfg: PipelineConfig, fn: MessageFunction
     elif cfg.sink == "eos-files":
         eos = ForeachBatchIdempotentWriter(cfg.output_dir)
         writer = out.writeStream.foreachBatch(eos).option(
+            "checkpointLocation", cfg.checkpoint_dir
+        )
+    elif cfg.sink == "kafka-eos":
+        # R12 at scale: per-partition fenced transactional producers
+        # (partitioned=True is the writer's default — no record ever
+        # moves through the driver; see eos.py:kafka_transactional_batch_writer)
+        body = kafka_transactional_batch_writer(
+            cfg.producer_factory,
+            topic=cfg.output_topic,
+            transactional_id=cfg.transactional_id,
+            bootstrap_servers=cfg.bootstrap_servers,
+            last_committed_epochs=cfg.last_committed_epochs,
+        )
+        writer = out.writeStream.foreachBatch(body).option(
             "checkpointLocation", cfg.checkpoint_dir
         )
     else:

@@ -200,7 +200,12 @@ def file_producer_factory(root: str):
             def send(self, topic, key, value):
                 self._check_fenced()
                 assert self.in_txn, "send outside transaction"
-                self.pending.append([topic, key, value])
+
+                # the committed log is JSON: binary payloads ride as hex
+                def j(v):
+                    return v.hex() if isinstance(v, (bytes, bytearray)) else v
+
+                self.pending.append([topic, j(key), j(value)])
 
             def commit_transaction(self):
                 self._check_fenced()
@@ -292,9 +297,16 @@ def test_partitioned_writer_replay_skips_per_partition_marker_tail(spark, tmp_pa
 
 
 def test_foreachbatch_adapter_extracts_columns(spark):
+    # partitioned=False: the driver-side ordered mode (FakeBroker lives in
+    # driver memory, so the executor path would not be observable here)
     broker = FakeBroker()
     body = kafka_transactional_batch_writer(
-        broker.producer, topic="out", transactional_id="q1", key_col="k", value_col="v"
+        broker.producer,
+        topic="out",
+        transactional_id="q1",
+        key_col="k",
+        value_col="v",
+        partitioned=False,
     )
     batch = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
     body(batch, 0)  # exactly what foreachBatch invokes
@@ -302,3 +314,76 @@ def test_foreachbatch_adapter_extracts_columns(spark):
     assert broker.committed["out.epochs"] == [("q1", 0)]
     body(batch, 0)  # replayed epoch: writer remembers the commit
     assert len(broker.committed["out"]) == 2
+
+
+def test_partitioned_is_the_default_produce_path():
+    """The scale path is the default: no driver-side producer, no
+    toLocalIterator — callers must opt INTO the ordered driver mode."""
+    default_body = kafka_transactional_batch_writer(lambda tid: None, topic="out")
+    assert default_body.writer is None  # producers live in executor tasks
+    driver_body = kafka_transactional_batch_writer(
+        lambda tid: None, topic="out", partitioned=False
+    )
+    assert driver_body.writer is not None
+
+
+def test_pipeline_kafka_eos_sink_end_to_end(spark, tmp_path):
+    """start_pipeline with the kafka-eos sink: the full streaming spine
+    (file source -> decode -> uppercase -> encode) produces through
+    per-partition fenced transactional producers; committed output equals
+    the batch-pipeline reference output exactly once, and the epoch
+    markers commit atomically per partition."""
+    from kafka_stream_service_spark.codec import decode_py, encode_py
+    from kafka_stream_service_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline_batch,
+        start_pipeline,
+    )
+    from kafka_stream_service_spark.transform import uppercase_function
+
+    messages = [
+        ({"Accept": ["*/*"]}, b"World"),
+        ({}, b"hello spark"),
+        ({"x": ["1", "2"]}, b"MiXeD CaSe 123"),
+        ({}, b"fourth record"),
+    ]
+    frames = spark.createDataFrame(
+        [(None, bytearray(encode_py(h, p))) for h, p in messages],
+        "key binary, value binary",
+    )
+    src = tmp_path / "in"
+    frames.write.parquet(str(src))
+    broker_root = str(tmp_path / "broker")
+    cfg = PipelineConfig(
+        source="files",
+        sink="kafka-eos",
+        source_path=str(src),
+        output_topic="replies",
+        transactional_id="pipe-eos",
+        producer_factory=file_producer_factory(broker_root),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = start_pipeline(spark, cfg, uppercase_function)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    committed = _committed_records(broker_root)
+    got = sorted(
+        (decode_py(bytes.fromhex(v)) for _, _, v in committed["replies"]),
+        key=lambda t: t[1],
+    )
+    expect = sorted(
+        (
+            decode_py(bytes(r.value))
+            for r in run_pipeline_batch(frames, uppercase_function).collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == expect  # exactly one copy of every transformed record
+    # per-partition transactional ids, each with its own epoch marker
+    tids = {tid for tid, _, _ in committed["replies"]}
+    assert all(t.startswith("pipe-eos-") for t in tids)
+    marker_tids = {tid for tid, _, _ in committed["replies.epochs"]}
+    assert tids <= marker_tids
