@@ -315,11 +315,22 @@ def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
              tf.tf * ln(CAST(freq.n AS DOUBLE) / total_toks) AS part,
              tf.tf
       FROM tf JOIN freq USING (token) CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT doc_id, token, part, tf,
+             (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) - 1) // 256 AS chunk
+      FROM scored
+    ),
+    chunks AS (
+      SELECT doc_id, chunk,
+             list_sum(list(part ORDER BY token)) AS chunk_sum,
+             SUM(tf) AS tf_sum
+      FROM ranked GROUP BY doc_id, chunk
     )
-    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           round(list_sum(list(part ORDER BY token)) / SUM(tf), 6) AS avg_logprob,
-           (list_sum(list(part ORDER BY token)) / SUM(tf) >= -9.0) AS keep
-    FROM scored
+    SELECT doc_id, CAST(SUM(tf_sum) AS BIGINT) AS n_tokens,
+           round(list_sum(list(chunk_sum ORDER BY chunk)) / SUM(tf_sum), 6) AS avg_logprob,
+           (list_sum(list(chunk_sum ORDER BY chunk)) / SUM(tf_sum) >= -9.0) AS keep
+    FROM chunks
     GROUP BY doc_id
     """,
     tags=("text", "quality", "llm-data"),
@@ -331,12 +342,23 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-distribution — the classic cheap quality gate before an actual
     LM scorer.
 
-    Determinism: float log-prob parts are summed in SORTED-token order
-    on both engines (sort_array fold here, list(... ORDER BY token) in
-    DuckDB) — summation order is pinned, so the double arithmetic and
-    the 6-digit round agree bit-for-bit. Two shuffles (tf groupBy,
-    per-doc groupBy); the vocabulary frequency table broadcasts.
+    Determinism: float log-prob parts are summed in a PINNED order on
+    both engines, via two-level chunked summation — tokens are ranked
+    per doc, grouped into 256-token chunks, each chunk folded in
+    token-sorted order, then the chunk partials folded in chunk order.
+    Same fold tree on both engines -> bit-identical doubles at the
+    6-digit round.
+
+    Memory bound (round 5): no row ever materializes more than one
+    256-struct chunk list plus one ~n_tokens/256 partials list, so a
+    10M-distinct-token document peaks at ~40k chunk partials instead of
+    a single 10M-struct collect_list — the per-row ceiling the round-4
+    review flagged is gone. Cost: one extra hash partitioning on
+    (doc_id, chunk) between the rank window and the final per-doc agg;
+    the vocabulary frequency table still broadcasts.
     """
+    from pyspark.sql import Window as W
+
     d = tables(spark, sf_dir)["documents"]
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -346,16 +368,28 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(freq), "token").select(
         "doc_id", "token", part.alias("part"), "tf"
     )
-    summed = F.aggregate(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("token", "part"))), lambda s: s["part"]
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # token is unique per doc after the tf groupBy, so the rank order —
+    # and therefore the chunk assignment — is total and engine-portable
+    rank = F.row_number().over(W.partitionBy("doc_id").orderBy("token"))
+    ranked = scored.withColumn("chunk", F.floor((rank - F.lit(1)) / F.lit(256)))
+
+    def sorted_fold(struct_col, value_field: str):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(struct_col)), lambda s: s[value_field]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    chunks = ranked.groupBy("doc_id", "chunk").agg(
+        sorted_fold(F.struct("token", "part"), "part").alias("chunk_sum"),
+        F.sum("tf").alias("tf_sum"),
     )
-    avg = summed / F.sum("tf")
-    return scored.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tokens"),
+    summed = sorted_fold(F.struct("chunk", "chunk_sum"), "chunk_sum")
+    avg = summed / F.sum("tf_sum")
+    return chunks.groupBy("doc_id").agg(
+        F.sum("tf_sum").alias("n_tokens"),
         F.round(avg, 6).alias("avg_logprob"),
         (avg >= -9.0).alias("keep"),
     )

@@ -349,3 +349,44 @@ def test_hyperplane_lsh_buckets_capture_planted_twins(spark):
     same = sum(1 for vid, _ in rows if buckets[vid] == buckets[vid + 10_000])
     recall = same / len(rows)
     assert recall >= 0.6, f"twin bucket-collision rate {recall} < 0.6"
+
+
+def test_unigram_logprob_multi_chunk_docs_match_oracle(spark, tmp_path):
+    """The two-level chunked summation crosses its 256-token chunk
+    boundary only on long documents (the fixture docs top out at ~31
+    distinct tokens), so drive it with synthetic docs at 10 / 256 / 257 /
+    600 distinct tokens and compare Spark vs the DuckDB oracle exactly —
+    the multi-chunk fold must stay bit-identical after the 6-digit round."""
+    import duckdb
+
+    from kafka_stream_service_spark.queries import QUERIES
+
+    docs = []
+    for doc_id, n_tok in [(1, 10), (2, 256), (3, 257), (4, 600)]:
+        # zipf-ish repeats so token frequencies differ across docs
+        toks = [f"w{doc_id}_{i}" for i in range(n_tok) for _ in (range(2) if i % 7 == 0 else range(1))]
+        text = " ".join(toks)
+        docs.append((doc_id, text, "en", "synth", len(text)))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    spec = QUERIES["q_text_unigram_logprob"]
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.keep)
+        for r in spec.spark_fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        int(d): (int(n), float(a), bool(k))
+        for d, n, a, k in con.execute(spec.oracle).fetchall()
+    }
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == want[d][1], f"doc {d}: {got[d][1]} != {want[d][1]}"
+        assert got[d][2] == want[d][2]
