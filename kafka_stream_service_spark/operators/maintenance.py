@@ -40,7 +40,20 @@ def compact_parquet(
     source has FEWER partitions than the target (splitting requires a
     shuffle). Row content is untouched: compaction must be invisible to
     every reader (asserted in tests/test_maintenance.py).
+
+    In-place compaction (dst == src) is explicitly unsupported: the
+    overwrite would read and clobber the same directory, and Spark's
+    own "cannot overwrite a path being read from" check is
+    source/version dependent and fires only after work is done. Use the
+    standard write-to-temp-then-swap recipe instead.
     """
+    import os
+
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError(
+            f"in-place compaction is unsupported (src == dst == {src_path!r}); "
+            "write to a temp dir and swap"
+        )
     df = spark.read.parquet(src_path)
     total = directory_bytes(spark, src_path)
     n_files = max(1, math.ceil(total / target_file_bytes))

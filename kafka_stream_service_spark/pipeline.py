@@ -184,9 +184,13 @@ def run_pipeline_with_dlq(
     and offline inspection), while good rows continue through
     transform -> encode unchanged.
 
-    Both returned frames derive from ONE decode pass over a shared
-    plan; in streaming each can get its own sink (foreachBatch splits
-    the micro-batch the same way).
+    Both returned frames derive from one shared PLAN — but in the batch
+    path that plan is re-executed per consumed frame: collecting both
+    ``out`` and ``dead`` runs the lenient decode UDF twice over every
+    row (deterministic, so still correct). Callers consuming both lanes
+    eagerly should persist/localCheckpoint ``out``'s parent themselves,
+    or split inside ``foreachBatch`` — the streaming form — where the
+    micro-batch is materialized once and genuinely decoded once.
     """
     from .codec import decode_message_lenient
 

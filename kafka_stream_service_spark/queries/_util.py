@@ -50,14 +50,29 @@ def work_dir(tag: str, sf_dir: str) -> str:
     evaluation) — bounded reuse is the correct lifetime, not eager
     cleanup. Single-process assumption (the harnesses run queries
     serially); concurrent runs of the SAME query+SF would race.
+
+    The root is scoped PER USER (uid in the name, 0700, ownership
+    verified) so another user on a shared host can neither pre-create
+    nor symlink it — a world-shared fixed path would silently follow a
+    foreign symlink through rmtree/makedirs.
     """
     import hashlib
     import os
     import shutil
     import tempfile
 
+    uid = os.getuid()
+    root = os.path.join(tempfile.gettempdir(), f"kssp_work_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if st.st_uid != uid or not os.path.isdir(root) or os.path.islink(root):
+        raise RuntimeError(
+            f"scratch root {root} exists but is not a directory owned by uid {uid} "
+            "— refusing to use it (possible squatting/symlink attack)"
+        )
+    os.chmod(root, 0o700)  # enforce even when the dir predates this call
     sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), "kssp_work", f"{tag}_{sf_key}")
+    path = os.path.join(root, f"{tag}_{sf_key}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

@@ -102,43 +102,78 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_inverted_index",
     oracle="""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-      FROM documents
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS token
+      FROM t
+    ),
+    df AS (SELECT token, COUNT(*) AS df_count FROM big GROUP BY token),
+    sharded AS (
+      SELECT big.doc_id, big.token, df.df_count,
+             big.doc_id % CAST(ceil(df.df_count / 128.0) AS BIGINT) AS shard
+      FROM big JOIN df USING (token)
+      WHERE df.df_count >= 3
     )
-    SELECT token, COUNT(*) AS df_count,
+    SELECT token, CAST(shard AS INT) AS shard,
+           CAST(MAX(df_count) AS BIGINT) AS df_count,
+           COUNT(*) AS shard_df,
            array_to_string(list_sort(list(doc_id)), ',') AS postings
-    FROM tok
-    GROUP BY token
-    HAVING COUNT(*) BETWEEN 5 AND 50
+    FROM sharded
+    GROUP BY token, shard
     """,
     tags=("text", "index", "llm-data"),
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index construction: token -> sorted posting list of the
-    documents containing it (the search-engine/corpus-lookup primitive),
-    restricted to mid-frequency tokens (df 5..50 — head stopwords and
-    hapaxes are useless postings).
+    """Inverted-index construction: bigram term -> sorted posting list of
+    the documents containing it (the search-engine/corpus-lookup
+    primitive), with HEAD-TERM SHARDING — postings of frequent terms
+    split into ceil(df/128) (term, shard) rows by doc_id modulus, the
+    production mitigation for posting-list skew at 100 TB (one hot
+    stopword otherwise sends its whole corpus-sized posting list to a
+    single reducer).
 
-    One shuffle (groupBy token) after a map-side distinct-explode; the
-    posting list is sort_array(collect_set(...)) so output is
-    deterministic regardless of partition order. At 100 TB the postings
-    of head tokens are the skew risk — the df cap bounds them here; the
-    production variant shards head tokens into (token, shard) postings.
+    Terms are word bigrams: the synthetic fixture vocabulary is only ~31
+    distinct unigrams, which made the round-4 unigram index nearly
+    vacuous at the gated SFs (the driver hash-verified a single row);
+    bigrams give a ~900-term index with non-trivial postings at every
+    SF, and hapax bigrams (df < 3) are dropped as useless postings.
+
+    Two shuffles (df groupBy, then (term, shard) groupBy); the df table
+    is vocabulary-sized and broadcasts. Postings are
+    sort_array(collect_set(...)) — deterministic regardless of partition
+    order — serialized to a comma string for the driver's value hash.
     """
     d = tables(spark, sf_dir)["documents"]
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = d.select("doc_id", F.explode(bigrams).alias("token"))
+    df_tbl = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
+    n_shards = F.ceil(F.col("df_count") / F.lit(128.0))
+    sharded = (
+        toks.join(F.broadcast(df_tbl), "token")
+        .filter(F.col("df_count") >= 3)
+        .withColumn("shard", F.pmod(F.col("doc_id"), n_shards))
     )
-    return (
-        toks.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df_count"),
-            # serialized (comma-joined) so the driver's exact value-hash
-            # can compare it against the DuckDB list oracle
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
-        )
-        .filter(F.col("df_count").between(5, 50))
+    return sharded.groupBy("token", "shard").agg(
+        F.max("df_count").alias("df_count"),
+        F.count(F.lit(1)).alias("shard_df"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("postings"),
+    ).select(
+        "token",
+        F.col("shard").cast("int").alias("shard"),
+        "df_count",
+        "shard_df",
+        "postings",
     )
 
 

@@ -354,10 +354,10 @@ def q_stateful_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
     c AS (SELECT * FROM events WHERE event_type = 'click'),
-    wm AS (  -- final global watermark = min of the two per-stream
-             -- watermarks (each = that stream's max event time - 2h)
-      SELECT LEAST((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-             - INTERVAL 2 HOUR AS wm_ts
+    wm AS (  -- final global watermark: the sentinel chunks plant a row
+             -- at the global max ts in BOTH streams, so each per-stream
+             -- watermark (and their min) is global max event time - 2h
+      SELECT (SELECT max(ts) FROM events) - INTERVAL 2 HOUR AS wm_ts
     ),
     matched AS (
       SELECT p.event_id AS purchase_id, c.event_id AS click_id,
@@ -388,18 +388,28 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     only emit (null-extended) once the watermark proves no matching
     right row can still arrive.
 
-    Replay: two TIME-ORDERED chunks (split at the median ts), 2-hour
-    watermark on both sides. Time-ordering makes every row on time, and
-    the interval shape (clicks at or before the purchase) means a
-    purchase's partner clicks can never be in a later chunk than rows
-    newer than the purchase — with the 2h delay, no click state is
-    evicted while a reachable partner is pending (eviction needs
-    wm > c_ts + 1h, but a matching later purchase has p_ts <= c_ts + 1h
-    and would itself be on time). The final no-data batch flushes state
-    against the final watermark min(max_p_ts, max_c_ts) - 2h, so:
+    Replay: two TIME-ORDERED data chunks (split at the median ts), 2-hour
+    watermark on both sides, then TWO SENTINEL chunks. Time-ordering
+    makes every row on time, and the interval shape (clicks at or before
+    the purchase) means a purchase's partner clicks can never be in a
+    later chunk than rows newer than the purchase — with the 2h delay, no
+    click state is evicted while a reachable partner is pending (eviction
+    needs wm > c_ts + 1h, but a matching later purchase has
+    p_ts <= c_ts + 1h and would itself be on time).
+
+    The sentinels make the final flush DETERMINISTIC instead of leaning
+    on the version-sensitive no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled): chunk 3 plants one
+    purchase (user -1) and one click (user -2) at the global max ts —
+    advancing BOTH per-stream watermarks to max_ts - 2h — and chunk 4
+    repeats it with fresh ids so state eviction runs during a real data
+    batch under that watermark, whichever batch boundary this engine
+    evicts on. Sentinel users match nothing (distinct ids, no real user
+    is negative) and sentinel purchases sit at the watermark origin
+    (never < wm), so sentinels add zero output rows. Final table:
 
     - every batch inner match emits exactly once;
-    - every unmatched purchase with p_ts < final watermark emits with a
+    - every unmatched purchase with p_ts < max_ts - 2h emits with a
       null click_id;
     - unmatched purchases inside the last 2h stay open (never emitted).
 
@@ -407,10 +417,26 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the watermark to the microsecond) do not occur in the fixture.
     """
     ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
-    half = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0].m
+    stats = ev.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m"), F.max("ts").alias("mx")
+    ).collect()[0]
+    half, maxts = stats.m, stats.mx
     base = work_dir("ssouter", sf_dir)
+
+    def sentinels(purchase_id: int, click_id: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(purchase_id, maxts, -1, "purchase"), (click_id, maxts, -2, "click")],
+            ev.schema,
+        )
+
     flat = _write_chunks(
-        [ev.filter(F.col("ts") <= F.lit(half)), ev.filter(F.col("ts") > F.lit(half))], base
+        [
+            ev.filter(F.col("ts") <= F.lit(half)),
+            ev.filter(F.col("ts") > F.lit(half)),
+            sentinels(-1, -2),
+            sentinels(-3, -4),
+        ],
+        base,
     )
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
