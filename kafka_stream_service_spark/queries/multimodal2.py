@@ -170,13 +170,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["resized_wsum"].append(int(((m % 251 + 1) * flat).sum()))
             yield pd.DataFrame(out)
 
+    # no final orderBy: the driver's value hash is order-insensitive, and
+    # a global sort would add a shuffle for presentation only
     return images.mapInPandas(
         resize_batches,
         schema=(
             "doc_id long, out_width int, out_height int, channels int, "
             "resized_sum long, resized_wsum long"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
