@@ -112,6 +112,53 @@ def pipeline_throughput(spark, sf_dir: str, tmp_dir: str) -> dict:
     }
 
 
+def compaction_bench(spark, sf_dir: str, tmp_dir: str) -> dict:
+    """Small-file compaction payoff at sf0.1: fragment events into 64
+    files, measure an aggregate scan before, compact via the
+    partition-plan path, measure after. Reports file counts, compact
+    cost, and the scan-time delta the rewrite buys."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.operators.maintenance import (
+        compact_partitions,
+        plan_compaction,
+    )
+    from kafka_stream_service_spark.tables import tables
+
+    root = os.path.join(tmp_dir, "fragmented")
+    ev = tables(spark, sf_dir)["events"].select("event_id", "event_type", "value")
+    ev.repartition(64).write.parquet(root)
+
+    def scan_sec(runs: int = 3) -> float:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            spark.read.parquet(root).agg(
+                F.count(F.lit(1)), F.sum("value"), F.sum(F.hash("event_id"))
+            ).collect()
+            best = min(best or 9e9, time.time() - t0)
+        return round(best, 3)
+
+    files_before = len(glob.glob(root + "/*.parquet"))
+    sec_before = scan_sec()
+    t0 = time.time()
+    total = sum(p.total_bytes for p in plan_compaction(spark, root))
+    done = compact_partitions(spark, plan_compaction(spark, root, target_file_bytes=total))
+    compact_sec = round(time.time() - t0, 3)
+    files_after = len(glob.glob(root + "/*.parquet"))
+    sec_after = scan_sec()
+    assert done and files_after < files_before
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "compact_sec": compact_sec,
+        "scan_sec_before": sec_before,
+        "scan_sec_after": sec_after,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -143,6 +190,8 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         pipe = pipeline_throughput(spark, sf_dir, os.path.join(td, "frames"))
+    with tempfile.TemporaryDirectory() as td:
+        compaction = compaction_bench(spark, sf_dir, td)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -154,6 +203,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "pipeline_throughput": pipe,
+                "compaction": compaction,
             }
         )
     )

@@ -46,3 +46,62 @@ def test_compaction_splits_when_source_too_coarse(spark, tmp_path):
     back = compact_parquet(spark, src, dst, target_file_bytes=max(total // 4, 1))
     assert len(glob.glob(dst + "/*.parquet")) >= 2
     assert back.count() == ev.count()
+
+
+def test_compact_parquet_rejects_in_place(spark, tmp_path):
+    src = str(tmp_path / "t")
+    tables(spark, SF)["region"].write.parquet(src)
+    import pytest
+
+    with pytest.raises(ValueError, match="in-place"):
+        compact_parquet(spark, src, src)
+
+
+def test_partition_aware_plan_and_swap(spark, tmp_path):
+    """plan_compaction flags only the fragmented partition of a
+    Hive-partitioned tree; compact_partitions swaps it in place while the
+    healthy partition keeps its exact files, and the full-tree read
+    (partition column included) is unchanged."""
+    import glob as g
+
+    from kafka_stream_service_spark.operators.maintenance import (
+        compact_partitions,
+        plan_compaction,
+    )
+
+    ev = tables(spark, SF)["events"].select("event_id", "event_type", "value")
+    frag = ev.filter(F.col("event_type") == "click").repartition(32)
+    healthy = ev.filter(F.col("event_type") == "purchase").coalesce(1)
+    root = str(tmp_path / "tree")
+    frag.write.parquet(root + "/event_type=click")
+    healthy.write.parquet(root + "/event_type=purchase")
+    before = spark.read.parquet(root)
+    want = before.agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum(F.hash("event_type", "event_id"))
+    ).collect()[0]
+    healthy_files = sorted(g.glob(root + "/event_type=purchase/*.parquet"))
+
+    total_click = sum(
+        __import__("os").path.getsize(f)
+        for f in g.glob(root + "/event_type=click/*.parquet")
+    )
+    plans = plan_compaction(spark, root, target_file_bytes=max(total_click // 2, 1))
+    by_leaf = {p.path.rsplit("/", 1)[-1]: p for p in plans}
+    assert by_leaf["event_type=click"].needs_compaction
+    assert by_leaf["event_type=click"].n_files == 32
+    assert not by_leaf["event_type=purchase"].needs_compaction
+
+    done = compact_partitions(spark, plans)
+    assert [p.path.rsplit("/", 1)[-1] for p in done] == ["event_type=click"]
+    n_click = len(g.glob(root + "/event_type=click/*.parquet"))
+    assert n_click <= by_leaf["event_type=click"].n_target_files
+    # the healthy partition is byte-identical (same file names, untouched)
+    assert sorted(g.glob(root + "/event_type=purchase/*.parquet")) == healthy_files
+    # reader-invisible across the whole tree, partition column intact
+    after = spark.read.parquet(root)
+    got = after.agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum(F.hash("event_type", "event_id"))
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert g.glob(root + "/event_type=click.__compact_staging__") == []
+    assert g.glob(root + "/event_type=click.__compact_old__") == []
