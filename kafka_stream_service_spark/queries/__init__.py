@@ -27,6 +27,7 @@ from . import text  # noqa: E402,F401
 from . import codec_q  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import multimodal2  # noqa: E402,F401
+from . import audio  # noqa: E402,F401
 from . import streaming_replay  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
