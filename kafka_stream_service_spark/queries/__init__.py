@@ -32,3 +32,5 @@ from . import streaming_replay  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import corpus_ops  # noqa: E402,F401
+from . import chunking  # noqa: E402,F401
+from . import graph_q  # noqa: E402,F401

@@ -9,7 +9,7 @@ with pure window algebra (no Python, one shuffle per fill).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.gapfill import dense_grid, fill_linear, fill_locf
@@ -260,4 +260,128 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.join(F.broadcast(first_seen), "user_id")
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_rolling_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    w AS (
+      SELECT *, count(c) OVER fr AS n_window, sum(c) OVER fr AS s, sum(c*c) OVER fr AS ss
+      FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value, CAST(n_window AS BIGINT) AS n_window
+    FROM w
+    WHERE n_window >= 5 AND (n_window*c - s)*(n_window*c - s) > 9 * (n_window*ss - s*s)
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-sigma anomaly detection per user: flag an event whose
+    value deviates from the mean of its previous <=10 events by more than
+    3 population standard deviations.
+
+    The test |x - mean| > 3*std is rearranged into pure INTEGER algebra
+    over cents — (n*x - s)^2 > 9*(n*ss - s^2) — so the oracle matches
+    bit-for-bit with no sqrt/float anywhere (the round-5 analogue of the
+    funnel/OHLC exactness treatment). One shuffle (window partition by
+    user_id); the trailing frame excludes the current row so a spike
+    can't mask itself.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    c = F.round(F.col("value") * 100).cast("bigint")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = ev.select(
+        "user_id", "event_id", "ts", "value", c.alias("c")
+    ).select(
+        "*",
+        F.count("c").over(fr).alias("n_window"),
+        F.sum("c").over(fr).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(fr).alias("ss"),
+    )
+    dev = F.col("n_window") * F.col("c") - F.col("s")
+    var_n2 = F.col("n_window") * F.col("ss") - F.col("s") * F.col("s")
+    return w.filter((F.col("n_window") >= 5) & (dev * dev > 9 * var_n2)).select(
+        "user_id", "event_id", "ts", "value", F.col("n_window").cast("bigint").alias("n_window")
+    )
+
+
+@query(
+    "q_ewma_smoothing",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, ts, c,
+             list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM e
+    )
+    SELECT user_id, event_id, ts,
+           CAST(list_sum(list_transform(range(1, len(l) + 1),
+                                        i -> l[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS ewma_num,
+           (CAST(1 AS BIGINT) << len(l)) - 1 AS ewma_den,
+           CAST(list_sum(list_transform(range(1, len(l) + 1),
+                                        i -> l[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+             / ((CAST(1 AS BIGINT) << len(l)) - 1) AS ewma_cents
+    FROM w
+    """,
+    tags=("timeseries", "ewma", "window"),
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) over each
+    user's last 16 values, computed EXACTLY: weights are powers of two,
+    so the weighted sum is a bigint (numerator) over the geometric-series
+    denominator 2^n - 1, and the only float op is one IEEE division both
+    engines perform identically (numerator < 2^53, so the double cast is
+    exact).
+
+    Position-dependent weights can't ride a plain windowed SUM; the frame
+    is collected (<=16 elements — bounded, unlike a full-partition
+    collect) and reduced with an indexed transform. One shuffle.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    c = F.round(F.col("value") * 100).cast("bigint")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    w = ev.select("user_id", "event_id", "ts", c.alias("c")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.collect_list("c").over(fr).alias("l"),
+    )
+    # shiftleft() takes a literal bit count, not a Column — 2^k via pow()
+    # is exact in IEEE doubles for k <= 15 and round-trips the bigint cast
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("l")),
+            lambda i: F.element_at(F.col("l"), i)
+            * F.pow(F.lit(2.0), (i - 1).cast("double")).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    den = F.pow(F.lit(2.0), F.size("l").cast("double")).cast("bigint") - 1
+    return w.select(
+        "user_id",
+        "event_id",
+        "ts",
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        (num.cast("double") / den).alias("ewma_cents"),
     )
