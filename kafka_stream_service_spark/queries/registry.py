@@ -69,55 +69,41 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-4 rotation: rounds 1-3 hard-verified 126 distinct
-# queries (every round-3 slot went green), so the window now packs
-# (a) every never-driver-sampled query — all fifteen new round-4
-# operators (decontamination, inverted index, int8 quantization x2,
-# partition pruning, outer/stateful/incremental stream replays, unigram
-# logprob, DLQ split, weighted sample, salted count-distinct, schema
-# evolution, OHLC, funnel) plus the long-tail rows-only ops and the two
-# scalar demos that gave up their slots in r3 — 30 names, leaving no
-# oracled query without a driver verdict after this round;
-# (b) the queries whose implementation changed this round (LSH pair
-# generation rewrite, salted join force_shuffle, IVF sampled trainer,
-# connected-components fingerprint loop, codec module additions);
-# (c) flagship re-validation — every query now runs under the changed
-# session config (AQE cached-plan re-coalescing), so the headline
-# relational/streaming set fills the remaining slots for a fresh verdict.
-# Everything not listed keeps its module registration order after these.
+# ``queries()``. Round-5 rotation: after r4 every oracled query in the
+# catalog carries a green driver verdict, so the window now packs
+# (a) everything round 5 added or materially changed — the seven new
+# operators (chunking, boilerplate, segment dedup, rolling anomaly,
+# EWMA, triangles, streaming sessionization), the audio codec lane and
+# the real PNG decode/resize that replaced the last stubs (all landed
+# after the r4 snapshot, so none has a driver verdict yet), the
+# approx-aggregates derived oracle, the bigram inverted-index rewrite,
+# and the sentinel-flush outer-join replay;
+# (b) the five hash-seeded rows-only ops, so their row counts stay
+# driver-observed every round;
+# (c) flagship + family drift coverage for the remaining slots.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) never driver-sampled
-    "q_stateful_running_totals_replay",
-    "q_stream_outer_join_replay",
-    "q_stream_incremental_dedup",
-    "q_text_unigram_logprob",
-    "q_decontaminate_ngram",
-    "q_inverted_index",
-    "q_partitioned_pruning",
-    "q_embedding_quantize_int8",
-    "q_knn_cosine_int8",
-    "q_codec_dlq_split",
-    "q_weighted_sample",
-    "q_salted_count_distinct",
-    "q_schema_evolution_merge",
-    "q_ohlc_resample",
-    "q_conversion_funnel",
-    "q_cohort_retention",
-    "q_bitwise_ops",
-    "q_sequence_generate",
-    "q_approx_aggregates",
-    "q_dedup_simhash",
-    "q_knn_lsh_buckets",
+    # (a) new or changed in round 5
+    "q_chunk_documents",
+    "q_boilerplate_bigrams",
+    "q_segment_dedup_reconstruct",
+    "q_rolling_anomaly",
+    "q_ewma_smoothing",
+    "q_triangle_candidates",
+    "q_stream_session_window_replay",
+    "q_audio_decode",
+    "q_audio_frame_energy",
     "q_multimodal_decode",
     "q_multimodal_resize",
-    # (b) implementation changed this round
+    "q_approx_aggregates",
+    "q_inverted_index",
+    "q_stream_outer_join_replay",
+    # (b) rows-only by design (hash-seeded / approximate)
+    "q_dedup_simhash",
+    "q_knn_lsh_buckets",
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_knn_ivf",
-    "q_salted_skew_join",
-    "q_dedup_ngram_jaccard",
-    "q_codec_roundtrip",
-    # (c) flagship re-validation under the round-4 session config
+    # (c) flagship + family drift coverage
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders_by_revenue",
@@ -130,15 +116,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_exact_hash",
     "q_dedup_embedding_cosine",
     "q_knn_cosine_bruteforce",
-    "q_cosine_pairs_blocked",
+    "q_knn_cosine_int8",
     "q_text_wordcount",
     "q_text_quality_score",
+    "q_text_unigram_logprob",
+    "q_decontaminate_ngram",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
+    "q_weighted_sample",
     "q_stream_watermark_drop",
     "q_stream_dedup_replay",
     "q_stream_stream_join_replay",
+    "q_stream_incremental_dedup",
+    "q_stateful_running_totals_replay",
     "q_continuous_aggregate",
+    "q_salted_count_distinct",
+    "q_salted_skew_join",
+    "q_ohlc_resample",
+    "q_conversion_funnel",
+    "q_cohort_retention",
 )
 
 

@@ -573,3 +573,84 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return read_continuous_aggregate(spark, mat_path, window_size_sec=86400)
+
+
+SESSION_GAP_H = 24  # session gap, hours
+SESSION_WM_H = 72  # watermark delay, hours
+
+
+@query(
+    "q_stream_session_window_replay",
+    oracle=f"""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {SESSION_GAP_H} HOUR THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    a AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL {SESSION_GAP_H} HOUR AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM a, m
+    WHERE epoch_us(session_end) // 1000
+          <= epoch_us(mx) // 1000 - {SESSION_WM_H * 3600 * 1000}
+    """,
+    tags=("streaming", "session-window", "replay"),
+)
+def q_stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SESSIONIZATION executed for real: per-user
+    session windows (24 h inactivity gap) aggregated by Structured
+    Streaming's session_window operator over a 2-batch replay, append
+    mode, 72 h watermark.
+
+    Replay schedule: batch 0 delivers the full table (all sessions build
+    in state; nothing can be late); batch 1 redelivers one duplicate of
+    the max-ts row, so end-of-batch eviction runs against the final
+    watermark max(ts) - 72 h during a REAL data batch (the same
+    no-data-batch-independence treatment q_stream_watermark_drop uses).
+    The duplicate merges into the session that contains the global max
+    ts, whose end (max ts + gap) is strictly above the watermark — that
+    session is never emitted, so the perturbation is invisible.
+
+    Final table = exactly the sessions whose end (last event + gap)
+    closed at or before the final watermark; the oracle rebuilds them
+    with gaps-and-islands window algebra and the same epoch-millisecond
+    watermark arithmetic the engine uses. Hash-exact: counts are ints,
+    sums ride decimals, boundaries are pure integer-ms comparisons.
+
+    Scale: session state is per (user, open session) — bounded by active
+    users, the canonical keyed-state shape; one shuffle on user_id.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "ts", "value")
+    fresh = ev.orderBy(F.col("ts").desc(), "event_id").limit(1)
+    base = work_dir("sessreplay", sf_dir)
+    flat = _write_chunks([ev, fresh], base)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{SESSION_WM_H} hours")
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_H} hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(dec("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(spark, agg, base, shuffle_partitions=8)
