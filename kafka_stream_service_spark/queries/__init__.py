@@ -34,3 +34,4 @@ from . import timeseries  # noqa: E402,F401
 from . import corpus_ops  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
 from . import graph_q  # noqa: E402,F401
+from . import lakehouse  # noqa: E402,F401

@@ -1,0 +1,154 @@
+"""Lakehouse mutation queries: MERGE upsert/delete, SCD2 history, CDC
+snapshot diff — the mutation counterpart of the maintenance family
+(compaction / partitioned layout / schema evolution).
+
+Each query derives a DETERMINISTIC changeset from the orders table
+(key mod 97 selects update/delete/insert cohorts), applies the real
+operator from operators/merge.py, and is hash-checked against an oracle
+that states the post-merge truth directly in SQL — so a wrong join side,
+a lost delete, or a duplicated insert flips the driver verdict.
+
+Money arithmetic rides DECIMAL(12,2) (see queries/_util.py) so the
+updated totals are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import OP_COL, OP_DELETE, OP_UPSERT, merge_into, scd2_apply, snapshot_diff
+from ..tables import tables
+from ._util import dec
+from .registry import query
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+_INS_OFFSET = 10_000_000
+_CHANGE_TS = "1998-12-01"
+
+_NEW_PRICE_SQL = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DOUBLE)"
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables(spark, sf_dir)["orders"].select(*_COLS)
+
+
+def _changeset(base: DataFrame) -> DataFrame:
+    """Deterministic changeset: key%97==1 -> price+10/status R update,
+    key%97==2 -> delete, key%97==3 -> insert under a fresh key."""
+    new_price = (dec("o_totalprice") + F.lit(10)).cast("double")
+    upd = base.filter(F.col("o_orderkey") % 97 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        new_price.alias("o_totalprice"),
+        "o_orderdate",
+        F.lit(OP_UPSERT).alias(OP_COL),
+    )
+    dele = base.filter(F.col("o_orderkey") % 97 == 2).select(
+        *_COLS, F.lit(OP_DELETE).alias(OP_COL)
+    )
+    ins = base.filter(F.col("o_orderkey") % 97 == 3).select(
+        (F.col("o_orderkey") + _INS_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.lit(OP_UPSERT).alias(OP_COL),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+@query(
+    "q_upsert_merge",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 97 = 1 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 1 THEN {_NEW_PRICE_SQL}
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+    FROM orders WHERE o_orderkey % 97 <> 2
+    UNION ALL
+    SELECT o_orderkey + {_INS_OFFSET}, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 97 = 3
+    """,
+    tags=("lakehouse", "merge", "cdc"),
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a parquet snapshot: one full-outer join applies a
+    keyed changeset (updates + deletes + inserts) and yields the next
+    snapshot. The oracle states the post-merge table directly, so any
+    merge defect (lost delete, unapplied update, doubled insert) breaks
+    the hash. Changeset is ~3% of the base — the broadcast-side shape at
+    scale; here the join hash-partitions on the merge key."""
+    base = _base(spark, sf_dir)
+    return merge_into(base, _changeset(base), "o_orderkey")
+
+
+@query(
+    "q_scd2_history",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           CASE WHEN o_orderkey % 97 IN (1, 2) THEN '{_CHANGE_TS}'
+                ELSE '9999-12-31' END AS valid_to,
+           o_orderkey % 97 NOT IN (1, 2) AS is_current
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'R', {_NEW_PRICE_SQL}, o_orderdate,
+           '9999-12-31', TRUE
+    FROM orders WHERE o_orderkey % 97 = 1
+    UNION ALL
+    SELECT o_orderkey + {_INS_OFFSET}, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, '9999-12-31', TRUE
+    FROM orders WHERE o_orderkey % 97 = 3
+    """,
+    tags=("lakehouse", "scd2", "cdc"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: the same changeset applied as
+    history — superseded/deleted versions close at the change date,
+    updates and inserts open as current. One left join + one union."""
+    base = _base(spark, sf_dir)
+    hist = scd2_apply(
+        base,
+        _changeset(base),
+        "o_orderkey",
+        change_ts=F.lit(_CHANGE_TS).cast("date"),
+    )
+    # valid_to rides as an ISO string: the 9999-12-31 sentinel overflows
+    # pandas datetime64[ns] on the DuckDB side, which would make the two
+    # engines stringify the same date differently in the compare
+    return hist.withColumn("valid_to", F.col("valid_to").cast("string"))
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle=f"""
+    SELECT o_orderkey, 'update' AS change_type,
+           o_totalprice AS old_totalprice,
+           {_NEW_PRICE_SQL} AS new_totalprice
+    FROM orders WHERE o_orderkey % 97 = 1
+    UNION ALL
+    SELECT o_orderkey, 'delete', o_totalprice, NULL
+    FROM orders WHERE o_orderkey % 97 = 2
+    UNION ALL
+    SELECT o_orderkey + {_INS_OFFSET}, 'insert', NULL, o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 3
+    """,
+    tags=("lakehouse", "cdc", "diff"),
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshots: full-outer join with a
+    null-safe struct comparison classifies every key as
+    insert/update/delete, unchanged keys vanish. Applied to
+    (orders, merged orders), the diff must be exactly the changeset the
+    merge consumed — a self-consistency check pairing q_upsert_merge."""
+    base = _base(spark, sf_dir)
+    merged = merge_into(base, _changeset(base), "o_orderkey")
+    d = snapshot_diff(base, merged, "o_orderkey")
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_value.o_totalprice").alias("old_totalprice"),
+        F.col("new_value.o_totalprice").alias("new_totalprice"),
+    )

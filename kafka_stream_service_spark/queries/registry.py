@@ -71,9 +71,10 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``queries()``. Round-5 rotation: after r4 every oracled query in the
 # catalog carries a green driver verdict, so the window now packs
-# (a) everything round 5 added or materially changed — the seven new
+# (a) everything round 5 added or materially changed — the ten new
 # operators (chunking, boilerplate, segment dedup, rolling anomaly,
-# EWMA, triangles, streaming sessionization), the audio codec lane and
+# EWMA, triangles, streaming sessionization, and the lakehouse CDC trio
+# in slots 48-50), the audio codec lane and
 # the real PNG decode/resize that replaced the last stubs (all landed
 # after the r4 snapshot, so none has a driver verdict yet), the
 # approx-aggregates derived oracle, the bigram inverted-index rewrite,
@@ -132,9 +133,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_continuous_aggregate",
     "q_salted_count_distinct",
     "q_salted_skew_join",
-    "q_ohlc_resample",
-    "q_conversion_funnel",
-    "q_cohort_retention",
+    "q_upsert_merge",
+    "q_scd2_history",
+    "q_cdc_snapshot_diff",
 )
 
 

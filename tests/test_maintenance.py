@@ -105,3 +105,70 @@ def test_partition_aware_plan_and_swap(spark, tmp_path):
     assert tuple(got) == tuple(want)
     assert g.glob(root + "/event_type=click.__compact_staging__") == []
     assert g.glob(root + "/event_type=click.__compact_old__") == []
+
+
+class TestMergeOperators:
+    """operators/merge.py: MERGE INTO / SCD2 / snapshot-diff edge cases
+    the fixture changesets don't exercise."""
+
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+        )
+
+    def test_merge_upsert_update_insert_delete(self, spark):
+        from kafka_stream_service_spark.operators.merge import merge_into
+
+        changes = spark.createDataFrame(
+            [
+                (2, "B", 22.0, "U"),   # update existing
+                (4, "d", 40.0, "U"),   # insert new key
+                (3, None, None, "D"),  # delete existing
+                (9, None, None, "D"),  # delete of absent key: no-op row
+            ],
+            "k int, s string, v double, _op string",
+        )
+        got = {r.k: (r.s, r.v) for r in merge_into(self._base(spark), changes, "k").collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 22.0), 4: ("d", 40.0)}
+
+    def test_merge_empty_changeset_is_identity(self, spark):
+        from kafka_stream_service_spark.operators.merge import merge_into
+
+        empty = spark.createDataFrame([], "k int, s string, v double, _op string")
+        base = self._base(spark)
+        assert sorted(merge_into(base, empty, "k").collect()) == sorted(base.collect())
+
+    def test_scd2_versions(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka_stream_service_spark.operators.merge import scd2_apply
+
+        changes = spark.createDataFrame(
+            [(2, "B", 22.0, "U"), (3, None, None, "D"), (5, "e", 50.0, "U")],
+            "k int, s string, v double, _op string",
+        )
+        hist = scd2_apply(
+            self._base(spark), changes, "k", change_ts=F.lit("2020-01-01").cast("date")
+        ).collect()
+        by_key = {}
+        for r in hist:
+            by_key.setdefault(r.k, []).append(r)
+        # untouched key: one open version
+        assert [str(r.valid_to) for r in by_key[1]] == ["9999-12-31"]
+        # updated key: closed old version + open new version
+        assert sorted(str(r.valid_to) for r in by_key[2]) == ["2020-01-01", "9999-12-31"]
+        assert {r.is_current for r in by_key[2]} == {False, True}
+        # deleted key: closed version only
+        assert [(str(r.valid_to), r.is_current) for r in by_key[3]] == [("2020-01-01", False)]
+        # inserted key: open version only
+        assert [(str(r.valid_to), r.v) for r in by_key[5]] == [("9999-12-31", 50.0)]
+
+    def test_snapshot_diff_classification(self, spark):
+        from kafka_stream_service_spark.operators.merge import snapshot_diff
+
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 22.0), (4, "d", 40.0)], "k int, s string, v double"
+        )
+        d = {r.k: r.change_type for r in snapshot_diff(self._base(spark), new, "k").collect()}
+        # key 1 unchanged -> absent; 2 update; 3 delete; 4 insert
+        assert d == {2: "update", 3: "delete", 4: "insert"}
