@@ -92,3 +92,65 @@ def connected_components(
     finally:
         sym.unpersist()
     return labels
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list in fixed-point INTEGER
+    arithmetic — bit-reproducible across engines and partitionings.
+
+    Float PageRank sums contributions in nondeterministic partition
+    order, so two runs (or two engines) disagree in the last ulps. This
+    variant keeps every rank an integer: a node's contribution is
+    ``(rank * damping_pct) DIV (100 * degree)`` (one floor division,
+    computed identically everywhere), and the update is an integer SUM —
+    associative and order-free — plus the constant teleport term
+    ``(100 - damping_pct) * scale DIV 100``. The result is not classic
+    PageRank to the last decimal (floor truncation loses < 1 unit per
+    neighbor) but a deterministic fixed-point of the same recurrence,
+    suitable for ranking and — the point here — for exact cross-engine
+    verification of an ITERATIVE distributed computation.
+
+    Each iteration is two shuffles (contribution groupBy target, rank
+    join); lineage is truncated per iteration with localCheckpoint,
+    the same discipline as connected_components above. At 100 TB the
+    edge list is hash-partitioned by source and the rank vector by node
+    id — the standard Pregel-style layout.
+    """
+    adj = (
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("id"), "deg")
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("id", "deg", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["id"])
+            .select(
+                "dst",
+                F.expr(f"(rank * {damping_pct}) DIV (100 * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                "deg",
+                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -35,3 +35,5 @@ from . import corpus_ops  # noqa: E402,F401
 from . import chunking  # noqa: E402,F401
 from . import graph_q  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
+from . import clustering  # noqa: E402,F401
+from . import storage_q  # noqa: E402,F401

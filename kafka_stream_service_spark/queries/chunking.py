@@ -145,19 +145,30 @@ def q_boilerplate_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation's map-side partial combine collapses each input split to
     its distinct bigrams before the exchange.
     """
-    d = tables(spark, sf_dir)["documents"]
+    from ..operators.dedup import _spread
+
+    # fan the single-split fixture scan across cores before the explode
+    # (no-op on many-split inputs at scale)
+    d = _spread(tables(spark, sf_dir)["documents"])
     toks = F.split(F.col("text"), " ")
     # docs with < 2 tokens produce zero bigrams on both engines (the
     # oracle's range(0, greatest(n-1, 0)) is empty); filter here because
     # Spark's sequence(0, -1) would DESCEND instead of being empty
-    inst = d.filter(F.size(toks) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-            )
-        ).alias("g"),
+    inst = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+                )
+            ).alias("g"),
+        )
+        # the instance stream feeds both the DF aggregation and the
+        # flag join-back; materialize the explode once (lineage
+        # truncation, same discipline as q_inverted_index)
+        .localCheckpoint(eager=False)
     )
     df = inst.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1,0 +1,148 @@
+"""Integer-exact KMeans (Lloyd) steps in quantized int8 space.
+
+The IVF index (operators/ivf.py) trains float centroids — inherently
+rows-only at the driver gate because float means drift in the last ulps
+between engines. These queries re-express ONE Lloyd iteration over the
+int8-quantized embedding space where every quantity is an integer:
+assignment distances are integer L2 (|q_i| <= 127), tie-breaks are
+encoded into the minimized key, and the centroid update is a positional
+integer sum + floor division. Both steps therefore carry full driver
+hash verdicts — the exactness treatment the float KMeans can't have.
+
+Scale shape (100 TB): assignment is the IVF probe shape — centroids
+broadcast (k x dim, tiny), the corpus never shuffles, one map-side gemm
+per batch; the update is one shuffle keyed by (centroid, position),
+partial sums map-side combined — the canonical distributed Lloyd step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from .corpus_ops import _QUANT_SQL, _quantized
+from .registry import query
+
+K = 8  # centroids = quantized vectors of vec_id 0..K-1 (deterministic seed)
+
+
+def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, dist2): nearest centroid by integer squared
+    L2 in int8 space; ties break toward the smaller centroid id via the
+    dist2*K + cid key encoding (dist2 <= 64*254^2 ~ 4.1e6, so the key
+    fits comfortably and decodes exactly)."""
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    cent = (
+        e.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cqv"),
+            lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = e.select("vec_id", "qv").crossJoin(F.broadcast(cent)).select(
+        "vec_id", (diff2 * K + F.col("cid")).alias("key")
+    )
+    k = d.groupBy("vec_id").agg(F.min("key").alias("key"))
+    return k.select(
+        "vec_id",
+        (F.col("key") % K).cast("int").alias("centroid_id"),
+        F.expr(f"key DIV {K}").cast("bigint").alias("dist2"),
+    )
+
+
+_ASSIGN_SQL = f"""
+    cent AS (SELECT vec_id AS cid, qv AS cqv FROM q8 WHERE vec_id < {K}),
+    d AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> CAST(q.qv[i] - c.cqv[i] AS BIGINT)
+                        * CAST(q.qv[i] - c.cqv[i] AS BIGINT))) AS BIGINT) AS dist2
+      FROM q8 q CROSS JOIN cent c
+    ),
+    a AS (
+      SELECT vec_id, MIN(dist2 * {K} + cid) AS key FROM d GROUP BY vec_id
+    ),
+    assign AS (
+      SELECT vec_id, CAST(key % {K} AS INT) AS centroid_id,
+             CAST(key // {K} AS BIGINT) AS dist2
+      FROM a
+    )"""
+
+
+@query(
+    "q_kmeans_assign_int8",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    {_ASSIGN_SQL}
+    SELECT vec_id, centroid_id, dist2 FROM assign
+    """,
+    tags=("similarity", "clustering", "llm-data"),
+)
+def q_kmeans_assign_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd ASSIGNMENT step, integer-exact: every embedding to its
+    nearest of K=8 int8 centroids by integer squared L2, deterministic
+    tie-breaks. Centroids broadcast; the corpus never shuffles — the
+    same plan shape operators/ivf.py uses for probe assignment, here
+    with a hard hash verdict."""
+    return _assignments(spark, sf_dir)
+
+
+@query(
+    "q_kmeans_update_int8",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    {_ASSIGN_SQL},
+    pos AS (
+      SELECT a.centroid_id, u.i AS pos, CAST(q.qv[u.i] AS BIGINT) AS val
+      FROM assign a, q8 q, unnest(range(1, len(q.qv) + 1)) AS u(i)
+      WHERE q.vec_id = a.vec_id
+    )
+    -- floor() over one exact double division on BOTH engines: psum can
+    -- be negative (int8 sums straddle zero) and Spark's DIV truncates
+    -- toward zero while integer-division operators vary — floor is the
+    -- one semantics both engines state identically
+    SELECT centroid_id, CAST(pos AS INT) AS pos,
+           CAST(SUM(val) AS BIGINT) AS psum,
+           COUNT(*) AS n,
+           CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS new_q
+    FROM pos
+    GROUP BY centroid_id, pos
+    """,
+    tags=("similarity", "clustering", "llm-data"),
+)
+def q_kmeans_update_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd UPDATE step, integer-exact: positional sums of each
+    centroid's assigned int8 vectors, floor-divided by the cluster size
+    — (centroid, dim) rows carrying the exact partial sums a distributed
+    trainer would combine map-side. One shuffle keyed by
+    (centroid_id, pos); at 1e9 vectors the per-key width is the cluster
+    population, reduced by map-side partial aggregation."""
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    assign = _assignments(spark, sf_dir)
+    joined = assign.join(e.select("vec_id", "qv"), "vec_id")
+    pos = joined.select(
+        "centroid_id",
+        F.posexplode(F.col("qv")).alias("pos0", "val"),
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+    return (
+        pos.groupBy("centroid_id", "pos")
+        .agg(F.sum("val").alias("psum"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "centroid_id",
+            "pos",
+            "psum",
+            "n",
+            F.floor(F.col("psum").cast("double") / F.col("n")).cast("bigint").alias("new_q"),
+        )
+    )

@@ -112,19 +112,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q06_forecast_revenue_filter",
     "q10_returned_items",
     "q_window_topk_per_group",
-    "q_session_window",
-    "q_asof_join",
+    "q_bucketed_join",
+    "q_table_profile",
     "q_dedup_exact_hash",
     "q_dedup_embedding_cosine",
     "q_knn_cosine_bruteforce",
     "q_knn_cosine_int8",
-    "q_text_wordcount",
-    "q_text_quality_score",
+    "q_pagerank_candidates",
+    "q_kmeans_assign_int8",
+    "q_kmeans_update_int8",
     "q_text_unigram_logprob",
     "q_decontaminate_ngram",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
-    "q_weighted_sample",
     "q_stream_watermark_drop",
     "q_stream_dedup_replay",
     "q_stream_stream_join_replay",

@@ -1,0 +1,136 @@
+"""Storage-layout and data-quality queries: bucketed co-located joins
+and table profiling.
+
+tests/test_bucketing.py asserts the PLAN property (no Exchange feeding a
+bucketed join); q_bucketed_join adds the driver-verified RESULT property
+— bucketing must be invisible to answers. q_table_profile is the
+ANALYZE-style column audit every ingestion pipeline runs before
+accepting a drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from ._util import dec, dsum, work_dir
+from .registry import query
+
+BUCKETS = 8
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("storage", "bucketing", "join"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED storage: both sides written
+    bucketBy(8, orderkey) + sortBy, then joined WITHOUT any exchange on
+    the join path (the plan property tests/test_bucketing.py asserts;
+    broadcast is disabled here so bucketing, not a broadcast, satisfies
+    the distribution). The oracle is the plain join — bucketing must be
+    result-invisible.
+
+    At 100 TB this is the single biggest recurring saving for a fact
+    table joined daily: the shuffle is paid ONCE at write time and
+    amortized over every subsequent join.
+    """
+    t = tables(spark, sf_dir)
+    wh = work_dir("bucketed", sf_dir)
+    for name, df, key in (
+        ("li_b", t["lineitem"].select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+        ("ord_b", t["orders"].select("o_orderkey", "o_orderstatus"), "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(BUCKETS, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    li = spark.table("li_b")
+    orders = spark.table("ord_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(dec("l_extendedprice"), "sum_price"),
+            )
+        )
+        # materialize under the no-broadcast conf so the executed plan is
+        # the bucket-co-located sort-merge join, then restore the session
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'l_orderkey' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(l_orderkey) AS nulls,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity), CAST(MIN(l_quantity) AS DOUBLE),
+           CAST(MAX(l_quantity) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax), CAST(MIN(l_tax) AS DOUBLE),
+           CAST(MAX(l_tax) AS DOUBLE)
+    FROM lineitem
+    """,
+    tags=("quality", "profile", "agg"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (count / nulls / distinct / min /
+    max) for four lineitem columns — the data-quality gate an ingestion
+    pipeline runs before accepting a batch. ONE scan computes all four
+    profiles (the aggregates fuse into a single HashAggregate; the
+    oracle's UNION form is the semantic statement, not the plan)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    cols = ["l_orderkey", "l_quantity", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) as (col, n, nulls, n_distinct, min_v, max_v)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', {c}__n, {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+                ),
+            )
+        )
+    )
+    return stacked

@@ -389,3 +389,25 @@ def test_unigram_logprob_multi_chunk_docs_match_oracle(spark, tmp_path):
         assert got[d][0] == want[d][0]
         assert got[d][1] == want[d][1], f"doc {d}: {got[d][1]} != {want[d][1]}"
         assert got[d][2] == want[d][2]
+
+
+def test_integer_pagerank_known_path_graph(spark):
+    """Hand-computed fixed-point values for the path graph 1-2-3
+    (scale 1e6, damping 85%, teleport 150000):
+
+    iter 1: ends get 425000 inflow (center's 850000 split by deg 2),
+    center gets 850000+850000; iter 2 re-propagates the skewed ranks.
+    Exact integers — any deviation is an implementation bug, not noise.
+    """
+    from kafka_stream_service_spark.operators.graph import integer_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
+    r1 = {r.id: r.rank for r in integer_pagerank(edges, iterations=1).collect()}
+    assert r1 == {1: 575000, 2: 1850000, 3: 575000}
+    r2 = {r.id: r.rank for r in integer_pagerank(edges, iterations=2).collect()}
+    assert r2 == {1: 936250, 2: 1127500, 3: 936250}
+    # symmetry: the two ends are structurally identical, every iteration
+    r5 = integer_pagerank(edges, iterations=5).collect()
+    by = {r.id: r.rank for r in r5}
+    assert by[1] == by[3]
+    assert {r.deg for r in r5 if r.id in (1, 3)} == {1}
