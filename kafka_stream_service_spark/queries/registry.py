@@ -125,7 +125,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_decontaminate_ngram",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
-    "q_stream_watermark_drop",
+    "q_stream_dedup_then_window_replay",
     "q_stream_dedup_replay",
     "q_stream_stream_join_replay",
     "q_stream_incremental_dedup",

@@ -654,3 +654,63 @@ def q_stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _run_to_memory(spark, agg, base, shuffle_partitions=8)
+
+
+@query(
+    "q_stream_dedup_then_window_replay",
+    oracle=f"""
+    WITH wm AS (
+      SELECT epoch_us(max(ts)) // 1000 - {WM_MIN * 60 * 1000} AS wm_ms FROM events
+    )
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING epoch_us(window_end) // 1000 <= (SELECT wm_ms FROM wm)
+    """,
+    tags=("streaming", "stateful", "chained", "replay"),
+)
+def q_stream_dedup_then_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — streaming
+    dedup feeding a windowed aggregation (the multi-stateful-operator
+    pipeline Structured Streaming supports natively since 3.5) — executed
+    for real on a 3-batch replay:
+
+    - batch 0: the full table; dedup passes everything through, all daily
+      windows build in state, end-of-batch eviction (watermark advanced
+      to max ts - 30 min) emits every closed window;
+    - batch 1: the ENTIRE table redelivered — the dedup stage must
+      swallow every duplicate (rows older than the in-force watermark are
+      dropped as late before dedup; the fresh tail is deduplicated by
+      event_id against retained state), so the aggregation sees nothing;
+    - batch 2: one duplicate of the max-ts row — late-filter survivor,
+      dedup kills it; state unchanged.
+
+    Final table = daily counts of the DISTINCT events in windows closed
+    by the final watermark — exactly what the oracle states. A dedup leak
+    would double a count; a lost window would drop a row; either flips
+    the hash verdict.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "event_type", "value")
+    fresh = ev.orderBy(F.col("ts").desc(), "event_id").limit(1)
+    base = work_dir("dedupwin", sf_dir)
+    flat = _write_chunks([ev, ev, fresh], base)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{WM_MIN} minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(spark, agg, base, shuffle_partitions=8)
