@@ -114,9 +114,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_window_topk_per_group",
     "q_bucketed_join",
     "q_table_profile",
-    "q_dedup_exact_hash",
+    "q_multi_format_join",
     "q_dedup_embedding_cosine",
-    "q_knn_cosine_bruteforce",
+    "q_histogram_equidepth",
     "q_knn_cosine_int8",
     "q_pagerank_candidates",
     "q_kmeans_assign_int8",

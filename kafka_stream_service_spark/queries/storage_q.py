@@ -10,7 +10,7 @@ accepting a drop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import tables
@@ -134,3 +134,80 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked
+
+
+@query(
+    "q_multi_format_join",
+    oracle="""
+    SELECT r.r_name AS region, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("storage", "federation", "join"),
+)
+def q_multi_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation in ONE plan: the parquet fact (customer)
+    joined against a CSV dim (nation) and a JSON-lines dim (region) —
+    the mixed-source reality of production lakes. Both dims rewrite to
+    their text formats with explicit read schemas (no inference
+    nondeterminism), then broadcast into the join; the oracle reads the
+    original tables, so any format-conversion loss flips the hash."""
+    t = tables(spark, sf_dir)
+    wh = work_dir("fedjoin", sf_dir)
+    nation, region = t["nation"], t["region"]
+    nation.write.mode("overwrite").option("header", True).csv(f"{wh}/nation_csv")
+    region.write.mode("overwrite").json(f"{wh}/region_json")
+    n_csv = (
+        spark.read.schema(nation.schema).option("header", True).csv(f"{wh}/nation_csv")
+    )
+    r_json = spark.read.schema(region.schema).json(f"{wh}/region_json")
+    c = t["customer"]
+    return (
+        c.join(F.broadcast(n_csv), c["c_nationkey"] == n_csv["n_nationkey"])
+        .join(F.broadcast(r_json), n_csv["n_regionkey"] == r_json["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal"), "sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM ranked
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram", "stats"),
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of prices via ntile — the
+    optimizer-statistics shape. The tile order carries (orderkey,
+    linenumber) tie-breaks so bucket membership is a total order both
+    engines agree on exactly. Single-partition window over the sort —
+    at scale this is the one global-sort op in the family; the
+    approximate path is percentile_approx (q_approx_aggregates)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            dsum(dec("l_extendedprice"), "sum_price"),
+        )
+    )
