@@ -230,14 +230,15 @@ def run_pipeline_fused(
     """
     import pandas as pd
 
-    from .codec import decode_py, encode_with_prefix_cache
+    from .codec import decode_with_prefix_cache, encode_with_prefix_cache
 
     def fused(batches):
         prefix_cache: dict[tuple, bytes] = {}
+        decode_cache: dict[bytes, dict] = {}
         for pdf in batches:
             headers, payloads = [], []
             for data in pdf["value"]:
-                h, p = decode_py(bytes(data))
+                h, p = decode_with_prefix_cache(bytes(data), decode_cache)
                 headers.append(h)
                 payloads.append(p)
             batch = pd.DataFrame({"headers": headers, "payload": payloads})

@@ -111,11 +111,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q05_regional_supplier_volume",
     "q06_forecast_revenue_filter",
     "q10_returned_items",
-    "q_window_topk_per_group",
+    "q_agg_global_stats",
     "q_bucketed_join",
     "q_table_profile",
     "q_multi_format_join",
-    "q_dedup_embedding_cosine",
+    "q_zorder_cells",
     "q_histogram_equidepth",
     "q_knn_cosine_int8",
     "q_pagerank_candidates",

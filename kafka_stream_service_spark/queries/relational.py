@@ -417,7 +417,10 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_global_stats",
     oracle="""
-    WITH d AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS p, l_orderkey FROM lineitem)
+    WITH d AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+                      CAST(round(l_extendedprice * 100) AS HUGEINT) AS cb,
+                      l_orderkey
+               FROM lineitem)
     SELECT
       COUNT(*) AS n_rows,
       COUNT(DISTINCT l_orderkey) AS n_orders,
@@ -425,8 +428,8 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(MAX(p) AS DOUBLE) AS max_price,
       CAST(SUM(p) AS DOUBLE) AS sum_price,
       CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_price,
-      sqrt((CAST(SUM(p*p) AS DOUBLE) - CAST(SUM(p) AS DOUBLE) * CAST(SUM(p) AS DOUBLE) / COUNT(*))
-           / (COUNT(*) - 1)) AS stddev_price
+      sqrt(CAST(COUNT(*) * SUM(cb*cb) - SUM(cb) * SUM(cb) AS DOUBLE)
+           / (COUNT(*) * (COUNT(*) - 1))) / 100 AS stddev_price
     FROM d
     """,
     tags=("agg", "global"),
@@ -434,14 +437,23 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (no-group) aggregates incl. exact count-distinct and stddev.
 
-    stddev via exact decimal sum-of-squares so both engines agree bitwise
-    (their streaming variance implementations would differ in last ulps).
+    stddev: the variance numerator n*Σc² - (Σc)² is computed ENTIRELY in
+    exact wide-integer arithmetic over cents (decimal(38,0) here,
+    HUGEINT in the oracle) — the two sums cancel catastrophically, so
+    any representation rounding BEFORE the subtraction (e.g. the earlier
+    decimal→double casts) diverges in the last ulps at sf0.1's 600k rows.
+    After the exact subtraction there is one double division + sqrt,
+    identical IEEE ops on both engines at every SF.
     """
     li = tables(spark, sf_dir)["lineitem"]
     p = dec("l_extendedprice")
+    cb = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    wide = "decimal(38,0)"
+    sum_c = F.sum(cb.cast(wide))
+    sum_cc = F.sum((cb * cb).cast(wide))  # cb^2 <= ~1.1e14, fits bigint
     sum_p = F.sum(p).cast("double")
-    sum_pp = F.sum(p * p).cast("double")
     n = F.count(F.lit(1))
+    var_num = (n.cast(wide) * sum_cc - sum_c * sum_c).cast("double")
     return li.agg(
         n.alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -449,7 +461,7 @@ def q_agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(p).cast("double").alias("max_price"),
         sum_p.alias("sum_price"),
         (sum_p / n).alias("avg_price"),
-        F.sqrt((sum_pp - sum_p * sum_p / n) / (n - F.lit(1))).alias("stddev_price"),
+        (F.sqrt(var_num / (n * (n - F.lit(1))).cast("double")) / 100).alias("stddev_price"),
     )
 
 

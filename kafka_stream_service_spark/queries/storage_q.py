@@ -211,3 +211,55 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("l_extendedprice"), "sum_price"),
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import interleave_bits_sql
+
+    z = interleave_bits_sql("qb", "pb")
+    return f"""
+    WITH b AS (
+      SELECT CAST(l_quantity AS INT) - 1 AS qb,
+             least(CAST(floor(l_extendedprice / 2000) AS INT), 63) AS pb,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ),
+    z AS (SELECT *, CAST({z} AS BIGINT) AS zv FROM b)
+    SELECT CAST(zv // 16 AS BIGINT) AS zcell, COUNT(*) AS n,
+           MIN(l_quantity) AS q_lo, MAX(l_quantity) AS q_hi,
+           MIN(l_extendedprice) AS p_lo, MAX(l_extendedprice) AS p_hi
+    FROM z GROUP BY 1
+    """
+
+
+@query(
+    "q_zorder_cells",
+    oracle=_zorder_oracle(),
+    tags=("storage", "zorder", "data-skipping"),
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality audit: bucket quantity and price, bit-
+    interleave the buckets (operators/zorder.py — pure integer
+    arithmetic, engine-identical), and aggregate per coarse z-cell. The
+    per-cell min/max of BOTH raw columns demonstrates the data-skipping
+    property a z-ordered layout buys (each z-range is tight in both
+    dimensions — the file-level effect is asserted in
+    tests/test_zorder.py); the oracle recomputes the interleave bit-for-
+    bit. Map-side + one cell groupBy."""
+    from ..operators.zorder import interleave_bits
+
+    li = tables(spark, sf_dir)["lineitem"]
+    qb = (F.col("l_quantity").cast("int") - 1)
+    pb = F.least(F.floor(F.col("l_extendedprice") / 2000).cast("int"), F.lit(63))
+    z = interleave_bits(qb, pb)
+    return (
+        li.select("l_quantity", "l_extendedprice", z.alias("zv"))
+        .groupBy(F.expr("zv DIV 16").cast("bigint").alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("q_lo"),
+            F.max("l_quantity").alias("q_hi"),
+            F.min("l_extendedprice").alias("p_lo"),
+            F.max("l_extendedprice").alias("p_hi"),
+        )
+    )

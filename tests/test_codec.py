@@ -175,3 +175,55 @@ def test_lenient_decode_property(spark):
             decode_py(b"\x00" + wire[1:])
 
     roundtrip()
+
+
+class TestDecodePrefixCache:
+    """decode_with_prefix_cache must be byte/structure-identical to
+    decode_py — including frames engineered so one message's payload
+    starts with bytes that LOOK like another message's header section."""
+
+    def test_parity_over_mixed_shapes(self):
+        import random
+
+        from kafka_stream_service_spark.codec import (
+            decode_py,
+            decode_with_prefix_cache,
+            encode_py,
+        )
+
+        rng = random.Random(7)
+        shapes = [
+            {},
+            {"type": ["click"]},
+            {"type": ["view"], "v": ["1", "2"]},
+            {"a": []},
+            {"unicode": ["héllo", "wörld"]},
+        ]
+        frames = []
+        for _ in range(500):
+            h = rng.choice(shapes)
+            payload = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+            frames.append(encode_py(h, payload))
+        # adversarial: a frame whose payload IS another frame's wire bytes
+        # (so the payload starts with 0xff + a plausible header section)
+        inner = encode_py({"type": ["click"]}, b"xyz")
+        frames.append(encode_py({}, inner))
+        frames.append(encode_py({"type": ["click"]}, inner))
+        cache: dict = {}
+        for f in frames:
+            assert decode_with_prefix_cache(f, cache) == decode_py(f)
+
+    def test_shared_headers_and_cache_bound(self):
+        from kafka_stream_service_spark.codec import decode_with_prefix_cache, encode_py
+
+        cache: dict = {}
+        f1 = encode_py({"t": ["a"]}, b"p1")
+        f2 = encode_py({"t": ["a"]}, b"p2")
+        h1, p1 = decode_with_prefix_cache(f1, cache)
+        h2, p2 = decode_with_prefix_cache(f2, cache)
+        assert h1 is h2, "same prefix must share the cached dict (frozen contract)"
+        assert (p1, p2) == (b"p1", b"p2")
+        # bound: past 1024 distinct shapes the cache stops growing
+        for i in range(1100):
+            decode_with_prefix_cache(encode_py({"k": [str(i)]}, b"x"), cache)
+        assert len(cache) <= 1024
