@@ -146,3 +146,59 @@ def q_kmeans_update_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("psum").cast("double") / F.col("n")).cast("bigint").alias("new_q"),
         )
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    pairs AS (
+      SELECT qa.vec_id AS query_id, qa.label AS query_label,
+             ca.vec_id AS neighbor_id, ca.label AS neg_label,
+             list_dot_product(qa.qv, ca.qv)
+             / (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(ca.qv, ca.qv))) AS cos_raw
+      FROM q8 qa JOIN q8 ca ON ca.label != qa.label
+      WHERE qa.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, neg_label, rank, round(cos_raw, 6) AS q_cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "training", "llm-data"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    recipe): for each query vector, the top-5 most-similar vectors with
+    a DIFFERENT label — near misses that teach the sharpest decision
+    boundaries. Same broadcast-queries / zero-corpus-shuffle shape as
+    the int8 KNN, with the label-mismatch predicate riding the join."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import dot_col
+
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label"),
+        F.col("qv").alias("c_qv"),
+    )
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"),
+        F.col("qv").alias("q_qv"),
+    )
+    cos = dot_col(F.col("q_qv"), F.col("c_qv")) / (
+        F.sqrt(dot_col(F.col("q_qv"), F.col("q_qv")))
+        * F.sqrt(dot_col(F.col("c_qv"), F.col("c_qv")))
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("neg_label") != F.col("query_label")
+    ).select("query_id", "neighbor_id", "neg_label", cos.alias("cos_raw"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "neg_label", "rank",
+                F.round("cos_raw", 6).alias("q_cosine"))
+    )

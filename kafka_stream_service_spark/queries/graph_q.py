@@ -184,3 +184,56 @@ def q_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("bigint").alias("degree"),
         "rank",
     )
+
+
+SPLIT_CUTOFF = "cccd"  # md5-prefix split: < cccd => train (~80%), else test
+
+
+@query(
+    "q_split_leakage",
+    oracle=_EDGES_CTE
+    + f""",
+    split AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 4) < '{SPLIT_CUTOFF}'
+                  THEN 'train' ELSE 'test' END AS part
+      FROM documents
+    )
+    SELECT CASE WHEN su.part = 'train' THEN e.u ELSE e.v END AS train_doc,
+           CASE WHEN su.part = 'train' THEN e.v ELSE e.u END AS test_doc
+    FROM e
+    JOIN split su ON su.doc_id = e.u
+    JOIN split sv ON sv.doc_id = e.v
+    WHERE su.part != sv.part
+    """,
+    tags=("graph", "training", "decontamination", "llm-data"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: split the corpus deterministically by
+    content hash (~80/20, the resumable-pipeline split q_hash_sample
+    uses), then surface every near-dup candidate pair (rare-shingle
+    edge) that CROSSES the split — documents whose near-duplicate sits
+    on the other side leak evaluation signal into training. The
+    decontamination check (q_decontaminate_ngram) guards against known
+    benchmarks; this guards against self-contamination. One extra
+    broadcast-sized join over the edge list."""
+    d = tables(spark, sf_dir)["documents"]
+    edges = _candidate_edges(spark, sf_dir)
+    split = d.select(
+        "doc_id",
+        F.when(F.substring(F.md5(F.col("text")), 1, 4) < SPLIT_CUTOFF, "train")
+        .otherwise("test")
+        .alias("part"),
+    )
+    su = split.alias("su")
+    sv = split.alias("sv")
+    e = edges.alias("e")
+    crossed = (
+        e.join(su, F.col("e.u") == F.col("su.doc_id"))
+        .join(sv, F.col("e.v") == F.col("sv.doc_id"))
+        .filter(F.col("su.part") != F.col("sv.part"))
+    )
+    return crossed.select(
+        F.when(F.col("su.part") == "train", F.col("e.u")).otherwise(F.col("e.v")).alias("train_doc"),
+        F.when(F.col("su.part") == "train", F.col("e.v")).otherwise(F.col("e.u")).alias("test_doc"),
+    )

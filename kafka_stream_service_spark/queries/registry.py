@@ -117,7 +117,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_multi_format_join",
     "q_zorder_cells",
     "q_histogram_equidepth",
-    "q_knn_cosine_int8",
+    "q_hard_negatives",
     "q_pagerank_candidates",
     "q_kmeans_assign_int8",
     "q_kmeans_update_int8",
@@ -132,7 +132,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stateful_running_totals_replay",
     "q_continuous_aggregate",
     "q_salted_count_distinct",
-    "q_salted_skew_join",
+    "q_split_leakage",
     "q_upsert_merge",
     "q_scd2_history",
     "q_cdc_snapshot_diff",
