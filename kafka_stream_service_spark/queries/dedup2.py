@@ -1,0 +1,242 @@
+"""PORTABLE-HASH variants of the near-dup stack, closing the oracle gap.
+
+The production MinHash/SimHash operators (operators/dedup.py) hash with
+xxhash64/blake2b — fast, but with no DuckDB equivalent, so their queries
+carry rows-only driver verdicts (bounded by recall/bit-vote pytests).
+These variants swap ONE ingredient — the hash — for an engine-portable
+construction, ``portable_hash64(s, seed) = int(md5(seed:s)[:15 hex])``,
+which both engines compute bit-identically. Everything downstream
+(signatures, banding, bucket pairs, Jaccard verification, connected
+components) then carries a full driver HASH verdict, including the
+connected-components fixpoint checked against a recursive-CTE oracle.
+
+The algorithms are IDENTICAL to the production path (same banding, same
+bucket cap, same verify threshold); only the hash differs — so these
+queries are the cross-engine correctness proof of the pipeline SHAPE,
+while the xxhash64 path remains the production-throughput configuration
+(one 64-bit mix vs an md5 per shingle per permutation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_candidate_pairs, word_shingles_from_tokens
+from ..operators.graph import connected_components
+from ..tables import tables
+from .registry import query
+
+K = 16
+BANDS = 4
+SHINGLE_N = 3
+
+def portable_hash64(col: Column, seed: int) -> Column:
+    """60-bit hash both engines compute identically: the first 15 hex
+    chars of md5("<seed>:<value>") as a (positive) bigint. ~16x slower
+    than xxhash64 JVM-side — the price of cross-engine verifiability."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
+def portable_minhash_signature(shingles: Column, k: int = K) -> Column:
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: portable_hash64(s, i)))
+            for i in range(k)
+        ]
+    )
+
+
+def _h_sql(s: str, seed: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || {s}), 1, 15)) AS BIGINT)"
+
+
+# shared oracle prefix: shingles -> signatures -> banded buckets ->
+# candidate pairs -> Jaccard-verified near-dup pairs
+_PAIRS_CTE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - {SHINGLE_N}, 0) + 1),
+               i -> array_to_string(list_slice(toks, i + 1, i + {SHINGLE_N}), ' ')
+             )) AS shingles
+      FROM t
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, {K}),
+               i -> list_min(list_transform(shingles, s -> {_h_sql('s', 'i')}))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b AS band,
+             array_to_string(list_transform(range(b * {K // BANDS} + 1, (b + 1) * {K // BANDS} + 1),
+                                            r -> CAST(sig[r] AS VARCHAR)), ',') AS bucket
+      FROM sig, unnest(range(0, {BANDS})) AS u(b)
+    ),
+    g AS (
+      SELECT band, bucket, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM banded GROUP BY 1, 2
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000
+    ),
+    cpairs AS (
+      SELECT DISTINCT ids[i] AS id_a, ids[j] AS id_b
+      FROM g, unnest(range(1, len(ids) + 1)) AS ai(i),
+               unnest(range(1, len(ids) + 1)) AS bj(j)
+      WHERE i < j
+    ),
+    jpairs AS (
+      SELECT p.id_a, p.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS n_union
+      FROM cpairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    ),
+    fpairs AS (
+      SELECT id_a, id_b, n_inter, n_union FROM jpairs WHERE 2 * n_inter >= n_union
+    )"""
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(sh, fpairs): shingle frame and Jaccard-verified candidate pairs,
+    both lineage-truncated (sh feeds the signature AND two verify joins;
+    pairs feed downstream fan-outs)."""
+    d = tables(spark, sf_dir)["documents"]
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = toked.select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
+    ).localCheckpoint(eager=False)
+    sig = sh.select(
+        "doc_id", portable_minhash_signature(F.col("shingles"), K).alias("sig")
+    )
+    cand = lsh_candidate_pairs(sig, sig_col="sig", k=K, bands=BANDS)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    fpairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", inter.alias("n_inter"), union.alias("n_union"))
+        .filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .localCheckpoint(eager=False)
+    )
+    return sh, fpairs
+
+
+@query(
+    "q_minhash_lsh_portable",
+    oracle=_PAIRS_CTE
+    + """
+    SELECT id_a, id_b, n_inter, n_union,
+           round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+    FROM fpairs
+    """,
+    tags=("dedup", "minhash", "lsh", "llm-data"),
+)
+def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash->LSH->verify near-dup pipeline with a hard hash
+    verdict: portable 60-bit hashes, 16-permutation signatures, 4-band
+    bucketing with the production bucket cap, candidate pairs, and exact
+    Jaccard verification at >= 0.5 (the integer comparison
+    2*|A∩B| >= |A∪B| — no float threshold). Same plan shape as the
+    production xxhash64 path (one bucket groupBy moves each (id, band)
+    row once; JVM pair expansion)."""
+    _, fpairs = _verified_pairs(spark, sf_dir)
+    return fpairs.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6).alias("jaccard"),
+    )
+
+
+@query(
+    "q_dedup_clusters_portable",
+    oracle=_PAIRS_CTE
+    + """,
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM fpairs
+      UNION SELECT id_b, id_a FROM fpairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT a, a FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster
+    FROM reach GROUP BY a
+    """,
+    tags=("dedup", "graph", "clusters", "llm-data"),
+)
+def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS with a hard hash verdict: distributed min-label
+    propagation (operators/graph.py — the same iterative operator the
+    production path uses) over the verified portable-hash pairs, checked
+    against a recursive-CTE transitive-closure oracle. The driver hash
+    match proves the iterative fixpoint is EXACTLY the graph-theoretic
+    components — the strongest correctness statement available for the
+    clusters family."""
+    _, fpairs = _verified_pairs(spark, sf_dir)
+    edges = fpairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges, max_iter=30)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+
+
+@query(
+    "q_simhash_portable",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ),
+    th AS (
+      SELECT doc_id, {_h_sql('u.tok', '99')} AS h
+      FROM t, unnest(toks) AS u(tok)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(2 * ((h // {2 ** k}) % 2) - 1) AS v{k}" for k in range(16))},
+             COUNT(*) AS n_tokens
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))}
+                AS BIGINT) AS fingerprint,
+           n_tokens
+    FROM votes
+    """,
+    tags=("dedup", "simhash", "llm-data"),
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints with a hard hash verdict: per-token
+    portable hashes, per-bit majority votes (strict > 0, ties -> 0), the
+    exact construction the production 64-bit numpy path uses — here every
+    vote and the final fingerprint are integer-reproducible on both
+    engines. One explode + one grouped sum; no shuffle beyond the doc
+    rollup."""
+    d = tables(spark, sf_dir)["documents"]
+    th = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).select("doc_id", portable_hash64(F.col("tok"), 99).alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * (F.shiftright(F.col("h"), k) % 2) - 1).alias(f"v{k}")
+            for k in range(16)
+        ],
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    fp = None
+    for k in range(16):
+        term = F.when(F.col(f"v{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("fingerprint"), "n_tokens")

@@ -98,7 +98,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_approx_aggregates",
     "q_inverted_index",
     "q_stream_outer_join_replay",
-    # (b) rows-only by design (hash-seeded / approximate)
+    # (b) rows-only by design (hash-seeded / approximate) + their new
+    # portable-hash twins, which carry full hash verdicts for the same
+    # pipeline shapes (queries/dedup2.py)
+    "q_minhash_lsh_portable",
+    "q_dedup_clusters_portable",
+    "q_simhash_portable",
     "q_dedup_simhash",
     "q_knn_lsh_buckets",
     "q_dedup_minhash_lsh",
@@ -108,9 +113,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders_by_revenue",
-    "q05_regional_supplier_volume",
-    "q06_forecast_revenue_filter",
-    "q10_returned_items",
     "q_agg_global_stats",
     "q_bucketed_join",
     "q_table_profile",
