@@ -202,3 +202,166 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "neg_label", "rank",
                 F.round("cos_raw", 6).alias("q_cosine"))
     )
+
+
+def _rademacher_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic +/-1 hyperplanes from md5 parity — generated once in
+    Python and embedded as LITERALS in both the Spark plan and the SQL
+    oracle, so neither engine hashes at runtime and both see the same
+    planes by construction. Rademacher components are a valid LSH family
+    for cosine (same collision-probability guarantee class as Gaussian,
+    cf. the sign-random-projection literature)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"plane:{p}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = _rademacher_planes()
+
+
+@query(
+    "q_knn_lsh_buckets_portable",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    dots AS (
+      SELECT vec_id,
+             {", ".join(
+                 "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * ([" +
+                 ",".join(str(c) for c in plane) + "])[i])) AS d" + str(p)
+                 for p, plane in enumerate(_PLANES))}
+      FROM q8
+    )
+    SELECT vec_id,
+           CAST({" + ".join(f"(CASE WHEN d{p} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(len(_PLANES)))}
+                AS BIGINT) AS bucket
+    FROM dots
+    """,
+    tags=("similarity", "lsh", "llm-data"),
+)
+def q_knn_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment with a hard hash verdict — the
+    portable twin of the rows-only q_knn_lsh_buckets (whose Gaussian
+    planes come from a seeded RNG no SQL engine reproduces): +/-1
+    Rademacher planes embedded as literals in both engines, dot products
+    over the int8-quantized vectors so every dot is an INTEGER and the
+    sign test has no float ambiguity. 8 planes -> 256 buckets, the
+    ~256x candidate-reduction pre-filter for cosine search. Map-side
+    only; zero shuffle."""
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    dots = []
+    for p, plane in enumerate(_PLANES):
+        arr = F.array(*[F.lit(c) for c in plane])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col("qv"), arr, lambda q, s: q.cast("bigint") * s),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias(f"d{p}")
+        )
+    d = e.select("vec_id", *dots)
+    bucket = None
+    for p in range(len(_PLANES)):
+        term = F.when(F.col(f"d{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return d.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+N_PROBE = 2
+IVF_TOPK = 3
+
+
+@query(
+    "q_ivf_probe_portable",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    {_ASSIGN_SQL},
+    qprobe AS (
+      SELECT vec_id AS query_id, cid, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist2 * {K} + cid) AS probe_rank
+      FROM d WHERE vec_id >= {K} AND vec_id < {K} + 8
+    ),
+    probes AS (SELECT query_id, cid FROM qprobe WHERE probe_rank <= {N_PROBE}),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.cid
+      WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_dot_product(qa.qv, ca.qv) AS BIGINT) AS dot
+      FROM cands c
+      JOIN q8 qa ON qa.vec_id = c.query_id
+      JOIN q8 ca ON ca.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {IVF_TOPK}
+    """,
+    tags=("similarity", "ivf", "llm-data"),
+)
+def q_ivf_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF SEARCH step with a hard hash verdict — the portable twin of
+    the rows-only q_knn_ivf (whose float Lloyd centroids drift in the
+    last ulps across engines): centroids are the K int8 seed vectors,
+    each of 8 query vectors probes its {N_PROBE} nearest cells (integer
+    L2, key-encoded ties), and candidates are ranked by integer dot
+    product within the probed cells. Exactly the operators/ivf.py plan
+    shape — probe assignment broadcast, corpus never shuffles — with
+    every quantity integer-reproducible."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import dot_col
+
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    cent = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cqv"),
+            lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qset = e.filter((F.col("vec_id") >= K) & (F.col("vec_id") < K + 8))
+    qd = qset.select("vec_id", "qv").crossJoin(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"), "cid", (diff2 * K + F.col("cid")).alias("key")
+    )
+    wp = W.partitionBy("query_id").orderBy("key")
+    probes = (
+        qd.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    assign = _assignments(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("centroid_id").alias("cid")
+    )
+    cands = probes.join(assign, "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    qa = e.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"))
+    ca = e.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c_qv"))
+    scored = (
+        cands.join(F.broadcast(qa), "query_id")
+        .join(ca, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_col(F.col("q_qv"), F.col("c_qv")).cast("bigint").alias("dot"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("dot").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "dot", F.col("rank").cast("int").alias("rank"))
+    )

@@ -104,6 +104,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_minhash_lsh_portable",
     "q_dedup_clusters_portable",
     "q_simhash_portable",
+    "q_knn_lsh_buckets_portable",
+    "q_ivf_probe_portable",
     "q_dedup_simhash",
     "q_knn_lsh_buckets",
     "q_dedup_minhash_lsh",
@@ -128,8 +130,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_training_corpus_pipeline",
     "q_pack_sequences",
     "q_stream_dedup_then_window_replay",
-    "q_stream_dedup_replay",
-    "q_stream_stream_join_replay",
     "q_stream_incremental_dedup",
     "q_stateful_running_totals_replay",
     "q_continuous_aggregate",
