@@ -411,3 +411,40 @@ def test_integer_pagerank_known_path_graph(spark):
     by = {r.id: r.rank for r in r5}
     assert by[1] == by[3]
     assert {r.deg for r in r5 if r.id in (1, 3)} == {1}
+
+
+def test_portable_hash64_pinned_values(spark):
+    """The portable-twin oracles depend on portable_hash64 and the
+    Rademacher plane matrix being EXACTLY these constructions — pin
+    golden values so an innocent-looking refactor (different seed
+    format, different hex slice) fails here before it fails 5 oracles."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.clustering import _rademacher_planes
+    from kafka_stream_service_spark.queries.dedup2 import portable_hash64
+
+    row = (
+        spark.range(1)
+        .select(
+            portable_hash64(F.lit("abc"), 0).alias("h0"),
+            portable_hash64(F.lit("abc"), 7).alias("h7"),
+            portable_hash64(F.lit(""), 0).alias("he"),
+        )
+        .collect()[0]
+    )
+    def ref(seed, s):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    assert row.h0 == ref(0, "abc")
+    assert row.h7 == ref(7, "abc")
+    assert row.he == ref(0, "")
+    assert 0 <= row.h0 < 2**60  # positive 60-bit: safe in bigint everywhere
+
+    planes = _rademacher_planes()
+    assert len(planes) == 8 and all(len(p) == 64 for p in planes)
+    assert all(c in (-1, 1) for p in planes for c in p)
+    # golden prefix of plane 0 (md5 parity of "plane:0:<i>")
+    want = [1 if hashlib.md5(f"plane:0:{i}".encode()).digest()[0] % 2 == 0 else -1 for i in range(8)]
+    assert planes[0][:8] == want
