@@ -184,3 +184,86 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pixel_bytes long, pixel_sum long, pixel_wsum long"
         ),
     )
+
+
+CROP = 8  # center-crop side (fixture minima: w >= 16, h >= 12)
+
+
+@query(
+    "q_image_augment",
+    oracle=_PIXEL_CTE.format(modulus=7).replace(", px AS", ", px_unused AS")
+    + f""",
+    aug AS (
+      SELECT doc_id, w, h, c, n, text,
+             unnest(range(0, {CROP} * {CROP} * c)) AS j
+      FROM params
+    ),
+    mapped AS (
+      SELECT doc_id, w, h, c, j,
+             -- augmented (y, x, ch) -> source byte index under
+             -- horizontal flip then center crop
+             ((((h - {CROP}) // 2) + j // ({CROP} * c)) * w
+              + (w - 1 - ((w - {CROP}) // 2 + (j % ({CROP} * c)) // c))) * c
+             + (j % c) AS j_src,
+             text, n
+      FROM aug
+    ),
+    vals AS (
+      SELECT doc_id, w, h, c, j,
+             ascii(substring(text, CAST(j_src % n AS INT) + 1, 1)) AS v
+      FROM mapped
+    )
+    SELECT doc_id,
+           CAST({CROP} AS INT) AS crop_w, CAST({CROP} AS INT) AS crop_h,
+           CAST(c AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS aug_sum,
+           CAST(SUM((j % 251 + 1) * v) AS BIGINT) AS aug_wsum
+    FROM vals
+    GROUP BY doc_id, c
+    """,
+    tags=("multimodal", "augmentation", "llm-data", "imagecodec"),
+)
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image augmentation (the training-data transform): decode the
+    PNG, HORIZONTAL-FLIP, CENTER-CROP to 8x8, and emit exact integer
+    checksums of the augmented pixels. The oracle recomputes every
+    augmented byte analytically (flip/crop become index arithmetic over
+    the synthesis formula), so a wrong flip axis, an off-by-one crop
+    offset, or a channel-order slip each flips the driver hash.
+
+    Same Arrow batch shape as the decode stage; augmentation cost is
+    embarrassingly parallel. At 100 TB this is the map-side stage
+    feeding an image-training shard writer."""
+    images = png_images_df(spark, sf_dir, modulus=7)
+
+    def augment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "crop_w", "crop_h", "channels", "aug_sum", "aug_wsum")
+            }
+            for did, png in zip(pdf["doc_id"], pdf["png"]):
+                px = decode_png(bytes(png))
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, c = px.shape
+                flipped = px[:, ::-1, :]
+                top = (h - CROP) // 2
+                left = (w - CROP) // 2
+                crop = flipped[top : top + CROP, left : left + CROP, :]
+                flat = crop.reshape(-1).astype(np.int64)
+                j = np.arange(flat.size, dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["crop_w"].append(CROP)
+                out["crop_h"].append(CROP)
+                out["channels"].append(c)
+                out["aug_sum"].append(int(flat.sum()))
+                out["aug_wsum"].append(int(((j % 251 + 1) * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        augment_batches,
+        schema="doc_id long, crop_w int, crop_h int, channels int, aug_sum bigint, aug_wsum bigint",
+    )

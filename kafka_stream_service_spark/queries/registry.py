@@ -95,6 +95,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_audio_frame_energy",
     "q_multimodal_decode",
     "q_multimodal_resize",
+    "q_image_augment",
     "q_approx_aggregates",
     "q_inverted_index",
     "q_stream_outer_join_replay",
@@ -112,7 +113,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_knn_ivf",
     # (c) flagship + family drift coverage
-    "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders_by_revenue",
     "q_agg_global_stats",
