@@ -186,3 +186,62 @@ def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         energy_batches,
         schema="doc_id long, frame_idx int, energy long, peak_abs int",
     )
+
+
+@query(
+    "q_audio_mixdown_decimate",
+    oracle=_SAMPLE_CTE.format(modulus=13)
+    + """,
+    mono AS (
+      SELECT doc_id, CAST(j // c AS BIGINT) AS f,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM smp GROUP BY doc_id, j // c
+    ),
+    dec AS (
+      SELECT doc_id, f // 2 AS fo, m FROM mono WHERE f % 2 = 0
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_out_frames,
+           CAST(SUM(m) AS BIGINT) AS out_sum,
+           CAST(SUM((fo % 251 + 1) * m) AS BIGINT) AS out_wsum
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "augmentation", "llm-data"),
+)
+def q_audio_mixdown_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio TRANSFORM stage: decode the WAV, mix interleaved channels
+    down to mono (floor of the channel mean — negative PCM values make
+    floor-vs-truncate a real cross-engine trap, so floor() over one
+    exact double division is pinned on both sides), then decimate 2x
+    (keep even frames). Exact integer checksums of the output signal —
+    a wrong channel de-interleave, mean, or phase slips the hash.
+
+    This is the map-side preprocessing shape of a speech-training
+    pipeline (mixdown -> resample -> feature extraction); like the image
+    augment stage it is embarrassingly parallel over Arrow batches."""
+    wavs = wav_files_df(spark, sf_dir, modulus=13)
+
+    def mix_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                k: [] for k in ("doc_id", "n_out_frames", "out_sum", "out_wsum")
+            }
+            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
+                samples, _rate = decode_wav(bytes(wav))
+                mono = np.floor(
+                    samples.astype(np.float64).sum(axis=1) / samples.shape[1]
+                ).astype(np.int64)
+                dec = mono[::2]
+                fo = np.arange(dec.size, dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["n_out_frames"].append(int(dec.size))
+                out["out_sum"].append(int(dec.sum()))
+                out["out_wsum"].append(int(((fo % 251 + 1) * dec).sum()))
+            yield pd.DataFrame(out)
+
+    return wavs.mapInPandas(
+        mix_batches,
+        schema="doc_id long, n_out_frames long, out_sum bigint, out_wsum bigint",
+    )

@@ -93,6 +93,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_session_window_replay",
     "q_audio_decode",
     "q_audio_frame_energy",
+    "q_audio_mixdown_decimate",
     "q_multimodal_decode",
     "q_multimodal_resize",
     "q_image_augment",
@@ -132,7 +133,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_dedup_then_window_replay",
     "q_stream_incremental_dedup",
     "q_stateful_running_totals_replay",
-    "q_continuous_aggregate",
     "q_salted_count_distinct",
     "q_split_leakage",
     "q_upsert_merge",

@@ -186,3 +186,45 @@ def test_partitioned_write_prunes_directories(spark):
     plan = physical_plan(QUERIES["q_partitioned_pruning"].spark_fn(spark, SF))
     m = re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*\]", plan)
     assert m, f"lang never became a partition filter:\n{plan[:3000]}"
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("q_chunk_documents", 0),   # pure map-side: tokenize/enumerate/slice
+        ("q_zorder_cells", 1),      # ONE shuffle: the z-cell groupBy
+        ("q_kmeans_assign_int8", 1),  # centroids broadcast; one vec_id groupBy
+        ("q_upsert_merge", 2),      # the merge full-outer join (+AQE reads)
+        ("q_rolling_anomaly", 1),   # ONE shuffle: the per-user window
+        ("q_ewma_smoothing", 1),    # ONE shuffle: the per-user window
+    ],
+)
+def test_round5_ops_shuffle_budget(spark, name, max_exchanges):
+    """Round-5 operators carry the same enforced shuffle inventory as the
+    training ops: map-side stages stay map-side, single-shuffle shapes
+    stay single-shuffle."""
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The Lloyd assignment step must broadcast the k x dim centroid
+    table (BroadcastNestedLoopJoin from the bounded crossJoin) — a
+    shuffle here would move the corpus to meet 8 rows."""
+    plan = physical_plan(QUERIES["q_kmeans_assign_int8"].spark_fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    df = QUERIES["q_hard_negatives"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_boilerplate_broadcasts_df_flags(spark):
+    """The bigram DF/flag table is vocabulary-sized and must broadcast
+    back onto the corpus instance stream."""
+    df = QUERIES["q_boilerplate_bigrams"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
