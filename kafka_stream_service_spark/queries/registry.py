@@ -114,8 +114,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_knn_ivf",
     # (c) flagship + family drift coverage
-    "q02_revenue_by_nation",
-    "q03_top_orders_by_revenue",
     "q_agg_global_stats",
     "q_bucketed_join",
     "q_table_profile",
@@ -138,6 +136,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_upsert_merge",
     "q_scd2_history",
     "q_cdc_snapshot_diff",
+    "q_csv_permissive_dirty",
+    "q_partition_overwrite",
 )
 
 

@@ -263,3 +263,109 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("p_hi"),
         )
     )
+
+
+@query(
+    "q_csv_permissive_dirty",
+    oracle="""
+    SELECT COUNT(*) FILTER (o_orderkey % 13 != 0) AS n_good,
+           COUNT(*) FILTER (o_orderkey % 13 = 0) AS n_corrupt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (o_orderkey % 13 != 0) AS DOUBLE) AS sum_price_good
+    FROM orders
+    """,
+    tags=("source", "dirty-data", "csv"),
+)
+def q_csv_permissive_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest handling with a driver verdict: a CSV drop where
+    every 13th record is a malformed line (no delimiter, unparseable),
+    read back in PERMISSIVE mode with a corrupt-record column — bad rows
+    become (NULL, NULL, raw-line) instead of killing the job (the same
+    poison-message philosophy as the codec DLQ lane,
+    pipeline.run_pipeline_with_dlq). The oracle states the expected
+    good/corrupt partition analytically from the construction rule, so a
+    parser that silently drops or mis-routes a line flips the hash."""
+    t = tables(spark, sf_dir)
+    wh = work_dir("dirtycsv", sf_dir)
+    lines = t["orders"].select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(F.lit("CORRUPT"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("o_orderkey").cast("string"), dec("o_totalprice").cast("string"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{wh}/drop")
+    back = (
+        spark.read.schema("k long, price double, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(f"{wh}/drop")
+    )
+    out = back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), dec("price"))).cast("double").alias("sum_price_good"),
+    )
+    # CSV column pruning changes PERMISSIVE semantics: when a query never
+    # references `k`, the parser skips it and a short/unparseable line is
+    # NOT flagged corrupt (observed: n_corrupt=0). Materialize under
+    # pruning disabled so the full-row parse — the semantics a DLQ lane
+    # needs — is what executes; restore the session conf after.
+    prev = spark.conf.get("spark.sql.csv.parser.columnPruning.enabled", "true")
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", prev)
+    return out
+
+
+@query(
+    "q_partition_overwrite",
+    oracle="""
+    WITH d0 AS (SELECT min(date_trunc('day', ts)) AS day0 FROM events)
+    SELECT date_trunc('day', ts) = (SELECT day0 FROM d0) AS is_corrected_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))
+                    + CASE WHEN date_trunc('day', ts) = (SELECT day0 FROM d0)
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "partition-overwrite", "backfill"),
+)
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent single-partition BACKFILL via dynamic partition
+    overwrite — the daily-pipeline correction op: the events table is
+    written day-partitioned, then the earliest day is rewritten with
+    corrected values (+1.00 each) in ONE write that must replace ONLY
+    that day's directory (partitionOverwriteMode=dynamic; static mode
+    would wipe every other day). The oracle states the expected final
+    table — original days untouched, corrected day shifted — so both an
+    over-wide overwrite and a no-op overwrite flip the hash."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", dec("value").alias("value"), F.date_trunc("day", "ts").alias("day")
+    )
+    wh = work_dir("partover", sf_dir)
+    path = f"{wh}/events_by_day"
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    day0 = ev.agg(F.min("day")).collect()[0][0]
+    corrections = ev.filter(F.col("day") == F.lit(day0)).withColumn(
+        "value", dec(F.col("value") + 1)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrections.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        (F.col("day") == F.lit(day0)).alias("is_corrected_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
