@@ -74,6 +74,10 @@ HEADLINE = [
     "q_audio_decode",
     "q_pagerank_candidates",
     "q_kmeans_assign_int8",
+    # quality_ops batch: audit + tokenizer-training + span-dedup shapes
+    "q_data_quality_report",
+    "q_bpe_merge_candidates",
+    "q_repeated_ngram_spans",
 ]
 
 

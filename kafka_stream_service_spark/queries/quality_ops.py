@@ -1,0 +1,454 @@
+"""Data-quality auditing and corpus-engineering operators, batch 2.
+
+The reference pipeline trusts its input (strict decode, crash on bad
+frames — StreamsApplication.java:193); a 100 TB corpus build cannot.
+This module adds the audit surface a production training-data pipeline
+runs before and after every ingest: single-pass column-constraint
+profiling (the Deequ recipe), referential-integrity sweeps over the
+warehouse FK graph, BPE-style pair counting for tokenizer training,
+span-level repeated-n-gram detection (the Lee et al. "Deduplicating
+Training Data" signal, re-expressed as positional-gram counting),
+key-skew profiling for shuffle planning, event-transition matrices,
+and incremental materialized-aggregate maintenance.
+
+Every query carries an exact DuckDB oracle: all aggregates are integer
+counts, exact DECIMAL sums, or single double divisions of identical
+operands, so hashes match bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from ._util import dec
+from .registry import query
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS row_count,
+             COUNT(*) - COUNT(o_custkey) AS custkey_nulls,
+             COUNT(DISTINCT o_custkey) AS custkey_distinct,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS orderkey_dup_rows,
+             COUNT(*) - COUNT(o_totalprice) AS totalprice_nulls,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS totalprice_min,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS totalprice_max,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) AS totalprice_nonpositive,
+             COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS orderstatus_invalid,
+             COUNT(DISTINCT o_orderpriority) AS orderpriority_distinct,
+             COUNT(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                                 OR o_orderdate > DATE '1998-12-31') AS orderdate_out_of_range
+      FROM orders
+    )
+    SELECT 'row_count' AS metric, CAST(row_count AS DOUBLE) AS value FROM m
+    UNION ALL SELECT 'o_custkey_null_count', CAST(custkey_nulls AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_custkey_distinct_count', CAST(custkey_distinct AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_orderkey_duplicate_rows', CAST(orderkey_dup_rows AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_totalprice_null_count', CAST(totalprice_nulls AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_totalprice_min', totalprice_min FROM m
+    UNION ALL SELECT 'o_totalprice_max', totalprice_max FROM m
+    UNION ALL SELECT 'o_totalprice_nonpositive', CAST(totalprice_nonpositive AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_orderstatus_invalid', CAST(orderstatus_invalid AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_orderpriority_distinct_count', CAST(orderpriority_distinct AS DOUBLE) FROM m
+    UNION ALL SELECT 'o_orderdate_out_of_range', CAST(orderdate_out_of_range AS DOUBLE) FROM m
+    """,
+    tags=("quality", "audit", "llm-data"),
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass constraint suite over ``orders`` (the Deequ recipe):
+    completeness (null counts), uniqueness (duplicate key rows),
+    distinctness, range bounds, and domain-membership violations — all
+    computed in ONE aggregation over one scan, then unpivoted to a long
+    (metric, value) report frame.
+
+    Scale shape: every metric is a partial-aggregatable expression
+    (count / conditional count / min / max / distinct), so the whole
+    suite is one map-side-combined agg to a single row regardless of
+    input size — adding metrics widens the row, never adds a pass.
+    ``count(distinct)`` over two columns expands to one extra shuffle;
+    at 100 TB swap exact distinct for HLL (`approx_count_distinct`) per
+    audit policy. The stack() unpivot runs on the 1-row result.
+    """
+    o = tables(spark, sf_dir)["orders"]
+    m = o.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_nulls"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orderkey_dup_rows"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("totalprice_nulls"),
+        F.min("o_totalprice").cast("double").alias("totalprice_min"),
+        F.max("o_totalprice").cast("double").alias("totalprice_max"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("totalprice_nonpositive"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("orderstatus_invalid"),
+        F.countDistinct("o_orderpriority").alias("orderpriority_distinct"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            )
+        ).alias("orderdate_out_of_range"),
+    )
+    return m.selectExpr(
+        """stack(11,
+            'row_count', cast(row_count as double),
+            'o_custkey_null_count', cast(custkey_nulls as double),
+            'o_custkey_distinct_count', cast(custkey_distinct as double),
+            'o_orderkey_duplicate_rows', cast(orderkey_dup_rows as double),
+            'o_totalprice_null_count', cast(totalprice_nulls as double),
+            'o_totalprice_min', totalprice_min,
+            'o_totalprice_max', totalprice_max,
+            'o_totalprice_nonpositive', cast(totalprice_nonpositive as double),
+            'o_orderstatus_invalid', cast(orderstatus_invalid as double),
+            'o_orderpriority_distinct_count', cast(orderpriority_distinct as double),
+            'o_orderdate_out_of_range', cast(orderdate_out_of_range as double)
+        ) as (metric, value)"""
+    )
+
+
+_FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def _fk_edge_sql(edge: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge,
+           (SELECT COUNT(*) FROM {child}) AS child_rows,
+           (SELECT COUNT(DISTINCT {ckey}) FROM {child}) AS child_keys,
+           (SELECT COUNT(DISTINCT {pkey}) FROM {parent}) AS parent_keys,
+           (SELECT COUNT(*) FROM {child} WHERE {ckey} NOT IN
+              (SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL)) AS orphan_rows,
+           (SELECT COUNT(*) FROM {parent} WHERE {pkey} NOT IN
+              (SELECT {ckey} FROM {child} WHERE {ckey} IS NOT NULL)) AS unreferenced_parents
+    """
+
+
+@query(
+    "q_referential_integrity",
+    oracle=" UNION ALL ".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+    tags=("quality", "audit", "join"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the warehouse FK graph: for each
+    child->parent edge, count orphan child rows (FK with no parent — a
+    broken ingest) and unreferenced parent keys (dead dimension rows —
+    retention/debloat candidates). TPC-H data is clean, so orphan_rows
+    is 0 on every edge while unreferenced_parents is genuinely non-zero
+    (a third of customers have no orders).
+
+    Scale shape: per edge, one distinct-count agg per side plus two
+    anti-joins on the key — all partial-aggregated, key-partitioned
+    shuffles; the five 1-row edge results are crossJoined (each side is
+    a single row — trivially broadcast) and unioned. Nothing data-scale
+    ever reaches the driver; at 100 TB each edge is an independent DAG
+    branch and the whole audit is one job.
+    """
+    t = tables(spark, sf_dir)
+    frames = []
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        c, p = t[child], t[parent]
+        stats = c.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.countDistinct(ckey).alias("child_keys"),
+        ).crossJoin(p.agg(F.countDistinct(pkey).alias("parent_keys")))
+        orphans = (
+            c.select(F.col(ckey).alias("k"))
+            .join(p.select(F.col(pkey).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        unref = (
+            p.select(F.col(pkey).alias("k"))
+            .join(c.select(F.col(ckey).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("unreferenced_parents"))
+        )
+        frames.append(
+            stats.crossJoin(orphans)
+            .crossJoin(unref)
+            .select(
+                F.lit(edge).alias("edge"),
+                "child_rows",
+                "child_keys",
+                "parent_keys",
+                "orphan_rows",
+                "unreferenced_parents",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@query(
+    "q_bpe_merge_candidates",
+    oracle="""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, COUNT(*) AS cnt FROM words WHERE length(word) >= 2 GROUP BY word),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+      FROM wc, unnest(range(1, length(word))) AS u(i)
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT 20
+    """,
+    tags=("text", "tokenizer", "llm-data"),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step (the Sennrich et al. recipe):
+    count adjacent symbol pairs across the corpus, weighted by word
+    frequency, and emit the top-20 merge candidates (deterministic
+    tie-break by pair). Iterating this step — apply the winning merge,
+    recount — is exactly how production tokenizers are trained; the
+    expensive distributed piece is this count, and it re-runs unchanged
+    per iteration.
+
+    Scale shape: the word-frequency pre-aggregation is the whole trick —
+    pair counting runs over DISTINCT words (vocabulary-sized, ~millions)
+    instead of corpus tokens (trillions), a 10^5-plus reduction before
+    the pair explode. Both aggs are map-side combined; the final top-20
+    is a TakeOrdered (no global sort materialization).
+    """
+    d = tables(spark, sf_dir)["documents"]
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_repeated_ngram_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2]
+               || ' ' || w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4] AS gram
+      FROM t, unnest(range(1, len(w) - 3)) AS u(i)
+      WHERE len(w) >= 5
+    ),
+    rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    per_doc AS (SELECT doc_id, COUNT(*) AS total_spans FROM g GROUP BY doc_id),
+    hits AS (SELECT doc_id, COUNT(*) AS repeated_spans FROM g JOIN rep USING (gram) GROUP BY doc_id)
+    SELECT p.doc_id, p.total_spans, h.repeated_spans,
+           CAST(h.repeated_spans AS DOUBLE) / CAST(p.total_spans AS DOUBLE) AS repeat_ratio
+    FROM per_doc p JOIN hits h USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm-data"),
+)
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level repeated-n-gram detection — the signal behind
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"), re-expressed as positional
+    word-5-gram counting: a span is "repeated" if the same 5-gram occurs
+    in >= 2 distinct documents; per document, report how much of it is
+    covered by cross-document repeated spans. High repeat_ratio docs are
+    boilerplate/template candidates for span-level (not doc-level)
+    cleaning.
+
+    Scale shape: positional grams explode ~|tokens| rows per doc, but
+    they flow straight into two map-side-combined aggs (gram -> distinct
+    docs; doc -> span count) — no doc-pair term anywhere, unlike a
+    suffix-array build. The repeated-gram set joins back gram-hashed;
+    at 100 TB both joins are plain key-partitioned shuffles with AQE
+    skew splitting on hot boilerplate grams.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 5)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4), i -> "
+                "concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+            )
+        ).alias("gram"),
+    )
+    rep = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_spans"))
+    hits = g.join(rep, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("repeated_spans")
+    )
+    return per_doc.join(hits, "doc_id").select(
+        "doc_id",
+        "total_spans",
+        "repeated_spans",
+        (
+            F.col("repeated_spans").cast("double") / F.col("total_spans").cast("double")
+        ).alias("repeat_ratio"),
+    )
+
+
+@query(
+    "q_key_skew_profile",
+    oracle="""
+    WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT c.l_suppkey, c.cnt,
+           CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+    FROM c, tot
+    ORDER BY c.cnt DESC, c.l_suppkey ASC LIMIT 10
+    """,
+    tags=("quality", "skew", "profiling"),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profiler: per-key row counts for the
+    hottest 10 keys plus their share of the table. This is the
+    diagnostic run BEFORE choosing between a plain shuffle join, AQE
+    skew splitting, and `operators/salted.py` — the share column tells
+    you directly whether one key's partition exceeds executor memory at
+    target scale.
+
+    Scale shape: one map-side-combined count per key, one 1-row total
+    (crossJoined — broadcast of a single row), top-10 via TakeOrdered.
+    Deterministic tie-break (cnt desc, key asc) keeps the result set
+    stable under ties, so the oracle hash is exact.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(cnt) AS prev_total FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.cnt,
+           CAST(t.cnt AS DOUBLE) / CAST(tot.prev_total AS DOUBLE) AS prob
+    FROM trans t JOIN tot USING (prev_type)
+    """,
+    tags=("events", "window", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() within (user, event-time) order, count each
+    (prev -> next) pair, and normalize rows to transition probabilities.
+    The sessionized variant of this powers funnel discovery and
+    next-action models.
+
+    Scale shape: the lag window shuffles once on user_id (bounded state:
+    one previous row per partition stream); the transition counts are a
+    5x5-bounded agg, so the normalization join is trivially broadcast.
+    Deterministic ordering (ts, event_id tie-break) makes lag() — and
+    therefore the whole matrix — exactly reproducible across engines.
+    """
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("cnt").alias("prev_total"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("prev_total").cast("double")).alias("prob"),
+    )
+
+
+@query(
+    "q_incremental_cagg_merge",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "incremental", "lakehouse"),
+)
+def q_incremental_cagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the continuous
+    aggregate (hourly counts + exact decimal sums per event type) is
+    computed as base-partition partials PLUS delta-partition partials,
+    merged by re-aggregating the mergeable state (count-sum algebra) —
+    never by recomputing the base. The oracle IS the full recompute, so
+    the driver hash proves partial-merge == recompute exactly.
+
+    This is the lakehouse pattern for keeping a 100 TB rollup fresh:
+    only the newly-landed partition (here ts >= 2024-01-24) is scanned
+    per refresh; the base partials are read back from the materialized
+    store. Decimal sums make the merge exact regardless of merge order —
+    the same property that makes the partials safely re-mergeable
+    across arbitrarily many refresh cycles.
+
+    Scale shape: two independent partial aggs (each map-side combined,
+    pruned to its partition range — the delta scan reads only new
+    files), one union, one re-agg on the same (hour, type) key. AQE
+    coalesces the tiny merged stage.
+    """
+    e = tables(spark, sf_dir)["events"]
+    split = F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("sum_dec"),
+        )
+
+    base = partial(e.filter(F.col("ts") < split))
+    delta = partial(e.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )

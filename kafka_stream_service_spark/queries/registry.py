@@ -124,14 +124,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_pagerank_candidates",
     "q_kmeans_assign_int8",
     "q_kmeans_update_int8",
-    "q_text_unigram_logprob",
-    "q_decontaminate_ngram",
-    "q_training_corpus_pipeline",
-    "q_pack_sequences",
+    # quality_ops batch (added mid-round-5; displaced seven (c) drift
+    # entries that already carry green r4 verdicts — q_text_unigram_logprob,
+    # q_decontaminate_ngram, q_training_corpus_pipeline, q_pack_sequences,
+    # q_stream_incremental_dedup, q_stateful_running_totals_replay,
+    # q_salted_count_distinct)
+    "q_data_quality_report",
+    "q_referential_integrity",
+    "q_bpe_merge_candidates",
+    "q_repeated_ngram_spans",
+    "q_key_skew_profile",
+    "q_event_transitions",
+    "q_incremental_cagg_merge",
     "q_stream_dedup_then_window_replay",
-    "q_stream_incremental_dedup",
-    "q_stateful_running_totals_replay",
-    "q_salted_count_distinct",
     "q_split_leakage",
     "q_upsert_merge",
     "q_scd2_history",

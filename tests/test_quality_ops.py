@@ -1,0 +1,153 @@
+"""Edge cases for the audit / tokenizer / span-dedup operators
+(queries/quality_ops.py) that the clean driver fixtures never exercise:
+planted constraint violations, planted FK orphans, exact BPE pair
+arithmetic, planted repeated spans, and partial-merge == recompute.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from kafka_stream_service_spark.queries import QUERIES
+
+
+def test_data_quality_report_flags_planted_violations(spark, tmp_path):
+    rows = [
+        # (orderkey, custkey, totalprice, status, priority, date)
+        (1, 10, 100.0, "O", "1-URGENT", "1995-01-01"),
+        (1, None, -5.0, "X", "2-HIGH", "1990-06-01"),  # dup key, null FK, neg, bad status, old date
+        (2, 11, 50.0, "F", "1-URGENT", "1996-03-04"),
+        (3, 11, 0.0, "P", "3-MEDIUM", "1997-07-08"),  # 0 is non-positive
+    ]
+    df = spark.createDataFrame(
+        [(k, c, t, s, p, datetime.strptime(d, "%Y-%m-%d").date()) for k, c, t, s, p, d in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string, o_orderpriority string, o_orderdate date",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.metric: r.value
+        for r in QUERIES["q_data_quality_report"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out["row_count"] == 4.0
+    assert out["o_custkey_null_count"] == 1.0
+    assert out["o_orderkey_duplicate_rows"] == 1.0
+    assert out["o_totalprice_nonpositive"] == 2.0
+    assert out["o_orderstatus_invalid"] == 1.0
+    assert out["o_orderdate_out_of_range"] == 1.0
+    assert out["o_totalprice_min"] == -5.0 and out["o_totalprice_max"] == 100.0
+
+
+def test_referential_integrity_detects_planted_orphan(spark, tmp_path):
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    w("nation", "n_nationkey long", [(0,), (1,)])
+    w("customer", "c_custkey long, c_nationkey long", [(10, 0), (11, 1), (12, 1)])
+    # o_custkey=99 has no customer row -> one orphan on orders->customer
+    w("orders", "o_orderkey long, o_custkey long", [(100, 10), (101, 99)])
+    w("part", "p_partkey long", [(1,)])
+    w("supplier", "s_suppkey long", [(1,)])
+    w(
+        "lineitem",
+        "l_orderkey long, l_partkey long, l_suppkey long",
+        [(100, 1, 1), (101, 1, 1)],
+    )
+    out = {
+        r.edge: r
+        for r in QUERIES["q_referential_integrity"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    oc = out["orders->customer"]
+    assert oc.orphan_rows == 1
+    assert oc.child_rows == 2 and oc.child_keys == 2 and oc.parent_keys == 3
+    # customer 11 and 12 place no orders
+    assert oc.unreferenced_parents == 2
+    assert out["lineitem->orders"].orphan_rows == 0
+    assert out["customer->nation"].orphan_rows == 0
+
+
+def test_bpe_pair_counts_exact(spark, tmp_path):
+    """wc('ab')=2, wc('abc')=2 -> pair 'ab' = 2+2, 'bc' = 2; one-char
+    words contribute nothing."""
+    df = spark.createDataFrame(
+        [(1, "ab ab abc x", "en", "s"), (2, "abc y", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_bpe_merge_candidates"].spark_fn(spark, str(tmp_path)).collect()
+    counts = {r.pair: r.pair_count for r in rows}
+    assert counts == {"ab": 4, "bc": 2}
+    # ordering: count desc then pair asc
+    assert [r.pair for r in rows] == ["ab", "bc"]
+
+
+def test_repeated_ngram_spans_planted(spark, tmp_path):
+    """Docs 1 and 2 share the exact 5-gram 'a b c d e'; doc 3 shares
+    nothing and must not appear (inner join on hits)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x", "en", "s"),  # spans: [a b c d e], [b c d e x]
+            (2, "z a b c d e", "en", "s"),  # spans: [z a b c d], [a b c d e]
+            (3, "p q r s t", "en", "s"),  # 1 span, unique
+            (4, "too short", "en", "s"),  # no spans at all
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_repeated_ngram_spans"].spark_fn(spark, str(tmp_path)).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {1, 2}
+    for d in (1, 2):
+        assert by_doc[d].total_spans == 2
+        assert by_doc[d].repeated_spans == 1
+        assert by_doc[d].repeat_ratio == 0.5
+
+
+def test_incremental_merge_equals_full_recompute(spark, tmp_path):
+    """Partial-agg merge across the 2024-01-24 split must equal the
+    monolithic recompute exactly (decimal merge algebra), including on
+    the boundary hour that receives rows from BOTH sides."""
+    base = datetime(2024, 1, 23, 22, 30)
+    rows = []
+    for i in range(200):
+        # crosses the split at i==36 (23:00 + minutes): straddles both sides
+        ts = datetime(2024, 1, 23, 22, 0) + (i * (datetime(2024, 1, 24, 2, 0) - datetime(2024, 1, 23, 22, 0)) / 200)
+        rows.append((i, ts, i % 7, ["click", "view"][i % 2], round(0.01 * i, 2), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q_incremental_cagg_merge"].spark_fn(spark, str(tmp_path)).collect()
+    from pyspark.sql import functions as F
+
+    expected = (
+        df.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    )
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    assert sorted(map(tuple, out)) == sorted(map(tuple, expected))
+    # sanity: the fixture really does straddle the split
+    assert any(r.window_start >= datetime(2024, 1, 24, 0, 0) for r in out)
+    assert any(r.window_start < datetime(2024, 1, 24, 0, 0) for r in out)
+
+
+def test_event_transitions_probabilities_normalize(spark, sf_dir):
+    rows = QUERIES["q_event_transitions"].spark_fn(spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.prob
+    assert by_prev and all(abs(s - 1.0) < 1e-9 for s in by_prev.values())
+
+
+def test_key_skew_profile_ordering_and_shares(spark, sf_dir):
+    rows = QUERIES["q_key_skew_profile"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(0.0 < r.share < 1.0 for r in rows)
