@@ -78,6 +78,7 @@ HEADLINE = [
     "q_data_quality_report",
     "q_bpe_merge_candidates",
     "q_repeated_ngram_spans",
+    "q_embedding_outliers",
 ]
 
 
@@ -196,23 +197,30 @@ def main() -> None:
     # steal, GC); the median rejects one bad pass without letting a
     # lucky outlier understate steady-state cost (min-of-2 did — the
     # r1->r2 q01/q03 "regressions" were pass-to-pass variance)
+    # several queries localCheckpoint multi-consumer subtrees; the
+    # cached blocks are reclaimed by the ContextCleaner only after a
+    # driver GC notices the dropped references. Force one every 12
+    # queries so later queries measure steady-state compute, not the
+    # memory pressure of dozens of queries' orphaned checkpoint blocks
+    # (observed: +0.3-0.7 s inflation on the heavy tail with one GC per
+    # pass at 28 queries; at 49 queries the heavy graph/cluster queries
+    # doubled — 1.8 s steady-state vs 3.6 s measured mid-pass).
+    import gc
+
+    def reclaim() -> None:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
+            if qi % 12 == 0:
+                reclaim()
             fn = QUERIES[name].spark_fn
             t0 = time.time()
             force(fn(spark, sf_dir))
             runs[name].append(round(time.time() - t0, 3))
-        # several queries localCheckpoint multi-consumer subtrees; the
-        # cached blocks are reclaimed by the ContextCleaner only after a
-        # driver GC notices the dropped references. Force one per pass so
-        # later queries measure steady-state compute, not the memory
-        # pressure of ~40 queries' orphaned checkpoint blocks (observed:
-        # +0.3-0.7 s inflation on the heavy tail without this).
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        reclaim()
     timings = {name: sorted(ts)[len(ts) // 2] for name, ts in runs.items()}
 
     import tempfile

@@ -270,11 +270,10 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaning.
 
     Scale shape: positional grams explode ~|tokens| rows per doc, but
-    they flow straight into two map-side-combined aggs (gram -> distinct
-    docs; doc -> span count) — no doc-pair term anywhere, unlike a
-    suffix-array build. The repeated-gram set joins back gram-hashed;
-    at 100 TB both joins are plain key-partitioned shuffles with AQE
-    skew splitting on hot boilerplate grams.
+    they flow straight into map-side-combined aggs — no doc-pair term
+    anywhere, unlike a suffix-array build. Hot boilerplate grams skew
+    the gram partitions; the per-(gram, doc) pre-aggregation bounds any
+    gram's partition by its distinct-doc count before the window runs.
     """
     d = tables(spark, sf_dir)["documents"]
     t = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 5)
@@ -287,23 +286,32 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    rep = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_spans"))
-    hits = g.join(rep, "gram").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("repeated_spans")
-    )
-    return per_doc.join(hits, "doc_id").select(
-        "doc_id",
-        "total_spans",
-        "repeated_spans",
-        (
-            F.col("repeated_spans").cast("double") / F.col("total_spans").cast("double")
-        ).alias("repeat_ratio"),
+    # ONE explode feeding everything: per-(gram, doc) occurrence counts,
+    # then a gram-partitioned window supplies each row its gram's
+    # distinct-doc count (rows are unique per (gram, doc), so a plain
+    # window count IS countDistinct), then one doc-keyed agg. The naive
+    # form (gram-DF agg + join back + two per-doc aggs) re-executes the
+    # explode once per consumer: measured 2.2 s -> ~1.2 s at sf0.1.
+    gd = g.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    marked = gd.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("total_spans"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(F.lit(0))
+            ).alias("repeated_spans"),
+        )
+        .filter(F.col("repeated_spans") > 0)
+        .select(
+            "doc_id",
+            "total_spans",
+            "repeated_spans",
+            (
+                F.col("repeated_spans").cast("double")
+                / F.col("total_spans").cast("double")
+            ).alias("repeat_ratio"),
+        )
     )
 
 
@@ -450,5 +458,209 @@ def q_incremental_cagg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH quant AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+    ),
+    q8 AS (
+      SELECT vec_id, label, list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+      FROM quant
+    ),
+    pos AS (
+      SELECT label, vec_id, u.i AS pos, CAST(qv[CAST(u.i AS INT)] AS BIGINT) AS val
+      FROM q8, unnest(range(1, len(qv) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, pos, SUM(val) AS csum, COUNT(*) AS n
+      FROM pos GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT p.label, p.vec_id,
+             SUM((p.val * c.n - c.csum) * (p.val * c.n - c.csum)) AS dist_scaled
+      FROM pos p JOIN cent c USING (label, pos)
+      GROUP BY p.label, p.vec_id
+    )
+    SELECT label, vec_id, CAST(dist_scaled AS BIGINT) AS dist_scaled, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY dist_scaled DESC, vec_id) AS rank
+      FROM dist
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "curation", "llm-data"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection for corpus curation (the
+    centroid-distance filter from SemDeDup-style pipelines): per label,
+    find the 5 vectors farthest from their own class centroid. Run in
+    int8-quantized space with SCALED integer distances — comparing
+    (qv*n - sum)^2 instead of (qv - sum/n)^2 multiplies every distance
+    by n^2 (rank-invariant within a label) and keeps the whole query in
+    exact integer arithmetic, so the oracle hash has no float surface.
+
+    Scale shape: centroids are one posexplode + map-side-combined agg
+    (label x dim rows — tiny), collected per label into arrays and
+    broadcast back; per-vector distance is then a map-side zip_with.
+    The final top-5 window partitions by label. The corpus never
+    self-joins and never moves: one explode-agg shuffle + one broadcast.
+    """
+    from .corpus_ops import _quantized
+
+    q8 = _quantized(tables(spark, sf_dir)["embeddings"]).select("vec_id", "label", "qv")
+    pos = q8.select(
+        "label", "vec_id", F.posexplode("qv").alias("pos0", "val")
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("bigint").alias("val"))
+    cent = pos.groupBy("label", "pos").agg(
+        F.sum("val").alias("csum"), F.count(F.lit(1)).alias("n")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "csum"))), lambda s: s["csum"]
+        ).alias("csums"),
+        F.max("n").alias("n"),
+    )
+    dist = q8.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("csums"),
+                lambda q, s: (q.cast("bigint") * F.col("n") - s)
+                * (q.cast("bigint") * F.col("n") - s),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist_scaled"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist_scaled").desc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("label", "vec_id", "dist_scaled", "rank")
+    )
+
+
+_LEN_BUCKET_SQL = (
+    "CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 "
+    "WHEN n <= 128 THEN 128 ELSE 256 END"
+)
+
+
+@query(
+    "q_length_bucketing",
+    oracle=f"""
+    WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+    b AS (SELECT n, {_LEN_BUCKET_SQL} AS bucket FROM t)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n) AS BIGINT) AS pad_tokens,
+           CAST(SUM(bucket - n) AS DOUBLE) / CAST(bucket * COUNT(*) AS DOUBLE) AS pad_frac
+    FROM b GROUP BY bucket
+    """,
+    tags=("training", "packing", "llm-data"),
+)
+def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign each document to a fixed
+    power-of-two token-length bucket and account the padding waste of
+    batching within buckets (pad to bucket size) — the decision input
+    for inference/training batch shaping, complementing
+    `q_pack_sequences` (which eliminates padding by concatenation).
+    pad_frac per bucket is the fraction of computed tokens that would be
+    padding; compare against the single-bucket strategy's waste to size
+    the bucket ladder.
+
+    Scale shape: pure map-side bucket assignment + one combined agg to
+    <= 5 rows. The bucket ladder is a literal CASE, not a float log2 —
+    bit-identical across engines by construction.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    t = d.select(F.size(F.split("text", " ")).alias("n"))
+    b = t.select("n", F.expr(_LEN_BUCKET_SQL).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n")).cast("bigint").alias("pad_tokens"),
+        (
+            F.sum(F.col("bucket") - F.col("n")).cast("double")
+            / (F.col("bucket") * F.count(F.lit(1))).cast("double")
+        ).alias("pad_frac"),
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    ranked AS (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM wc
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM wc)
+    SELECT t.pct AS target_pct,
+           MIN(r.rank) AS vocab_size,
+           CAST(MIN(r.cum) AS BIGINT) AS covered_tokens,
+           CAST(MIN(r.cum) AS DOUBLE) / CAST(MIN(tot.total) AS DOUBLE) AS coverage
+    FROM ranked r, tot, (VALUES (50), (75), (90), (95), (99)) AS t(pct)
+    WHERE r.cum * 100 >= tot.total * t.pct
+    GROUP BY t.pct
+    """,
+    tags=("text", "tokenizer", "llm-data"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size planning for tokenizer design: the smallest
+    top-frequency vocabulary covering 50/75/90/95/99% of corpus token
+    occurrences. The coverage threshold compares cum*100 >= total*pct in
+    INTEGER arithmetic — no 0.9-is-not-representable float boundary can
+    flip a row between engines.
+
+    Scale shape: the corpus-sized stage is one map-side-combined word
+    count; the ranking window then runs over the VOCABULARY (millions of
+    rows, not trillions of tokens). The global-order window is
+    single-partition here; at 100 TB vocab scale, range-partition by
+    count band and prefix-sum the band totals (the same two-level trick
+    as sequence packing) — the semantics stay identical. Target rows
+    broadcast; qualifying rows collapse via MIN (cum is monotone in
+    rank, so MIN(cum) is exactly the first qualifying row's cum).
+    """
+    d = tables(spark, sf_dir)["documents"]
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    ranked = wc.select(
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    total = wc.agg(F.sum("cnt").alias("total"))
+    targets = spark.createDataFrame([(50,), (75,), (90,), (95,), (99,)], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") * 100 >= F.col("total") * F.col("pct"))
+        .groupBy(F.col("pct").alias("target_pct"))
+        .agg(
+            F.min("rank").alias("vocab_size"),
+            F.min("cum").cast("bigint").alias("covered_tokens"),
+            (F.min("cum").cast("double") / F.min("total").cast("double")).alias("coverage"),
         )
     )

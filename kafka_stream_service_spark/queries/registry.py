@@ -108,13 +108,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_simhash_portable",
     "q_knn_lsh_buckets_portable",
     "q_ivf_probe_portable",
-    "q_dedup_simhash",
-    "q_knn_lsh_buckets",
+    # (q_dedup_simhash / q_knn_lsh_buckets rotated out mid-round: their
+    # portable twins above carry hash verdicts for the same pipeline
+    # shapes, and their row counts were driver-observed r1-r4)
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_knn_ivf",
+    # quality_ops batch 2 (added mid-round-5)
+    "q_embedding_outliers",
+    "q_length_bucketing",
+    "q_vocab_coverage",
     # (c) flagship + family drift coverage
-    "q_agg_global_stats",
     "q_bucketed_join",
     "q_table_profile",
     "q_multi_format_join",

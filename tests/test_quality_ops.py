@@ -151,3 +151,60 @@ def test_key_skew_profile_ordering_and_shares(spark, sf_dir):
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert all(0.0 < r.share < 1.0 for r in rows)
+
+
+def test_embedding_outliers_planted(spark, tmp_path):
+    """Three tight vectors + one far vector in label 0: the far one must
+    rank first; scaled distances are exact integers."""
+    rows = [
+        (1, [10.0, 0.0], 0),
+        (2, [10.0, 1.0], 0),
+        (3, [10.0, -1.0], 0),
+        (4, [-127.0, 90.0], 0),  # the planted outlier
+        (5, [5.0, 5.0], 1),
+        (6, [5.0, 6.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["q_embedding_outliers"].spark_fn(spark, str(tmp_path)).collect()
+    label0 = sorted([r for r in out if r.label == 0], key=lambda r: r.rank)
+    assert label0[0].vec_id == 4 and label0[0].rank == 1
+    # distances are scaled by n^2: rank-invariant, integer-exact
+    assert all(isinstance(r.dist_scaled, int) for r in out)
+    # every label emits at most 5 rows
+    from collections import Counter
+
+    assert all(v <= 5 for v in Counter(r.label for r in out).values())
+
+
+def test_length_bucketing_boundaries(spark, tmp_path):
+    docs = [
+        (1, " ".join(["w"] * 16), "en", "s"),  # exactly 16 -> bucket 16, pad 0
+        (2, " ".join(["w"] * 17), "en", "s"),  # 17 -> bucket 32, pad 15
+        (3, " ".join(["w"] * 200), "en", "s"),  # >128 -> bucket 256
+        (4, "one", "en", "s"),  # 1 -> bucket 16, pad 15
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.bucket: r for r in QUERIES["q_length_bucketing"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[16].n_docs == 2 and out[16].pad_tokens == 15
+    assert out[32].n_docs == 1 and out[32].pad_tokens == 15
+    assert out[256].n_docs == 1 and out[256].pad_tokens == 56
+    assert out[16].pad_frac == 15 / 32
+
+
+def test_vocab_coverage_exact_thresholds(spark, tmp_path):
+    """10 'a' + 6 'b' + 4 'c' = 20 tokens. Integer thresholds: 50% needs
+    {a} (10*100 >= 20*50), 75% needs {a,b} (16*100 >= 20*75), 99% needs
+    all three."""
+    spark.createDataFrame(
+        [(1, " ".join(["a"] * 10 + ["b"] * 6 + ["c"] * 4), "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.target_pct: r for r in QUERIES["q_vocab_coverage"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[50].vocab_size == 1 and out[50].covered_tokens == 10
+    assert out[75].vocab_size == 2 and out[75].covered_tokens == 16
+    assert out[90].vocab_size == 3 and out[90].covered_tokens == 20  # 16*100 < 20*90
+    assert out[99].vocab_size == 3 and out[99].covered_tokens == 20
