@@ -275,7 +275,9 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram partitions; the per-(gram, doc) pre-aggregation bounds any
     gram's partition by its distinct-doc count before the window runs.
     """
-    d = tables(spark, sf_dir)["documents"]
+    from ..operators.dedup import _spread
+
+    d = _spread(tables(spark, sf_dir)["documents"])
     t = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 5)
     g = t.select(
         "doc_id",
@@ -515,9 +517,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final top-5 window partitions by label. The corpus never
     self-joins and never moves: one explode-agg shuffle + one broadcast.
     """
+    from ..operators.dedup import _spread
     from .corpus_ops import _quantized
 
-    q8 = _quantized(tables(spark, sf_dir)["embeddings"]).select("vec_id", "label", "qv")
+    q8 = _quantized(_spread(tables(spark, sf_dir)["embeddings"])).select(
+        "vec_id", "label", "qv"
+    )
     pos = q8.select(
         "label", "vec_id", F.posexplode("qv").alias("pos0", "val")
     ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("bigint").alias("val"))

@@ -385,3 +385,76 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("ewma_den"),
         (num.cast("double") / den).alias("ewma_cents"),
     )
+
+
+_X0 = 1_704_067_200  # epoch seconds of 2024-01-01 (fixture window start)
+
+
+@query(
+    "q_groupwise_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) - {_X0} AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+    FROM s
+    """,
+    tags=("timeseries", "regression", "analytics"),
+)
+def q_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time, kept EXACT
+    by emitting the slope as an integer rational (numerator n*Sxy-Sx*Sy,
+    denominator n*Sxx-Sx²) before the single final IEEE division — the
+    closed-form normal equations, not an iterative fit. Two integer
+    disciplines keep bigints in range and both engines identical:
+    x is centered on the fixture window start (un-centered epoch²
+    sums overflow int64 at ~700 points/user) — a shift that provably
+    does not change the slope — and y is the 2-decimal value scaled to
+    integer cents.
+
+    Scale shape: the five sufficient statistics are one map-side
+    combined agg (the same partial-merge algebra every distributed
+    regression uses); slope math is per-group scalar arithmetic on the
+    1-row-per-user result. One shuffle total, no iteration, no float
+    accumulation anywhere.
+    """
+    e = tables(spark, sf_dir)["events"]
+    pts = e.select(
+        "user_id",
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000") - F.lit(_X0)
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "user_id",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+    )

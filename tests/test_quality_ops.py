@@ -208,3 +208,23 @@ def test_vocab_coverage_exact_thresholds(spark, tmp_path):
     assert out[75].vocab_size == 2 and out[75].covered_tokens == 16
     assert out[90].vocab_size == 3 and out[90].covered_tokens == 20  # 16*100 < 20*90
     assert out[99].vocab_size == 3 and out[99].covered_tokens == 20
+
+
+def test_groupwise_regression_exact_line(spark, tmp_path):
+    """Perfect line y_cents = 3x gives the exact rational 3/1 (slope
+    3.0, cents/sec); a single-point user has den=0 -> NULL slope."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    from datetime import timedelta
+
+    rows = []
+    for i, sec in enumerate((0, 60, 120, 300)):
+        rows.append((i, base + timedelta(seconds=sec), 1, "click", 0.03 * sec, "{}"))
+    rows.append((99, base, 2, "view", 5.0, "{}"))  # lone point: no slope
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.user_id: r for r in QUERIES["q_groupwise_regression"].spark_fn(spark, str(tmp_path)).collect()}
+    u1 = out[1]
+    assert u1.slope_num / u1.slope_den == 3.0 and u1.slope == 3.0
+    assert out[2].slope is None and out[2].slope_den == 0
