@@ -113,11 +113,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # shapes, and their row counts were driver-observed r1-r4)
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
-    "q_knn_ivf",
+    # (q_knn_ivf rotated out late round-5 for q_groupwise_regression:
+    # its probe step carries a hash verdict via q_ivf_probe_portable
+    # and its rows were driver-observed r3/r4)
     # quality_ops batch 2 (added mid-round-5)
     "q_embedding_outliers",
     "q_length_bucketing",
     "q_vocab_coverage",
+    "q_groupwise_regression",
     # (c) flagship + family drift coverage
     "q_bucketed_join",
     "q_table_profile",
