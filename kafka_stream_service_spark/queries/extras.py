@@ -312,3 +312,49 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("text")).cast("bigint").alias("total_bytes"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@query(
+    "q_text_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "text", "format"),
+)
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink coverage — the log-line / WET-extract
+    ingest shape: documents serialized as one TAB-delimited line each
+    (``doc_id \\t lang \\t text``) through ``write.text`` and parsed
+    back from raw lines with a bounded ``split(_, tab, 3)`` (limit 3 so
+    the free-text tail is never split, the standard log-parse guard).
+    The oracle states the aggregate over the ORIGINAL table, so any
+    parse loss — a swallowed line, a mis-split field, a mangled
+    doc_id — flips counts, char totals, or key bounds.
+
+    At 100 TB: text is the lowest-common-denominator interchange format;
+    the scan parallelizes per line-split like any file source, the parse
+    is one map-side projection (no inference pass), and the single
+    ``value`` column means column pruning has nothing to prune — reach
+    for parquet the moment fields are accessed independently.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    path = work_dir("text_rt", sf_dir) + "/docs_txt"
+    d.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    back = spark.read.text(path).select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -228,3 +228,47 @@ def test_boilerplate_broadcasts_df_flags(spark):
     back onto the corpus instance stream."""
     df = QUERIES["q_boilerplate_bigrams"].spark_fn(spark, SF)
     assert_broadcast_join(df, at_least=1)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB a selective dim-side predicate should reach the fact
+    scan as a runtime bloom filter when the join can't broadcast —
+    Spark's InjectRuntimeFilter does this, gated on the application
+    side looking scan-heavy (>= 10 GB by default). Locally the fixture
+    never crosses that gate, so pin the thresholds and assert the
+    might_contain filter lands on the fact side AND the result is
+    unchanged — proving the engine configuration keeps this scale path
+    available."""
+    from kafka_stream_service_spark.tables import tables
+    from pyspark.sql import functions as F
+
+    t = tables(spark, SF)
+    li, o = t["lineitem"], t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+
+    def run():
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        return j, j.collect()
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    baseline_df, baseline = run()
+    assert "might_contain" not in physical_plan(baseline_df)
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1b"
+        )
+        filtered_df, filtered = run()
+        assert "might_contain" in physical_plan(filtered_df)
+        assert sorted(map(tuple, filtered)) == sorted(map(tuple, baseline))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
