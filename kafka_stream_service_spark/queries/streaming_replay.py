@@ -714,3 +714,66 @@ def q_stream_dedup_then_window_replay(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return _run_to_memory(spark, agg, base, shuffle_partitions=8)
+
+
+@query(
+    "q_stream_semi_join_replay",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+      )
+    """,
+    tags=("streaming", "join", "semi", "replay"),
+)
+def q_stream_semi_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — "purchases preceded by a
+    click within the hour", emitted once per purchase no matter how many
+    clicks matched. This is the streaming form of the attribution
+    EXISTS-filter (and the third member of the stream-stream join family
+    after inner and left-outer): semi-join state keeps only a
+    matched/unmatched bit per buffered left row, so it is strictly
+    cheaper than the inner join's full match materialization.
+
+    As with the inner replay, the 90-day watermark exceeds the fixture's
+    event-time span: no state eviction can precede a partner's arrival,
+    so the streamed result must EXACTLY equal the batch EXISTS query the
+    oracle states — duplicate emission (broken once-per-left semantics)
+    or a lost buffered row flips the hash.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
+    base = work_dir("ssemijoin", sf_dir)
+    flat = _write_chunks(
+        [ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)], base
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "90 days")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "90 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    ).select("purchase_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(spark, joined, base, shuffle_partitions=4)
