@@ -129,7 +129,10 @@ def integer_pagerank(
         .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("id"), "deg")
+    # checkpointed: every iteration joins `nodes` (and the final ranks
+    # derive from it) — without the barrier the degree groupBy re-runs
+    # once per iteration per consumer
+    nodes = deg.select(F.col("src").alias("id"), "deg").localCheckpoint(eager=False)
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select("id", "deg", F.lit(scale).cast("bigint").alias("rank"))
     for _ in range(iterations):
