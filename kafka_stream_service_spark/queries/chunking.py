@@ -150,18 +150,21 @@ def q_boilerplate_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the single-split fixture scan across cores before the explode
     # (no-op on many-split inputs at scale)
     d = _spread(tables(spark, sf_dir)["documents"])
-    toks = F.split(F.col("text"), " ")
+    # token array in its OWN projection — referenced once inside the
+    # per-position lambda, the raw split() would be inlined and re-split
+    # the text per bigram position (the decontaminate O(len^2) trap)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     # docs with < 2 tokens produce zero bigrams on both engines (the
     # oracle's range(0, greatest(n-1, 0)) is empty); filter here because
     # Spark's sequence(0, -1) would DESCEND instead of being empty
     inst = (
-        d.filter(F.size(toks) >= 2)
+        t.filter(F.size("w") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.array_join(F.slice(F.col("w"), i + 1, 2), " "),
                 )
             ).alias("g"),
         )

@@ -72,15 +72,17 @@ def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _spread
 
     d = _spread(tables(spark, sf_dir)["documents"])
-    toks = F.split(F.col("text"), " ")
+    # token array materialized in its own projection (decontaminate's
+    # O(len^2) inline-split trap — the lambda would re-split per position)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     sh = (
-        d.filter(F.size(toks) >= SHINGLE_N)
+        t.filter(F.size("w") >= SHINGLE_N)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
-                    lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_N), " "),
+                    F.sequence(F.lit(0), F.size("w") - SHINGLE_N),
+                    lambda i: F.array_join(F.slice(F.col("w"), i + 1, SHINGLE_N), " "),
                 )
             ).alias("g"),
         )
