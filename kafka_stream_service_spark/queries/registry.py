@@ -112,7 +112,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # portable twins above carry hash verdicts for the same pipeline
     # shapes, and their row counts were driver-observed r1-r4)
     "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
+    # (q_dedup_clusters rotated out late round-5 for the new
+    # q_stream_semi_join_replay: clusters' rows were driver-observed
+    # r2-r4 and its fixpoint carries a hash verdict via
+    # q_dedup_clusters_portable; minhash stays as the rows-only sentinel)
+    "q_stream_semi_join_replay",
     # (q_knn_ivf rotated out late round-5 for q_groupwise_regression:
     # its probe step carries a hash verdict via q_ivf_probe_portable
     # and its rows were driver-observed r3/r4)
