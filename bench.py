@@ -210,6 +210,11 @@ def main() -> None:
     def reclaim() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        # ContextCleaner removes the newly-unreferenced checkpoint/shuffle
+        # blocks on a BACKGROUND thread — without a settle pause that
+        # cleanup overlaps (and bills itself to) the next timed query;
+        # observed as late-pass queries measuring 2-3x their solo cost
+        time.sleep(0.3)
 
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
