@@ -46,6 +46,10 @@ def _pin_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NOTE: spark.sql.codegen.cache.maxEntries (see session.py) is a
+    # STATIC conf — it cannot be pinned here on a live session; sessions
+    # built outside get_spark() keep the 100-entry default (a perf,
+    # never a correctness, difference).
 
 
 def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
