@@ -184,19 +184,21 @@ def run_pipeline_with_dlq(
     and offline inspection), while good rows continue through
     transform -> encode unchanged.
 
-    Both returned frames derive from one shared PLAN — but in the batch
-    path that plan is re-executed per consumed frame: collecting both
-    ``out`` and ``dead`` runs the lenient decode UDF twice over every
-    row (deterministic, so still correct). Callers consuming both lanes
-    eagerly should persist/localCheckpoint ``out``'s parent themselves,
-    or split inside ``foreachBatch`` — the streaming form — where the
-    micro-batch is materialized once and genuinely decoded once.
+    On the batch path the decoded frame is lineage-truncated
+    (localCheckpoint, lazy), so consuming BOTH lanes executes the
+    lenient-decode Arrow pass ONCE — without the barrier, each consumed
+    lane re-ran the decode UDF over every row (deterministic, so
+    correct, but the decode is the expensive Arrow crossing). Streaming
+    frames cannot checkpoint this way; there the split belongs inside
+    ``foreachBatch``, where the micro-batch is materialized once.
     """
     from .codec import decode_message_lenient
 
     decoded = frames.select(
         F.col("value").alias("_raw"), decode_message_lenient(F.col("value")).alias("msg")
     )
+    if not decoded.isStreaming:
+        decoded = decoded.localCheckpoint(eager=False)
     dead = decoded.filter(F.col("msg.error").isNotNull()).select(
         F.col("_raw").alias("value"), F.col("msg.error").alias("error")
     )
