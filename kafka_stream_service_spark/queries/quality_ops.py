@@ -636,13 +636,18 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a row between engines.
 
     Scale shape: the corpus-sized stage is one map-side-combined word
-    count; the ranking window then runs over the VOCABULARY (millions of
-    rows, not trillions of tokens). The global-order window is
-    single-partition here; at 100 TB vocab scale, range-partition by
-    count band and prefix-sum the band totals (the same two-level trick
-    as sequence packing) — the semantics stay identical. Target rows
-    broadcast; qualifying rows collapse via MIN (cum is monotone in
-    rank, so MIN(cum) is exactly the first qualifying row's cum).
+    count; everything after runs over the VOCABULARY (millions of rows,
+    not trillions of tokens) — and with NO global-order window: ranking
+    is two-level. Words with equal count form a band; within a band the
+    row_number window partitions BY the count (parallel across bands),
+    and the tiny per-band totals frame (one row per distinct count)
+    carries the prefix sums. Because every word in a band has the same
+    count, the running total at in-band rank r is prior_sum + r*cnt —
+    exact, no per-row cumsum anywhere. The same decomposition holds at
+    any scale; only the band-totals frame (bounded by distinct count
+    values) sees a single-partition window. Target rows broadcast;
+    qualifying rows collapse via MIN (cum is monotone in rank, so
+    MIN(cum) is exactly the first qualifying row's cum).
     """
     d = tables(spark, sf_dir)["documents"]
     wc = (
@@ -650,11 +655,23 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
-    ranked = wc.select(
+    in_band = F.row_number().over(Window.partitionBy("cnt").orderBy(F.col("word").asc()))
+    banded = wc.select("word", "cnt", in_band.alias("rb"))
+    bands = wc.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n_words"), F.sum("cnt").alias("band_sum")
+    )
+    bw = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    band_prefix = bands.select(
         "cnt",
-        F.row_number().over(w).alias("rank"),
-        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        (F.sum("n_words").over(bw) - F.col("n_words")).alias("prior_words"),
+        (F.sum("band_sum").over(bw) - F.col("band_sum")).alias("prior_sum"),
+    )
+    ranked = banded.join(F.broadcast(band_prefix), "cnt").select(
+        "cnt",
+        (F.col("prior_words") + F.col("rb")).alias("rank"),
+        (F.col("prior_sum") + F.col("rb") * F.col("cnt")).alias("cum"),
     )
     total = wc.agg(F.sum("cnt").alias("total"))
     targets = spark.createDataFrame([(50,), (75,), (90,), (95,), (99,)], "pct int")
