@@ -228,3 +228,39 @@ def test_groupwise_regression_exact_line(spark, tmp_path):
     u1 = out[1]
     assert u1.slope_num / u1.slope_den == 3.0 and u1.slope == 3.0
     assert out[2].slope is None and out[2].slope_den == 0
+
+
+def test_text_roundtrip_preserves_tab_in_text(spark, tmp_path):
+    """The bounded split(_, tab, 3) must keep a TAB inside the free-text
+    tail intact instead of truncating the document at it."""
+    docs = [(7, "before\tafter the tab", "en", "s"), (8, "plain words", "de", "s")]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in QUERIES["q_text_roundtrip"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out["en"].n_docs == 1 and out["en"].total_chars == len("before\tafter the tab")
+    assert out["de"].min_doc == 8
+
+
+def test_stream_semi_join_emits_once_per_left(spark, tmp_path):
+    """One purchase with THREE in-window clicks must appear exactly once;
+    a purchase whose only click came after it must not appear."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # purchase 100 at 12:00 with clicks at 11:10/11:30/11:50 (3 matches)
+        (100, base, 1, "purchase", 1.0, "{}"),
+        (2, base - timedelta(minutes=50), 1, "click", 1.0, "{}"),
+        (4, base - timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        (6, base - timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        # purchase 101: click exists but AFTER the purchase -> no match
+        (101, base, 2, "purchase", 1.0, "{}"),
+        (8, base + timedelta(minutes=5), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q_stream_semi_join_replay"].spark_fn(spark, str(tmp_path)).collect()
+    assert [(r.purchase_id, r.user_id) for r in out] == [(100, 1)]
