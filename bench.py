@@ -257,6 +257,11 @@ def main() -> None:
                         "includes the replay harness (chunk write + checkpointed "
                         "2-batch streaming run), not just the session aggregation"
                     ),
+                    "variance": (
+                        "single-JVM medians on this shared host swing +/-30% "
+                        "between whole-process runs (q01 measured 1.2-1.7 s same "
+                        "code); compare totals and trends, not single cells"
+                    ),
                 },
             }
         )

@@ -686,3 +686,70 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cum").cast("double") / F.min("total").cast("double")).alias("coverage"),
         )
     )
+
+
+@query(
+    "q_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.05) AS lo,
+             quantile_disc(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(b.lo AS DOUBLE) AS p05,
+           CAST(b.hi AS DOUBLE) AS p95,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l.l_extendedprice < b.lo) AS clipped_low,
+           COUNT(*) FILTER (WHERE l.l_extendedprice > b.hi) AS clipped_high,
+           CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+                    AS DECIMAL(12,2))) AS DOUBLE) AS winsorized_sum
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+    tags=("quality", "robust-stats", "aggregation"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) aggregation — the robust-statistics
+    recipe for metrics that must not be dragged by tail rows: clip each
+    group's values at its own exact 5th/95th DISCRETE percentiles, then
+    aggregate. percentile_disc picks actual data values (identical
+    definition in Spark and DuckDB, so the bounds — and therefore every
+    clip decision — are bit-exact), and the clipped values stay
+    2-decimal money, so the winsorized sum runs in exact DECIMAL.
+
+    Scale shape: exact per-group percentiles are one sort-based agg per
+    group (Spark's percentile_disc aggregates per group; at extreme
+    cardinality swap approx_percentile per audit policy); the tiny
+    bounds table broadcasts back onto the fact stream, and clipping is
+    map-side. Two shuffles total (bounds agg, final agg).
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "lo",
+        "hi",
+        dec(F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))).alias(
+            "wval"
+        ),
+    )
+    return clipped.groupBy("l_returnflag", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias("clipped_low"),
+        F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias("clipped_high"),
+        F.sum("wval").cast("double").alias("winsorized_sum"),
+    ).select(
+        "l_returnflag",
+        F.col("lo").cast("double").alias("p05"),
+        F.col("hi").cast("double").alias("p95"),
+        "n_rows",
+        "clipped_low",
+        "clipped_high",
+        "winsorized_sum",
+    )
