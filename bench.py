@@ -79,6 +79,7 @@ HEADLINE = [
     "q_bpe_merge_candidates",
     "q_repeated_ngram_spans",
     "q_embedding_outliers",
+    "q_jaccard_prefix_join",
 ]
 
 

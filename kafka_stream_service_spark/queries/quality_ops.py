@@ -753,3 +753,120 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clipped_high",
         "winsorized_sum",
     )
+
+
+@query(
+    "q_jaccard_prefix_join",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS tok
+      FROM t, unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.inter,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+    FROM pair p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE 10 * p.inter >= 7 * (sa.n + sb.n - p.inter)
+    """,
+    tags=("dedup", "similarity", "llm-data"),
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/Chaudhuri recipe): all document pairs with trigram-set Jaccard
+    >= 0.7, found WITHOUT an all-pairs comparison. Tokens are globally
+    ordered by (document frequency asc, token asc); a pair at Jaccard
+    >= t must share a token within each side's first
+    n - ceil(t*n) + 1 tokens, so only prefix-token collisions become
+    candidates, and candidates are then verified exactly.
+
+    This is the scalable EXACT tier of the near-dup stack: MinHash+LSH
+    (operators/dedup.py) approximates with recall bounds; this operator
+    proves the same >= t decision exactly, with the prefix filter — not
+    a quadratic scan — bounding the candidate set. The oracle computes
+    the naive all-shared-token join, so a prefix that is even one token
+    too short (a completeness bug) loses a pair and flips the hash.
+    Every threshold decision is INTEGER (ceil(7n/10) = (7n+9) div 10;
+    accept iff 10*inter >= 7*union) — no float boundary can disagree.
+
+    Scale shape: rare-first ordering makes prefix collisions rare by
+    construction (the frequent tokens that would explode the self-join
+    are exactly the ones pushed OUT of prefixes); verification work is
+    sum(|A|+|B|) over surviving candidates. Shuffles: distinct, DF agg,
+    DF join-back, per-doc position window, prefix self-join, two
+    verification joins — each key-partitioned, nothing quadratic.
+    """
+    from ..operators.dedup import _spread
+
+    d = _spread(tables(spark, sf_dir)["documents"])
+    t = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
+    tok = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    )
+    ordered = tok.join(df, "tok").select("doc_id", "tok", pos.alias("pos"))
+    prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
+    pref = ordered.join(sz, "doc_id").filter(F.col("pos") <= prefix_len).select("doc_id", "tok")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # PPJoin length filter: Jaccard >= 7/10 forces 10*|B| >= 7*(|A|+|B|-|B|)
+    # in the best case inter=|B| (B subset of A), i.e. 10*min >= 7*max —
+    # candidates with incompatible sizes never reach verification
+    cand = (
+        cand.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(10 * F.least("na", "nb") >= 7 * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+    )
+    ca = cand.join(tok.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a")
+    inter = (
+        ca.join(tok.select(F.col("doc_id").alias("doc_b"), "tok"), ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("size_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("size_b")), "doc_b")
+        .filter(
+            10 * F.col("inter") >= 7 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "size_a",
+        "size_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -135,7 +135,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_multi_format_join",
     "q_zorder_cells",
     "q_histogram_equidepth",
-    "q_hard_negatives",
+    # (q_hard_negatives rotated out late round-5 for the new exact
+    # prefix-filtered Jaccard join; hard_negatives carries a green r4
+    # verdict and stays pytest/bench-covered)
+    "q_jaccard_prefix_join",
     "q_pagerank_candidates",
     "q_kmeans_assign_int8",
     "q_kmeans_update_int8",
