@@ -870,3 +870,112 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
         ).alias("jaccard"),
     )
+
+
+@query(
+    "q_corpus_drift_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, doc_id % 2 AS half, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, token,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM tok GROUP BY lang, token
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb,
+             COUNT(*) AS v
+      FROM c GROUP BY lang
+    ),
+    terms AS (
+      SELECT c.lang, c.token,
+             (CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE))
+               * ln((CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE))
+                    / (CAST(c.cb + 1 AS DOUBLE) / CAST(t.tb + t.v AS DOUBLE))) AS term
+      FROM c JOIN tot t USING (lang)
+    ),
+    ranked AS (
+      SELECT lang, token, term,
+             (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY token) - 1) // 256 AS chunk
+      FROM terms
+    ),
+    chunks AS (
+      SELECT lang, chunk, list_sum(list(term ORDER BY token)) AS chunk_sum
+      FROM ranked GROUP BY lang, chunk
+    )
+    SELECT k.lang, t.v AS vocab, t.ta AS tokens_a, t.tb AS tokens_b,
+           round(list_sum(list(k.chunk_sum ORDER BY k.chunk)), 6) AS kl_ab
+    FROM (SELECT lang, chunk, chunk_sum FROM chunks) k
+    JOIN tot t USING (lang)
+    GROUP BY k.lang, t.v, t.ta, t.tb
+    """,
+    tags=("quality", "drift", "llm-data"),
+)
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus drift monitor: per-language KL divergence between
+    the token distributions of two deterministic corpus snapshots (the
+    doc_id-parity halves standing in for yesterday's crawl vs today's).
+    Laplace add-1 smoothing over the union vocabulary keeps every term
+    finite; a drifting source shows up as a KL jump long before model
+    metrics move — the standard pre-training data health check.
+
+    Determinism: the only float surface is the per-token
+    p*ln(p/q) term (identical single divisions on identical integers,
+    same ln), summed in a PINNED order via the same two-level chunked
+    fold as q_text_unigram_logprob — tokens ranked per lang, 256-token
+    chunks folded in token order, chunk partials folded in chunk order,
+    6-digit round. Identical fold tree on both engines.
+
+    Scale shape: one explode into a map-side-combined (lang, token,
+    conditional-count) agg — the halves never join, they are columns of
+    one pass; totals are a lang-keyed second agg broadcast back. The
+    chunk machinery bounds per-row state at 256 structs regardless of
+    vocabulary size.
+    """
+    from pyspark.sql import Window as W
+
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    c = tok.groupBy("lang", "token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = c.groupBy("lang").agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = c.join(F.broadcast(tot), "lang")
+    pa = (F.col("ca") + 1).cast("double") / (F.col("ta") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("tb") + F.col("v")).cast("double")
+    terms = j.select("lang", "token", (pa * F.log(pa / pb)).alias("term"))
+    rank = F.row_number().over(W.partitionBy("lang").orderBy("token"))
+    ranked = terms.withColumn("chunk", F.floor((rank - F.lit(1)) / F.lit(256)))
+
+    def sorted_fold(struct_col, field):
+        return F.aggregate(
+            F.transform(F.sort_array(F.collect_list(struct_col)), lambda s: s[field]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    chunks = ranked.groupBy("lang", "chunk").agg(
+        sorted_fold(F.struct("token", "term"), "term").alias("chunk_sum")
+    )
+    out = chunks.groupBy("lang").agg(
+        F.round(sorted_fold(F.struct("chunk", "chunk_sum"), "chunk_sum"), 6).alias("kl_ab")
+    )
+    return out.join(F.broadcast(tot), "lang").select(
+        "lang",
+        F.col("v").alias("vocab"),
+        F.col("ta").alias("tokens_a"),
+        F.col("tb").alias("tokens_b"),
+        "kl_ab",
+    )
