@@ -979,3 +979,46 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tb").alias("tokens_b"),
         "kl_ab",
     )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+    tags=("aggregation", "statistics"),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group (most frequent order priority per
+    order status) with a DETERMINISTIC tie-break — the reason not to use an
+    engine's built-in mode(): on ties both Spark's and DuckDB's pick is
+    implementation-defined, so the portable form is count + rank with a
+    total order (cnt desc, value asc).
+
+    Scale shape: one map-side-combined (group, value) count, then a
+    window over groups whose state is the per-group distinct-value set —
+    the exact two-phase decomposition a built-in mode aggregate runs
+    internally."""
+    o = tables(spark, sf_dir)["orders"]
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
