@@ -80,6 +80,8 @@ HEADLINE = [
     "q_repeated_ngram_spans",
     "q_embedding_outliers",
     "q_jaccard_prefix_join",
+    "q_winsorized_stats",
+    "q_corpus_drift_kl",
 ]
 
 

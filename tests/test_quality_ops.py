@@ -264,3 +264,62 @@ def test_stream_semi_join_emits_once_per_left(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     out = QUERIES["q_stream_semi_join_replay"].spark_fn(spark, str(tmp_path)).collect()
     assert [(r.purchase_id, r.user_id) for r in out] == [(100, 1)]
+
+
+def test_jaccard_prefix_join_finds_planted_pair(spark, tmp_path):
+    """Two docs sharing most trigrams must pair with the exact Jaccard;
+    an unrelated doc must not appear anywhere."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"  # differs in last token
+    c = "one two three four five six seven eight"
+    spark.createDataFrame(
+        [(1, a, "en", "s"), (2, b, "en", "s"), (3, c, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_jaccard_prefix_join"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 6 trigrams each, 5 shared -> J = 5/7 >= 0.7
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.inter == 5 and r.size_a == 6 and r.size_b == 6
+    assert r.jaccard == 5 / 7
+
+
+def test_winsorized_stats_clips_planted_outliers(spark, tmp_path):
+    """20 values of 10.00 plus outliers 0.01 and 9999.99: the discrete
+    p05/p95 are 10.00, so both outliers clip and the winsorized sum is
+    exactly 22 * 10.00."""
+    rows = [(i, "A", 10.0) for i in range(20)] + [(90, "A", 0.01), (91, "A", 9999.99)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["q_winsorized_stats"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.p05 == 10.0 and r.p95 == 10.0
+    assert r.clipped_low == 1 and r.clipped_high == 1
+    assert r.winsorized_sum == 220.0
+
+
+def test_corpus_drift_identical_halves_zero_kl(spark, tmp_path):
+    """Identical token distributions in both halves -> KL exactly 0.0
+    (every term ln(1) = 0; smoothing keeps p == q when counts match)."""
+    text = "x y z x y"
+    docs = [(0, text, "en", "s"), (1, text, "en", "s")]  # parity halves identical
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["q_corpus_drift_kl"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].kl_ab == 0.0
+
+
+def test_mode_per_group_deterministic_tie_break(spark, tmp_path):
+    """Equal counts must resolve to the alphabetically first value, not
+    an engine-defined pick."""
+    rows = [(1, "O", "2-HIGH"), (2, "O", "1-URGENT"), (3, "F", "3-MEDIUM")]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.o_orderstatus: r for r in QUERIES["q_mode_per_group"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out["O"].mode_priority == "1-URGENT" and out["O"].mode_count == 1
+    assert out["F"].mode_priority == "3-MEDIUM"
