@@ -30,13 +30,27 @@ def asof_join(
     right_cols: tuple[str, ...] = (),
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` (or ``<`` when ``strict``) per ``on`` key.
+    """For each left row, attach the nearest right row per ``on`` key:
+    ``direction="backward"`` (default) takes the latest right with
+    ``right_ts <= left_ts`` (``<`` when ``strict``);
+    ``direction="forward"`` takes the earliest right with
+    ``right_ts >= left_ts`` (``>`` when ``strict``) — the same one-shuffle
+    union-tag composition iterated in descending time order.
+
+    ``tiebreak`` (a right column name) pins which right row wins among
+    equal timestamps: largest wins backward, smallest wins forward —
+    matching ``ORDER BY ts DESC, tb DESC LIMIT 1`` /
+    ``ORDER BY ts ASC, tb ASC LIMIT 1`` respectively. Without it, equal
+    timestamps resolve in partition order (fine for unique-ts data).
 
     Returns all left columns plus ``{col}{suffix}`` for each of
     ``right_cols`` and ``{right_ts}{suffix}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rcols = list(right_cols)
     l_tag = left.select(
         F.col(on),
@@ -56,12 +70,20 @@ def asof_join(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema) + ">"
         ).alias("_left"),
     )
-    # at equal _ts, right sorts first unless strict (so "at-or-before"
-    # includes it; strict excludes by sorting right after left)
+    # at equal _ts, right sorts first unless strict (so the inclusive
+    # bound sees it; strict excludes by sorting right after left).
+    # forward = the same carry, iterated in DESCENDING time order.
     right_order = F.col("_is_right").desc() if not strict else F.col("_is_right").asc()
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    order = [ts_order, right_order]
+    if tiebreak is not None:
+        # last() carries the FINAL row among equals: backward wants the
+        # largest tiebreak to land last (asc), forward the smallest (desc)
+        tb = F.col(f"{tiebreak}{suffix}")
+        order.append(tb.asc_nulls_first() if direction == "backward" else tb.desc_nulls_first())
     w = (
         W.partitionBy(on)
-        .orderBy("_ts", right_order)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = [

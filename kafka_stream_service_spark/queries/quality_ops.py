@@ -1022,3 +1022,51 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "q_asof_join_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS next_error_id, c.ts AS next_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM events c
+      WHERE c.event_type = 'error' AND c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+    ) c ON TRUE
+    """,
+    tags=("streaming", "asof-join"),
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — for each purchase, the user's next error
+    at-or-after it (did the checkout blow up?). Completes the as-of
+    family: `q_asof_join` looks backward, this looks forward, both via
+    the same one-shuffle union-tag composition (operators/asof.py) —
+    forward is the identical carry iterated in descending time order,
+    with the event_id tiebreak pinned so equal-timestamp rows resolve
+    identically on both engines.
+    """
+    from ..operators import asof_join
+
+    e = tables(spark, sf_dir)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("next_error_id"), F.col("ts").alias("next_error_ts")
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="next_error_ts",
+        right_cols=("next_error_id",),
+        suffix="",
+        direction="forward",
+        tiebreak="next_error_id",
+    )
+    return joined.select(
+        "purchase_id", "user_id", "purchase_ts", "next_error_id", "next_error_ts"
+    )
