@@ -1070,3 +1070,135 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id", "user_id", "purchase_ts", "next_error_id", "next_error_ts"
     )
+
+
+@query(
+    "q_idempotent_sink_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer WHERE c_custkey <= 100
+    ),
+    batch AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) + 50 AS bal
+      FROM customer WHERE c_custkey BETWEEN 51 AND 150
+    ),
+    merged AS (  -- applying the SAME batch once or N times lands here
+      SELECT COALESCE(b.c_custkey, ba.c_custkey) AS c_custkey,
+             COALESCE(ba.bal, b.bal) AS bal
+      FROM base b FULL OUTER JOIN batch ba USING (c_custkey)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal,
+           COUNT(*) FILTER (WHERE c_custkey > 100) AS inserted,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM merged
+    """,
+    tags=("lakehouse", "exactly-once", "merge"),
+)
+def q_idempotent_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once BY MERGE: the sink-side idempotence pattern for
+    at-least-once delivery (the Delta/Iceberg MERGE recipe, complementing
+    eos.py's transactional epochs). The query applies the SAME keyed
+    batch TWICE through `operators/merge.py:merge_into` — replaying a
+    redelivered micro-batch — and the oracle states the ONCE-applied
+    result: any non-idempotent behavior (double-applied increment,
+    duplicate insert, key churn) flips row counts or the exact decimal
+    balance sum.
+
+    Scale shape: each merge is one key-partitioned full-outer join,
+    broadcast when the changeset is batch-sized; replaying N times is N
+    cheap joins, never a growing state. The batch must carry ABSOLUTE
+    values (bal = source + 50), not deltas — idempotence comes from the
+    merge seeing the same final row, which is exactly the contract a
+    replayed sink batch satisfies.
+    """
+    from ..operators.merge import OP_COL, OP_UPSERT, merge_into
+
+    c = tables(spark, sf_dir)["customer"]
+    base = c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", dec("c_acctbal").alias("bal")
+    )
+    batch = (
+        c.filter(F.col("c_custkey").between(51, 150))
+        .select("c_custkey", (dec("c_acctbal") + F.lit(50)).alias("bal"))
+        .withColumn(OP_COL, F.lit(OP_UPSERT))
+    )
+    once = merge_into(base, batch, "c_custkey")
+    twice = merge_into(once, batch, "c_custkey")  # the redelivered batch
+    return twice.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal").cast("double").alias("total_bal"),
+        F.count(F.when(F.col("c_custkey") > 100, 1)).alias("inserted"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
+    "q_gdpr_delete_propagation",
+    oracle="""
+    WITH doomed AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    kept_orders AS (
+      SELECT o.* FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM doomed)
+    ),
+    kept_lines AS (
+      SELECT l.* FROM lineitem l JOIN kept_orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT
+      (SELECT COUNT(*) FROM doomed) AS customers_erased,
+      (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM kept_orders) AS orders_erased,
+      (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM kept_lines) AS lineitems_erased,
+      (SELECT COUNT(*) FROM kept_orders) AS orders_kept,
+      (SELECT COUNT(*) FROM kept_lines) AS lineitems_kept,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM kept_orders) AS kept_order_value
+    """,
+    tags=("lakehouse", "compliance", "join"),
+)
+def q_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: erase a deterministic customer set
+    and propagate the deletion through the FK graph (orders via
+    anti-join on the customer set, lineitems via semi-join on surviving
+    orders), with an audit row counting every erased and kept entity and
+    the exact kept order value — the compliance report a 100 TB
+    lakehouse produces per deletion batch.
+
+    Scale shape: the doomed-key set is tiny (broadcast anti-join against
+    orders); lineitem prunes via a key-partitioned semi-join against the
+    surviving orders. No table is rewritten here — the query produces
+    the audited KEEP frames; persisting them is the partition-overwrite
+    path (`q_partition_overwrite`) applied to affected partitions only.
+    """
+    t = tables(spark, sf_dir)
+    doomed = t["customer"].filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    orders, lineitem = t["orders"], t["lineitem"]
+    kept_orders = orders.join(
+        F.broadcast(doomed), orders.o_custkey == doomed.c_custkey, "left_anti"
+    )
+    kept_lines = lineitem.join(
+        kept_orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    audit = (
+        doomed.agg(F.count(F.lit(1)).alias("customers_erased"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("_all_o")))
+        .crossJoin(
+            kept_orders.agg(
+                F.count(F.lit(1)).alias("orders_kept"),
+                F.sum(dec("o_totalprice")).cast("double").alias("kept_order_value"),
+            )
+        )
+        .crossJoin(lineitem.agg(F.count(F.lit(1)).alias("_all_l")))
+        .crossJoin(kept_lines.agg(F.count(F.lit(1)).alias("lineitems_kept")))
+    )
+    return audit.select(
+        "customers_erased",
+        (F.col("_all_o") - F.col("orders_kept")).alias("orders_erased"),
+        (F.col("_all_l") - F.col("lineitems_kept")).alias("lineitems_erased"),
+        "orders_kept",
+        "lineitems_kept",
+        "kept_order_value",
+    )
