@@ -74,18 +74,21 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``queries()``. Round-5 rotation: after r4 every oracled query in the
-# catalog carries a green driver verdict, so the window now packs
-# (a) everything round 5 added or materially changed — the ten new
-# operators (chunking, boilerplate, segment dedup, rolling anomaly,
-# EWMA, triangles, streaming sessionization, and the lakehouse CDC trio
-# in slots 48-50), the audio codec lane and
-# the real PNG decode/resize that replaced the last stubs (all landed
-# after the r4 snapshot, so none has a driver verdict yet), the
-# approx-aggregates derived oracle, the bigram inverted-index rewrite,
-# and the sentinel-flush outer-join replay;
-# (b) the five hash-seeded rows-only ops, so their row counts stay
-# driver-observed every round;
+# catalog carries a green driver verdict, so the window packs
+# (a) everything round 5 added or materially changed (none of which has
+# a driver verdict yet): the early-round operators (chunking,
+# boilerplate, segment dedup, timeseries, triangles, sessionization,
+# CDC trio), the audio codec lane, the real PNG decode/resize that
+# replaced the last stubs, the portable-hash twins, and the mid-round
+# additions (quality_ops batches, regression, semi-join replay, exact
+# prefix Jaccard);
+# (b) q_dedup_minhash_lsh as the remaining rows-only sentinel (the
+# other rows-only ops rotated out — each has a hash-verified portable
+# twin IN the window and 3-4 rounds of observed row counts);
 # (c) flagship + family drift coverage for the remaining slots.
+# Late-round additions that missed the 50 slots (text roundtrip, drift
+# KL, winsorize, mode, forward as-of, idempotent merge, GDPR cascade)
+# lead the r6 rotation.
 PRIORITY_ORDER: tuple[str, ...] = (
     # (a) new or changed in round 5
     "q_chunk_documents",
