@@ -3,6 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The printed line is deliberately COMPACT (per-query medians rounded to
+2 dp, no whitespace, nothing else on it): the driver captures only the
+tail of bench output, and round 5's full-precision line with embedded
+notes outgrew that window (BENCH_r05 recorded ``parsed: null``). All
+full-precision per-pass timings, the pipeline-throughput and compaction
+sub-benchmarks, the streaming-replay harness/stream time split, and the
+variance notes now live in ``BENCH_DETAIL.json`` written next to this
+file (committed per round).
+
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). One warmup of the flagship query absorbs JVM/codegen
 startup so numbers reflect steady-state throughput.
@@ -219,7 +228,10 @@ def main() -> None:
         # observed as late-pass queries measuring 2-3x their solo cost
         time.sleep(0.3)
 
+    from kafka_stream_service_spark.queries import streaming_replay
+
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    replay_split: dict[str, list[dict[str, float]]] = {}
     for _ in range(3):
         for qi, name in enumerate(HEADLINE):
             if qi % 12 == 0:
@@ -228,6 +240,20 @@ def main() -> None:
             t0 = time.time()
             force(fn(spark, sf_dir))
             runs[name].append(round(time.time() - t0, 3))
+            if name.endswith("_replay"):
+                # harness (chunk materialization) vs checkpointed
+                # streaming run, stamped by streaming_replay's
+                # side-channel during the call above
+                replay_split.setdefault(name, []).append(
+                    {
+                        "harness_sec": round(
+                            streaming_replay.LAST_TIMINGS["write_chunks_sec"], 3
+                        ),
+                        "stream_sec": round(
+                            streaming_replay.LAST_TIMINGS["stream_run_sec"], 3
+                        ),
+                    }
+                )
         reclaim()
     timings = {name: sorted(ts)[len(ts) // 2] for name, ts in runs.items()}
 
@@ -239,36 +265,52 @@ def main() -> None:
         compaction = compaction_bench(spark, sf_dir, td)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_median": timings,
+        "queries_all_passes": runs,
+        "replay_harness_vs_stream": replay_split,
+        "pipeline_throughput": pipe,
+        "compaction": compaction,
+        "notes": {
+            "replay_rows": (
+                "each *_replay timing includes the fixture harness; see "
+                "replay_harness_vs_stream for the (chunk-write, streaming-run) "
+                "split per pass"
+            ),
+            "variance": (
+                "single-JVM medians on this shared host swing +/-30% "
+                "between whole-process runs (q01 measured 1.2-1.7 s same "
+                "code); compare totals and trends, not single cells"
+            ),
+        },
+    }
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
+
+    # ONE compact line for the driver's tail capture: 2-dp medians, no
+    # whitespace — everything else lives in BENCH_DETAIL.json. If catalog
+    # growth ever pushes the line past ~1.5 KB, degrade precision (1 dp)
+    # rather than dropping names: the driver contract needs every
+    # headline query present.
+    def one_line(dp: int) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, dp) for k, v in timings.items()},
                 "sf": sf,
-                "pipeline_throughput": pipe,
-                "compaction": compaction,
-                "notes": {
-                    "q_inverted_index": (
-                        "not comparable to r4: de-trivialized per round-4 ADVICE "
-                        "(unigram->bigram terms, ~30x index cardinality, head-term "
-                        "shard splitting); the r4 unigram shape verified one "
-                        "near-vacuous row"
-                    ),
-                    "q_stream_session_window_replay": (
-                        "includes the replay harness (chunk write + checkpointed "
-                        "2-batch streaming run), not just the session aggregation"
-                    ),
-                    "variance": (
-                        "single-JVM medians on this shared host swing +/-30% "
-                        "between whole-process runs (q01 measured 1.2-1.7 s same "
-                        "code); compare totals and trends, not single cells"
-                    ),
-                },
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    line = one_line(2)
+    if len(line) > 1500:
+        line = one_line(1)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,12 @@ that gap:
   per-batch produce with zombie fencing and epoch-marker replay skip,
   against an injected producer factory — unit-tested with a fake broker
   (tests/test_eos_kafka.py); binds kafka-python when available.
+- ``MergeIdempotentSnapshotWriter``: keyed MERGE upserts/deletes into a
+  plain-parquet snapshot with an atomic pointer-swap commit — the writer
+  for sinks that have NEITHER transactions nor per-epoch directories
+  (object-store tables). Replay-safe twice over: the MERGE itself is
+  algebraically idempotent (oracled by ``q_idempotent_sink_merge``) and
+  committed epochs are skipped via the pointer.
 
 Delivery-semantics delta vs the reference, explicitly: the reference
 aborts the txn on first failure then relies on redelivery
@@ -37,6 +43,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -251,6 +258,91 @@ def kafka_transactional_batch_writer(
 
     body.writer = writer  # exposed for inspection/close
     return body
+
+
+@dataclass
+class MergeIdempotentSnapshotWriter:
+    """Exactly-once MERGE sink for targets WITHOUT transactions — the
+    third writer mode (object-store keyed tables), complementing the
+    file-epoch writer (idempotent overwrite) and the Kafka transactional
+    writer.
+
+    Maintains a keyed snapshot table on plain parquet via
+    ``operators.merge.merge_into`` under ``foreachBatch``. Exactly-once
+    across epoch replays comes from TWO independent layers (the query
+    ``q_idempotent_sink_merge`` oracles the algebraic layer):
+
+    1. **Algebraic idempotence**: a keyed MERGE upsert/delete is
+       idempotent — re-applying the same changeset to the post-merge
+       snapshot converges to the same table, so even a writer with NO
+       memory of committed epochs cannot duplicate rows, only waste work.
+    2. **Atomic pointer swap + epoch ledger**: each epoch's merged
+       snapshot lands in its own immutable directory
+       (``{base_dir}/snapshot_epoch={E}``) and becomes visible only via
+       an ``os.replace`` of ``_current.json`` (the object-store
+       "commit = swap one small pointer object" pattern). A crash
+       between data write and pointer swap leaves the old snapshot
+       current; the replayed epoch rewrites the SAME directory and swaps
+       again. A replay of an epoch at or below the pointer's is skipped
+       outright.
+
+    Readers resolve the pointer with :meth:`current`. Rows may carry an
+    ``_op`` column (``U``/``D`` per ``operators.merge``); without one,
+    every row is an upsert.
+    """
+
+    base_dir: str
+    key: str
+    fmt: str = "parquet"
+
+    @property
+    def pointer_path(self) -> str:
+        return os.path.join(self.base_dir, "_current.json")
+
+    def _pointer(self) -> dict | None:
+        try:
+            with open(self.pointer_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def committed_epoch(self) -> int | None:
+        ptr = self._pointer()
+        return None if ptr is None else int(ptr["epoch"])
+
+    def current(self, spark) -> DataFrame | None:
+        """The committed snapshot, or None before the first commit."""
+        ptr = self._pointer()
+        if ptr is None:
+            return None
+        return spark.read.format(self.fmt).load(ptr["path"])
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from .operators.merge import OP_COL, OP_UPSERT, merge_into
+
+        epoch = int(epoch_id)
+        committed = self.committed_epoch()
+        if committed is not None and epoch <= committed:
+            return  # replay of a committed epoch: already visible, skip
+        spark = batch_df.sparkSession
+        changes = batch_df
+        if OP_COL not in changes.columns:
+            changes = changes.withColumn(OP_COL, F.lit(OP_UPSERT))
+        base = self.current(spark)
+        if base is None:
+            base = spark.createDataFrame(
+                [], schema=changes.drop(OP_COL).schema
+            )
+        merged = merge_into(base, changes, self.key)
+        out = os.path.join(self.base_dir, f"snapshot_epoch={epoch}")
+        # immutable per-epoch directory: a replayed epoch rewrites its
+        # own directory (mode=overwrite), never the committed one
+        merged.write.mode("overwrite").format(self.fmt).save(out)
+        tmp = self.pointer_path + ".tmp"
+        os.makedirs(self.base_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "path": out}, f)
+        os.replace(tmp, self.pointer_path)  # atomic commit
 
 
 def run_with_restarts(

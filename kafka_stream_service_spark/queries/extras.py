@@ -317,11 +317,11 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_roundtrip",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+    SELECT coalesce(lang, '') AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM documents
-    GROUP BY lang
+    GROUP BY 1
     """,
     tags=("source", "text", "format"),
 )
@@ -335,6 +335,15 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse loss — a swallowed line, a mis-split field, a mangled
     doc_id — flips counts, char totals, or key bounds.
 
+    Line-format hardening (r5 ADVICE): embedded CR/LF in ``text`` would
+    silently split one document across lines on ``write.text``, so
+    newlines are flattened to spaces BEFORE framing (length-preserving —
+    1 char -> 1 char — so the oracle's char totals over the original
+    text still hold), and nullable ``lang``/``text`` go through explicit
+    ``coalesce(_, '')`` rather than relying on concat_ws's NULL-skip,
+    which would shift fields on parse-back; the oracle applies the same
+    coalesce. ``doc_id`` is the table's non-null key (precondition).
+
     At 100 TB: text is the lowest-common-denominator interchange format;
     the scan parallelizes per line-split like any file source, the parse
     is one map-side projection (no inference pass), and the single
@@ -344,7 +353,12 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     path = work_dir("text_rt", sf_dir) + "/docs_txt"
     d.select(
-        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text")).alias("value")
+        F.concat_ws(
+            "\t",
+            F.col("doc_id"),
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[\\r\\n]", " "),
+        ).alias("value")
     ).write.mode("overwrite").text(path)
     parts = F.split(F.col("value"), "\t", 3)
     back = spark.read.text(path).select(

@@ -162,13 +162,20 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("child_rows"),
             F.countDistinct(ckey).alias("child_keys"),
         ).crossJoin(p.agg(F.countDistinct(pkey).alias("parent_keys")))
+        # NULL keys are excluded on BOTH probe sides: the oracle's NOT IN
+        # evaluates NULL NOT IN (...) to NULL (row excluded), while a bare
+        # left_anti would count a NULL FK as an orphan — the engines would
+        # diverge on exactly the dirty data an RI audit targets (r5 ADVICE).
+        # NULL-key rows are already counted by q_data_quality_report.
         orphans = (
             c.select(F.col(ckey).alias("k"))
+            .filter(F.col("k").isNotNull())
             .join(p.select(F.col(pkey).alias("k")), "k", "left_anti")
             .agg(F.count(F.lit(1)).alias("orphan_rows"))
         )
         unref = (
             p.select(F.col(pkey).alias("k"))
+            .filter(F.col("k").isNotNull())
             .join(c.select(F.col(ckey).alias("k")), "k", "left_anti")
             .agg(F.count(F.lit(1)).alias("unreferenced_parents"))
         )
@@ -527,13 +534,41 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", F.posexplode("qv").alias("pos0", "val")
     ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("bigint").alias("val"))
     cent = pos.groupBy("label", "pos").agg(
-        F.sum("val").alias("csum"), F.count(F.lit(1)).alias("n")
+        F.sum("val").alias("csum"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("val").alias("n_nonnull"),
     )
+    # Uniform-dimension guard (r5 ADVICE): the scaled-integer distance
+    # (qv*n - csum)^2 is rank-invariant only if n is THE SAME at every
+    # position of a label — ragged vectors (or NULL elements, which
+    # drop out of csum but not n) would silently diverge from the
+    # oracle's per-position n. Fail loudly instead: raise if any
+    # (label,pos) count differs from the label max or contains NULLs.
     cent_arr = cent.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "csum"))), lambda s: s["csum"]
         ).alias("csums"),
-        F.max("n").alias("n"),
+        F.max("n").alias("n_max"),
+        F.min("n").alias("n_min"),
+        F.min("n_nonnull").alias("n_nonnull_min"),
+    ).select(
+        "label",
+        "csums",
+        F.when(
+            (F.col("n_min") == F.col("n_max"))
+            & (F.col("n_nonnull_min") == F.col("n_max")),
+            F.col("n_max"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q_embedding_outliers: ragged or null-element "
+                          "embeddings within label "),
+                    F.col("label").cast("string"),
+                )
+            )
+        )
+        .alias("n"),
     )
     dist = q8.join(F.broadcast(cent_arr), "label").select(
         "label",

@@ -73,97 +73,69 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-5 rotation: after r4 every oracled query in the
-# catalog carries a green driver verdict, so the window packs
-# (a) everything round 5 added or materially changed (none of which has
-# a driver verdict yet): the early-round operators (chunking,
-# boilerplate, segment dedup, timeseries, triangles, sessionization,
-# CDC trio), the audio codec lane, the real PNG decode/resize that
-# replaced the last stubs, the portable-hash twins, and the mid-round
-# additions (quality_ops batches, regression, semi-join replay, exact
-# prefix Jaccard);
-# (b) q_dedup_minhash_lsh as the remaining rows-only sentinel (the
-# other rows-only ops rotated out — each has a hash-verified portable
-# twin IN the window and 3-4 rounds of observed row counts);
-# (c) flagship + family drift coverage for the remaining slots.
-# Late-round additions that missed the 50 slots (text roundtrip, drift
-# KL, winsorize, mode, forward as-of, idempotent merge, GDPR cascade)
-# lead the r6 rotation.
+# ``queries()``. Round-6 rotation (VERDICT r5 next-steps #2):
+# (a) the 8 late-round-5 queries the driver never sampled lead the
+# window — all 8 judge-verified green locally, this closes the official
+# record;
+# (b) every query materially CHANGED this round (the ADVICE null/newline
+# /ragged-dim fixes touch q_referential_integrity, q_text_roundtrip,
+# q_embedding_outliers — already in (a)/(b)) plus everything round 6
+# ADDS (new operators get driver verdicts in their birth round);
+# (c) q_dedup_minhash_lsh stays as the rows-only sentinel;
+# (d) flagship + family drift coverage for the remaining slots,
+# rotating back entries whose last green verdict is oldest (r2/r3).
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) new or changed in round 5
+    # (a) never driver-sampled (judge-green in r5's local gate)
+    "q_asof_join_forward",
+    "q_corpus_drift_kl",
+    "q_gdpr_delete_propagation",
+    "q_hard_negatives",
+    "q_idempotent_sink_merge",
+    "q_mode_per_group",
+    "q_text_roundtrip",
+    "q_winsorized_stats",
+    # (b) changed by the round-6 ADVICE fixes
+    "q_referential_integrity",
+    "q_embedding_outliers",
+    # (b) new in round 6 — inserted here as they land
+    # (c) rows-only sentinel
+    "q_dedup_minhash_lsh",
+    # (d) flagship + family drift coverage; oldest verdicts first
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q06_forecast_revenue_filter",
+    "q_window_topk_per_group",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_asof_join",
+    "q_dedup_exact_hash",
+    "q_knn_cosine_bruteforce",
+    "q_text_wordcount",
+    "q_codec_roundtrip",
+    "q_stream_watermark_drop",
+    "q_pack_sequences",
+    "q_hash_sample",
+    "q_corpus_mixture",
+    "q_text_redact_pii",
+    "q_decontaminate_ngram",
+    "q_training_corpus_pipeline",
+    "q_salted_count_distinct",
+    "q_text_unigram_logprob",
+    "q_stream_incremental_dedup",
+    "q_stateful_running_totals_replay",
+    "q_ohlc_resample",
+    "q_conversion_funnel",
+    "q_cohort_retention",
+    "q_knn_cosine_int8",
     "q_chunk_documents",
-    "q_boilerplate_bigrams",
-    "q_segment_dedup_reconstruct",
-    "q_rolling_anomaly",
-    "q_ewma_smoothing",
-    "q_triangle_candidates",
     "q_stream_session_window_replay",
-    "q_audio_decode",
-    "q_audio_frame_energy",
-    "q_audio_mixdown_decimate",
-    "q_multimodal_decode",
-    "q_multimodal_resize",
-    "q_image_augment",
-    "q_approx_aggregates",
+    "q_upsert_merge",
+    "q_jaccard_prefix_join",
+    "q_data_quality_report",
     "q_inverted_index",
-    "q_stream_outer_join_replay",
-    # (b) rows-only by design (hash-seeded / approximate) + their new
-    # portable-hash twins, which carry full hash verdicts for the same
-    # pipeline shapes (queries/dedup2.py)
     "q_minhash_lsh_portable",
     "q_dedup_clusters_portable",
-    "q_simhash_portable",
-    "q_knn_lsh_buckets_portable",
     "q_ivf_probe_portable",
-    # (q_dedup_simhash / q_knn_lsh_buckets rotated out mid-round: their
-    # portable twins above carry hash verdicts for the same pipeline
-    # shapes, and their row counts were driver-observed r1-r4)
-    "q_dedup_minhash_lsh",
-    # (q_dedup_clusters rotated out late round-5 for the new
-    # q_stream_semi_join_replay: clusters' rows were driver-observed
-    # r2-r4 and its fixpoint carries a hash verdict via
-    # q_dedup_clusters_portable; minhash stays as the rows-only sentinel)
-    "q_stream_semi_join_replay",
-    # (q_knn_ivf rotated out late round-5 for q_groupwise_regression:
-    # its probe step carries a hash verdict via q_ivf_probe_portable
-    # and its rows were driver-observed r3/r4)
-    # quality_ops batch 2 (added mid-round-5)
-    "q_embedding_outliers",
-    "q_length_bucketing",
-    "q_vocab_coverage",
-    "q_groupwise_regression",
-    # (c) flagship + family drift coverage
-    "q_bucketed_join",
-    "q_table_profile",
-    "q_multi_format_join",
-    "q_zorder_cells",
-    "q_histogram_equidepth",
-    # (q_hard_negatives rotated out late round-5 for the new exact
-    # prefix-filtered Jaccard join; hard_negatives carries a green r4
-    # verdict and stays pytest/bench-covered)
-    "q_jaccard_prefix_join",
-    "q_pagerank_candidates",
-    "q_kmeans_assign_int8",
-    "q_kmeans_update_int8",
-    # quality_ops batch (added mid-round-5; displaced seven (c) drift
-    # entries that already carry green r4 verdicts — q_text_unigram_logprob,
-    # q_decontaminate_ngram, q_training_corpus_pipeline, q_pack_sequences,
-    # q_stream_incremental_dedup, q_stateful_running_totals_replay,
-    # q_salted_count_distinct)
-    "q_data_quality_report",
-    "q_referential_integrity",
-    "q_bpe_merge_candidates",
-    "q_repeated_ngram_spans",
-    "q_key_skew_profile",
-    "q_event_transitions",
-    "q_incremental_cagg_merge",
-    "q_stream_dedup_then_window_replay",
-    "q_split_leakage",
-    "q_upsert_merge",
-    "q_scd2_history",
-    "q_cdc_snapshot_diff",
-    "q_csv_permissive_dirty",
-    "q_partition_overwrite",
 )
 
 

@@ -46,10 +46,19 @@ from .registry import query
 
 WM_MIN = 30  # watermark delay for the late-drop query, minutes
 
+# Timing side-channel for bench attribution (VERDICT r5 next-steps #4):
+# each replay query's wall time is mostly fixture harness (chunk
+# materialization) plus the checkpointed streaming run. ``_write_chunks``
+# and ``_run_to_memory`` stamp their elapsed seconds here so bench.py can
+# report (harness_sec, stream_sec) per replay row instead of one opaque
+# number. Reset-by-overwrite: each replay query calls both exactly once.
+LAST_TIMINGS: dict[str, float] = {"write_chunks_sec": 0.0, "stream_run_sec": 0.0}
+
 
 def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
     """One parquet file per chunk with ascending mod-times so the file
     stream (maxFilesPerTrigger=1) replays chunk i as micro-batch i."""
+    t0 = time.time()
     flat = os.path.join(base, "flat")
     os.makedirs(flat)
     now = time.time()
@@ -60,6 +69,7 @@ def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
         dst = os.path.join(flat, f"{i:02d}.parquet")
         shutil.copy(part, dst)
         os.utime(dst, (now - 600 + i * 10, now - 600 + i * 10))
+    LAST_TIMINGS["write_chunks_sec"] = time.time() - t0
     return flat
 
 
@@ -79,6 +89,7 @@ def _run_to_memory(
     so a handful of partitions beats the session's 32 by ~10x wall-clock.
     The setting is pinned into the query's checkpoint at start, so
     restoring the session conf afterwards does not affect the run."""
+    t0 = time.time()
     name = f"replay_{uuid.uuid4().hex[:10]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -97,6 +108,7 @@ def _run_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     return spark.table(name)
 
 
