@@ -157,3 +157,67 @@ def integer_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration with DEGREE-BASED EDGE ORIENTATION — the
+    skew-safe form of the ordered-edge algorithm, for arbitrary external
+    edge lists.
+
+    ``edges`` is an undirected, deduplicated edge list with columns
+    ``u < v``. The plain u<v ordered-edge join (q_triangle_candidates)
+    pivots every wedge on the lowest-ID vertex, so a low-ID hub of
+    degree d contributes d^2 join candidates — a power-law graph makes
+    one reducer quadratic. Orienting each edge from its lower to its
+    higher endpoint in the total order (degree, id) instead pivots every
+    wedge on its LOWEST-DEGREE vertex: every vertex's out-degree is then
+    at most O(sqrt(|E|)) (a vertex with out-degree k has k neighbors of
+    degree >= its own, so deg >= k appears in >= k*k/2 edge endpoints),
+    which bounds per-vertex wedge fan-out by |E| regardless of skew —
+    the standard MapReduce-triangles refinement (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+
+    Each triangle has exactly one orientation-minimal vertex, so it is
+    emitted exactly once; output is canonicalized to doc_a < doc_b <
+    doc_c by vertex id, identical to the unoriented enumeration (the
+    query twin hash-verifies this equivalence against the naive oracle).
+
+    Scale shape: one degree agg, one broadcast-or-shuffle join to attach
+    degrees, then the wedge self-join and the closing edge join — all
+    hash-partitioned on vertex ids, with the skew bound above capping
+    any single key's fan-out.
+    """
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("db"))
+    # directed x->y iff (deg_x, x) < (deg_y, y); each undirected edge
+    # survives exactly once
+    directed = (
+        und.join(da, "a")
+        .join(db, "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b", "db")
+        .localCheckpoint(eager=False)  # feeds the wedge join twice + closer
+    )
+    # wedges pivoting at a: (a->x, a->y) with x before y in orientation
+    # order, so each unordered neighbor pair appears once
+    ex = directed.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    ey = directed.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = ex.join(ey, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closer = directed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closer, ["x", "y"])
+    verts = F.array_sort(F.array(F.col("a"), F.col("x"), F.col("y")))
+    return tri.select(
+        verts.getItem(0).alias("doc_a"),
+        verts.getItem(1).alias("doc_b"),
+        verts.getItem(2).alias("doc_c"),
+    )

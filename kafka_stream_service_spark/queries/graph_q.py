@@ -239,3 +239,36 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("su.part") == "train", F.col("e.u")).otherwise(F.col("e.v")).alias("train_doc"),
         F.when(F.col("su.part") == "train", F.col("e.v")).otherwise(F.col("e.u")).alias("test_doc"),
     )
+
+
+@query(
+    "q_triangle_oriented",
+    oracle=_EDGES_CTE
+    + """
+    SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+    tags=("graph", "dedup", "skew", "llm-data"),
+)
+def q_triangle_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration via DEGREE-ORIENTED wedges
+    (operators/graph.py:oriented_triangles) — the skew-safe algorithm
+    for arbitrary external edge lists, hash-verified here to enumerate
+    EXACTLY the same triangle set as the naive ordered-edge oracle.
+
+    Why a second triangle query: q_triangle_candidates pivots wedges on
+    the lowest-ID vertex, which is quadratic in the degree of an
+    unlucky low-ID hub; this one pivots on the lowest-DEGREE vertex,
+    bounding every pivot's fan-out by O(sqrt(|E|)) (Suri &
+    Vassilvitskii, WWW'11) — the form you hand a power-law web or
+    citation graph at 100 TB. The rare-shingle DF cap makes both safe
+    on THIS graph; the driver hash proves the orientation preserves the
+    enumeration, and the skewed-graph pytest
+    (tests/test_graph_orientation.py) proves the fan-out bound where it
+    matters.
+    """
+    from ..operators.graph import oriented_triangles
+
+    return oriented_triangles(_candidate_edges(spark, sf_dir))

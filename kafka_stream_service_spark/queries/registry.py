@@ -98,6 +98,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_referential_integrity",
     "q_embedding_outliers",
     # (b) new in round 6 — inserted here as they land
+    "q_triangle_oriented",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
