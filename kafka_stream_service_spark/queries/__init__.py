@@ -39,3 +39,4 @@ from . import clustering  # noqa: E402,F401
 from . import storage_q  # noqa: E402,F401
 from . import dedup2  # noqa: E402,F401
 from . import quality_ops  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401

@@ -99,6 +99,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_embedding_outliers",
     # (b) new in round 6 — inserted here as they land
     "q_triangle_oriented",
+    "q_countmin_heavy_hitters_portable",
+    "q_bloom_filter_audit_portable",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
