@@ -101,6 +101,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_triangle_oriented",
     "q_countmin_heavy_hitters_portable",
     "q_bloom_filter_audit_portable",
+    "q_interval_sweepline",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

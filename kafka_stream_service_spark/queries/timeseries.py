@@ -458,3 +458,79 @@ def q_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope"),
     )
+
+
+@query(
+    "q_interval_sweepline",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS sd,
+             CAST(l.l_shipdate AS DATE) AS ed,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ),
+    ev AS (
+      SELECT sd AS d, 1 AS delta, v AS vdelta FROM iv
+      UNION ALL
+      SELECT ed + 1, -1, -v FROM iv
+    ),
+    daily AS (
+      SELECT d, SUM(delta) AS net_change, SUM(vdelta) AS net_value
+      FROM ev GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS d, CAST(net_change AS BIGINT) AS net_change,
+           CAST(SUM(net_change) OVER w AS BIGINT) AS in_flight,
+           CAST(SUM(net_value) OVER w AS DOUBLE) AS value_in_flight
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "interval", "window"),
+)
+def q_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency via SWEEP-LINE: per calendar day, how many
+    lineitems are in fulfillment (ordered but not yet shipped) and the
+    exact order value in flight. The naive formulation joins every day
+    against every overlapping interval — O(|days| x |items|); the
+    sweep-line turns each interval into two signed delta events
+    (+1/value at order date, -1/-value the day after shipment), folds
+    them per day, and takes a running sum — the standard
+    concurrent-sessions / resource-occupancy shape.
+
+    Scale shape: the explode is exactly 2 rows per interval, map-side
+    combined into per-day deltas BEFORE any window, so the
+    single-partition running-sum window scans |distinct days| rows
+    (thousands) — never |lineitem|. At second granularity over years,
+    swap the final window for a two-level prefix sum (per-range partial
+    totals broadcast back, same trick as q_pack_sequences' per-shard
+    prefix) — the delta fold stays identical. DECIMAL deltas keep the
+    running value exact under any summation order; negative-duration
+    rows (synthetic fixture noise) are filtered on both sides.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.to_date("o_orderdate").alias("sd"),
+            F.to_date("l_shipdate").alias("ed"),
+            dec("l_extendedprice").alias("v"),
+        )
+        .filter(F.col("ed") >= F.col("sd"))
+    )
+    ev = iv.select(F.col("sd").alias("d"), F.lit(1).alias("delta"), F.col("v").alias("vdelta")).unionAll(
+        iv.select(F.date_add("ed", 1).alias("d"), F.lit(-1).alias("delta"), (-F.col("v")).alias("vdelta"))
+    )
+    daily = ev.groupBy("d").agg(
+        F.sum("delta").alias("net_change"), F.sum("vdelta").alias("net_value")
+    )
+    w = (
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.col("d").cast("timestamp").alias("d"),
+        F.col("net_change").cast("bigint").alias("net_change"),
+        F.sum("net_change").over(w).cast("bigint").alias("in_flight"),
+        F.sum("net_value").over(w).cast("double").alias("value_in_flight"),
+    )
