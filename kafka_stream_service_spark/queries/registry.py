@@ -102,6 +102,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_countmin_heavy_hitters_portable",
     "q_bloom_filter_audit_portable",
     "q_interval_sweepline",
+    "q_stream_full_outer_join_replay",
+    "q_stream_two_level_agg_replay",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

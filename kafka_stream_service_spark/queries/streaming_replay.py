@@ -789,3 +789,214 @@ def q_stream_semi_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select("purchase_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(spark, joined, base, shuffle_partitions=4)
+
+
+@query(
+    "q_stream_full_outer_join_replay",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (  -- sentinel chunks plant rows at the global max ts in BOTH
+             -- streams, so the final watermark is max event time - 2h
+      SELECT (SELECT max(ts) FROM events) - INTERVAL 2 HOUR AS wm_ts
+    ),
+    matched AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id AS user_id
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <= p.ts
+    ),
+    unmatched_p AS (
+      SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+             p.user_id AS user_id
+      FROM p
+      WHERE NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+                AND c.ts <= p.ts)
+        AND p.ts < (SELECT wm_ts FROM wm)
+    ),
+    unmatched_c AS (  -- a click's last possible partner has
+                      -- p_ts <= c_ts + 1h; evicted+emitted once the
+                      -- watermark passes that horizon
+      SELECT CAST(NULL AS BIGINT) AS purchase_id, c.event_id AS click_id,
+             c.user_id AS user_id
+      FROM c
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+                AND c.ts <= p.ts)
+        AND c.ts + INTERVAL 1 HOUR < (SELECT wm_ts FROM wm)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_p
+    UNION ALL SELECT * FROM unmatched_c
+    """,
+    tags=("streaming", "join", "outer", "replay"),
+)
+def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, executed for real —
+    completes the stream-stream family (inner r4, left-outer r4, left-semi
+    r5): BOTH sides now emit null-extended rows, each exactly when the
+    watermark proves its partner can no longer arrive.
+
+    Same sentinel-deterministic replay as q_stream_outer_join_replay
+    (time-ordered halves, 2h watermarks, two sentinel chunks at the
+    global max ts so eviction runs during real data batches). The new
+    algebra is the RIGHT side: a click's reachable purchases satisfy
+    p_ts <= c_ts + 1h, so an unmatched click emits null-extended only
+    once wm passes c_ts + 1h — the oracle states both eviction horizons
+    explicitly (p_ts < wm for purchases, c_ts + 1h < wm for clicks),
+    and the driver hash checks every matched AND both unmatched
+    populations. Boundary ties at the microsecond watermark do not
+    occur in the fixture (same precondition as the left-outer replay).
+
+    Scale: state is bounded by the join's time horizon on both sides
+    (eviction is the semantics, not an optimization); keys partition by
+    user_id, the fixture replay scopes state stores to 4 partitions.
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "user_id", "event_type")
+    stats = ev.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m"), F.max("ts").alias("mx")
+    ).collect()[0]
+    half, maxts = stats.m, stats.mx
+    base = work_dir("ssfull", sf_dir)
+
+    def sentinels(purchase_id: int, click_id: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(purchase_id, maxts, -1, "purchase"), (click_id, maxts, -2, "click")],
+            ev.schema,
+        )
+
+    flat = _write_chunks(
+        [
+            ev.filter(F.col("ts") <= F.lit(half)),
+            ev.filter(F.col("ts") > F.lit(half)),
+            sentinels(-1, -2),
+            sentinels(-3, -4),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+    )
+    return _run_to_memory(spark, joined, base, shuffle_partitions=4)
+
+
+@query(
+    "q_stream_two_level_agg_replay",
+    oracle="""
+    WITH wm AS (  -- sentinel chunks pin the final watermark at
+                  -- max event time - 30 minutes
+      SELECT (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE AS wm_ts
+    )
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm_ts FROM wm)
+    """,
+    tags=("streaming", "window", "chained", "replay"),
+)
+def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query: a 10-minute
+    tumbling pre-aggregation feeding an hourly rollup re-aggregation —
+    the multi-stateful-operator capability (Spark 3.4+) that hierarchical
+    rollups (10min -> 1h -> 1d continuous aggregates) need without
+    intermediate sinks. Level 1 closes 10-minute windows as the
+    watermark passes them; level 2 re-windows their window-time
+    (window_time = window.end - 1us) into hours and closes each hour
+    exactly once all six constituent windows are final — watermark
+    propagation through the first operator is what makes level-1 output
+    NOT late for level 2.
+
+    Replay: two time-ordered halves + two sentinel chunks at the global
+    max ts (zero-value rows in a sentinel event_type whose final hour
+    never closes, so they add no output). Final table = hourly
+    counts/decimal-exact sums for every hour with hour_end <= final
+    watermark — stated verbatim by the oracle, hash-checked.
+
+    Scale: level 1's state is (10-min window x type) partial aggregates
+    — map-side combined, keys partitioned by (window, type); level 2
+    holds one row per (hour, type) in flight. The rollup DAG never
+    re-reads the raw stream: exactly the continuous-aggregate shape,
+    expressed declaratively instead of via a second job over a sink.
+    """
+    ev = tables(spark, sf_dir)["events"].select("ts", "event_type", "value")
+    stats = ev.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m"), F.max("ts").alias("mx")
+    ).collect()[0]
+    half, maxts = stats.m, stats.mx
+    base = work_dir("sstwolevel", sf_dir)
+
+    def sentinel(tag: int) -> DataFrame:
+        return spark.createDataFrame([(maxts, f"___wm{tag}", 0.0)], ev.schema)
+
+    flat = _write_chunks(
+        [
+            ev.filter(F.col("ts") <= F.lit(half)),
+            ev.filter(F.col("ts") > F.lit(half)),
+            sentinel(1),
+            sentinel(2),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ten_min = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+    )
+    hourly = (
+        ten_min.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("v").alias("v_sum"))
+        .filter(~F.col("event_type").startswith("___wm"))
+        .select(
+            F.col("wh.start").alias("hour_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("v_sum").cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(spark, hourly, base, shuffle_partitions=4)
