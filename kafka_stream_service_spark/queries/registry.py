@@ -104,6 +104,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_interval_sweepline",
     "q_stream_full_outer_join_replay",
     "q_stream_two_level_agg_replay",
+    "q_hll_registers_portable",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

@@ -250,3 +250,88 @@ def q_bloom_filter_audit_portable(spark: SparkSession, sf_dir: str) -> DataFrame
         *[F.col(c).cast("bigint").alias(c) for c in
           ["n_probed", "n_members", "n_bits_set", "n_hits", "n_false_positives"]]
     )
+
+
+HLL_BUCKETS = 256  # 2^8 registers
+
+
+_HLL_ORACLE = f"""
+    WITH t AS (  -- word BIGRAMS: the unigram vocab is ~31 words in the
+                 -- fixture, far too small to exercise 256 registers
+      SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+      SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS tok
+      FROM t, unnest(range(1, len(w))) AS u(i)
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks WHERE length(tok) >= 3),
+    h AS (
+      SELECT tok, {_h_sql('tok', '0')} AS hv FROM vocab
+    ),
+    reg AS (
+      SELECT hv % {HLL_BUCKETS} AS bucket, hv // {HLL_BUCKETS} AS v FROM h
+    ),
+    rho AS (  -- leading-zero rank inside the remaining 52-bit field:
+              -- bin() strips leading zeros in both engines, so
+              -- rho = 53 - len(bin(v)), with the all-zeros special case
+      SELECT bucket,
+             CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END AS r
+      FROM reg
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(r) AS BIGINT) AS max_rho,
+           CAST(COUNT(*) AS BIGINT) AS n_vals
+    FROM rho GROUP BY bucket
+"""
+
+
+@query(
+    "q_hll_registers_portable",
+    oracle=_HLL_ORACLE,
+    tags=("sketch", "approx", "portable", "llm-data"),
+)
+def q_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog REGISTER construction, hash-verified: hash the corpus
+    vocabulary with the portable md5 hash, route each value to one of
+    256 registers by its low byte, and keep per-register the maximum
+    leading-zero rank (rho) of the remaining 52-bit field — the entire
+    mergeable state of an HLL distinct-count sketch, in pure integers.
+    The float estimation step (alpha * m^2 / sum(2^-rho), plus
+    linear-counting below 2.5m) is a 256-row driver-side formula left
+    OUT of the query so the whole verified surface stays integer-exact;
+    per-register true value counts ride along as ground truth.
+    bin() strips leading zeros identically in both engines, so
+    rho = 53 - len(bin(v)) is the cross-engine leading-zero count.
+
+    Scale shape: the register array is the canonical distributed
+    distinct-count state — 256 max() cells, merged across partitions by
+    elementwise max (map-side combined here), constant size at any
+    cardinality; Spark's own approx_count_distinct carries exactly this
+    state (q_approx_aggregates verifies its bounds), this query verifies
+    the ALGEBRA of the state itself cross-engine.
+    """
+    from ..operators.dedup import _spread
+
+    d = _spread(tables(spark, sf_dir)["documents"])
+    w = d.select(F.split("text", " ").alias("w"))
+    toks = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))")
+        ).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    vocab = toks.select("tok").distinct()
+    h = vocab.select(_h(F.col("tok"), F.lit(0)).alias("hv"))
+    reg = h.select(
+        (F.col("hv") % HLL_BUCKETS).alias("bucket"),
+        F.expr(f"hv DIV {HLL_BUCKETS}").alias("v"),
+    )
+    rho = reg.select(
+        "bucket",
+        F.when(F.col("v") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(F.col("v"))))
+        .alias("r"),
+    )
+    return rho.groupBy("bucket").agg(
+        F.max("r").cast("bigint").alias("max_rho"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+    ).select(F.col("bucket").cast("bigint").alias("bucket"), "max_rho", "n_vals")
