@@ -365,3 +365,211 @@ def q_ivf_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TOPK)
         .select("query_id", "neighbor_id", "dot", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------- PQ ANN
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (8 x 8 = the 64-dim embedding)
+PQ_K = 16  # centroids per subspace codebook
+PQ_NQ_LO, PQ_NQ_HI = 100, 103  # ADC query vector ids
+PQ_TOPK = 5
+
+_PQ_ENC_SQL = f"""
+    subs AS (
+      SELECT vec_id, CAST(m AS INT) AS m,
+             list_slice(qv, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sv
+      FROM q8, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    cent AS (
+      SELECT m, CAST(vec_id AS INT) AS cid, sv AS csv
+      FROM subs WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT s.vec_id, s.m, c.cid,
+             CAST(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   i -> CAST(s.sv[i] - c.csv[i] AS BIGINT)
+                        * CAST(s.sv[i] - c.csv[i] AS BIGINT))) AS BIGINT) AS dist2
+      FROM subs s JOIN cent c ON s.m = c.m
+    ),
+    a AS (
+      SELECT vec_id, m, MIN(dist2 * {PQ_K} + cid) AS key FROM d GROUP BY 1, 2
+    ),
+    enc AS (
+      SELECT vec_id, m, CAST(key % {PQ_K} AS INT) AS code,
+             CAST(key // {PQ_K} AS BIGINT) AS dist2
+      FROM a
+    )"""
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "qv",
+    ).select(
+        "vec_id", F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(qv, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    )
+
+
+def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, dist2): per-subspace nearest-codeword id by
+    integer L2 with the dist2*K+cid tie-break key (dist2 <= 8*254^2, the
+    key decodes exactly)."""
+    subs = _pq_subvectors(spark, sf_dir).localCheckpoint(eager=False)
+    cent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("csv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("csv"),
+            lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = subs.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", (diff2 * PQ_K + F.col("cid")).alias("key")
+    )
+    a = d.groupBy("vec_id", "m").agg(F.min("key").alias("key"))
+    return a.select(
+        "vec_id",
+        "m",
+        (F.col("key") % PQ_K).cast("int").alias("code"),
+        F.expr(f"key DIV {PQ_K}").cast("bigint").alias("dist2"),
+    )
+
+
+@query(
+    "q_pq_encode_portable",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    {_PQ_ENC_SQL}
+    SELECT vec_id, string_agg(code, '-' ORDER BY m) AS codes,
+           CAST(SUM(dist2) AS BIGINT) AS qerr
+    FROM enc GROUP BY vec_id
+    """,
+    tags=("similarity", "ann", "pq", "portable", "llm-data"),
+)
+def q_pq_encode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE, hash-verified: split each
+    64-dim int8 vector into 8 subspaces of 8 dims, snap every subvector
+    to its nearest of 16 per-subspace codewords (integer L2,
+    deterministic tie-break), and emit the 8-byte PQ code per vector
+    plus its exact total quantization error. Completes the FAISS-style
+    ANN triad — flat (q_knn_cosine_bruteforce), IVF (q_knn_ivf), and now
+    PQ — with the codebook seeded from the first 16 vectors
+    (deterministic, same convention as the integer-KMeans seeds; a
+    production index trains codebooks with the Lloyd steps these queries
+    already verify).
+
+    Scale shape: the codebook is M*K subvectors (~8 KB) broadcast
+    everywhere; encoding is map-side (corpus never shuffles) and shrinks
+    each 64-byte int8 vector to 8 code bytes — the 8x memory compression
+    that lets a 1e9-vector index live in RAM. The subspace explode is
+    8 rows per vector feeding a (vec, m)-keyed min-agg, map-side
+    combined.
+    """
+    enc = _pq_encoded(spark, sf_dir)
+    return enc.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.sum("dist2").cast("bigint").alias("qerr"),
+    )
+
+
+@query(
+    "q_pq_adc_topk_portable",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    {_PQ_ENC_SQL},
+    lut AS (  -- per-query distance lookup table: query subvector vs
+              -- every codeword, 4 x 8 x 16 integer cells
+      SELECT s.vec_id AS q_id, s.m, c.cid,
+             CAST(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   i -> CAST(s.sv[i] - c.csv[i] AS BIGINT)
+                        * CAST(s.sv[i] - c.csv[i] AS BIGINT))) AS BIGINT) AS ld
+      FROM subs s JOIN cent c ON s.m = c.m
+      WHERE s.vec_id BETWEEN {PQ_NQ_LO} AND {PQ_NQ_HI}
+    ),
+    adc AS (
+      SELECT l.q_id, e.vec_id, SUM(l.ld) AS adc_dist
+      FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.code
+      WHERE e.vec_id != l.q_id
+      GROUP BY l.q_id, e.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    )
+    SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "pq", "portable", "llm-data"),
+)
+def q_pq_adc_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k search, hash-verified: for each
+    query vector build the M x K lookup table of integer L2 distances to
+    every codeword, then score every database vector as the SUM of 8
+    table lookups on its code — the ADC scan that makes PQ search
+    O(M) adds per candidate instead of O(dim) multiplies — and rank the
+    top-5 neighbors per query (deterministic ties by vec_id).
+
+    Scale shape: the LUT is queries x M x K cells (512 rows here) —
+    broadcast; the scan joins the code table (8 rows per vector, the
+    compressed index) against the LUT and map-side-combines the per-
+    vector sums; final top-k is a per-query TakeOrdered. The raw
+    embeddings are touched ONLY for the queries — the database side
+    reads nothing but codes, which is the entire point of PQ at 1e9+
+    vectors.
+    """
+    subs = _pq_subvectors(spark, sf_dir).localCheckpoint(eager=False)
+    cent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("csv")
+    )
+    qsubs = subs.filter(
+        (F.col("vec_id") >= PQ_NQ_LO) & (F.col("vec_id") <= PQ_NQ_HI)
+    ).select(F.col("vec_id").alias("q_id"), "m", "sv")
+    ld = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("csv"),
+            lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(F.broadcast(cent), "m").select("q_id", "m", "cid", ld.alias("ld"))
+    enc = _pq_encoded(spark, sf_dir)
+    adc = (
+        enc.join(
+            F.broadcast(lut),
+            (enc["m"] == lut["m"]) & (enc["code"] == lut["cid"]),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -105,6 +105,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_full_outer_join_replay",
     "q_stream_two_level_agg_replay",
     "q_hll_registers_portable",
+    "q_pq_encode_portable",
+    "q_pq_adc_topk_portable",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
