@@ -107,6 +107,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_hll_registers_portable",
     "q_pq_encode_portable",
     "q_pq_adc_topk_portable",
+    "q_feature_hashing",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

@@ -335,3 +335,70 @@ def q_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("r").cast("bigint").alias("max_rho"),
         F.count(F.lit(1)).cast("bigint").alias("n_vals"),
     ).select(F.col("bucket").cast("bigint").alias("bucket"), "max_rho", "n_vals")
+
+
+FH_DIMS = 64  # hashed feature space
+
+
+_FH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
+      WHERE length(tok) >= 1 GROUP BY doc_id, tok
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_h_sql('tok', '0')} % {FH_DIMS} AS dim,
+             CASE WHEN {_h_sql('tok', '1')} % 2 = 0 THEN cnt ELSE -cnt END AS w
+      FROM wc
+    )
+    SELECT doc_id, CAST(dim AS INT) AS dim, CAST(SUM(w) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, dim
+    HAVING SUM(w) != 0
+"""
+
+
+@query(
+    "q_feature_hashing",
+    oracle=_FH_ORACLE,
+    tags=("sketch", "featurization", "portable", "llm-data"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED feature hashing (the Weinberger et al. hashing trick /
+    HashingTF with sign correction): map each document's bag-of-words
+    into a fixed 64-dim sparse vector — dimension = portable hash of the
+    token, sign = an independent hash bit so colliding tokens cancel in
+    expectation instead of biasing upward. Emits the sparse (doc, dim,
+    weight) triples with exact cancellation (zero cells dropped on both
+    engines), so hash-collision arithmetic itself is driver-verified.
+
+    Scale shape: featurization is pure map-side (per-doc token counts →
+    hashed dims → one (doc, dim)-keyed combine); the output schema is
+    FIXED-WIDTH regardless of vocabulary, which is why the hashing trick
+    is the standard way to featurize unbounded vocabularies for linear
+    models / GBDTs at corpus scale — no vocabulary dictionary to build,
+    ship, or keep consistent across 1000 executors.
+    """
+    from ..operators.dedup import _spread
+
+    d = _spread(tables(spark, sf_dir)["documents"])
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = wc.select(
+        "doc_id",
+        (_h(F.col("tok"), F.lit(0)) % FH_DIMS).cast("int").alias("dim"),
+        F.when(_h(F.col("tok"), F.lit(1)) % 2 == 0, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("w"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("w").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
