@@ -108,6 +108,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_pq_encode_portable",
     "q_pq_adc_topk_portable",
     "q_feature_hashing",
+    "q_stream_merge_sink_replay",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

@@ -1000,3 +1000,86 @@ def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _run_to_memory(spark, hourly, base, shuffle_partitions=4)
+
+
+@query(
+    "q_stream_merge_sink_replay",
+    oracle="""
+    WITH base AS (  -- batch 0: initial snapshot load
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    final AS (
+      SELECT k,
+             CASE WHEN k % 6 = 0 THEN v + 10 ELSE v END AS v
+      FROM base
+      WHERE k % 9 != 0                      -- batch-1 deletes
+      UNION ALL
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0   -- batch-1 inserts
+    )
+    SELECT k, CAST(v AS DOUBLE) AS v FROM final
+    """,
+    tags=("streaming", "lakehouse", "merge", "eos", "replay"),
+)
+def q_stream_merge_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingest through the MERGE exactly-once sink
+    (eos.py:MergeIdempotentSnapshotWriter): a 2-batch file-stream
+    replay — batch 0 loads the initial keyed snapshot, batch 1 applies
+    a mixed changeset (updates +10, deletes, inserts; one op per key by
+    CASE construction) — lands via ``foreachBatch`` into the
+    pointer-swap parquet snapshot, and the query returns the COMMITTED
+    table read back through the writer's pointer. The oracle states the
+    post-sequence snapshot algebraically, so a lost batch, a
+    double-applied batch, an op misrouted (update-as-insert,
+    delete-as-noop), or a stale pointer all flip the hash — this puts
+    the round-6 third writer mode inside the driver-verified surface
+    (its crash/replay/fencing paths are fake-crash pytest-covered in
+    tests/test_eos_kafka.py).
+
+    Scale shape: each epoch's merge is ONE keyed full-outer join of the
+    snapshot against a batch-sized changeset (broadcast when small);
+    commit is an atomic pointer object swap (object-store pattern), so
+    readers see epoch N or N+1, never a torn table. DECIMAL values keep
+    the hash exact.
+    """
+    from ..eos import MergeIdempotentSnapshotWriter
+
+    o = tables(spark, sf_dir)["orders"]
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        dec("o_totalprice").alias("v"),
+        F.lit("U").alias("_op"),
+    )
+    k = F.col("o_orderkey")
+    changes = (
+        o.filter(
+            ((k % 3 == 0) & ((k % 6 == 0) | (k % 9 == 0)))
+            | ((k % 3 == 1) & (k % 5 == 0))
+        )
+        .select(
+            k.alias("k"),
+            F.when(k % 9 == 0, F.lit(None).cast("decimal(12,2)"))
+            .when(k % 6 == 0, dec("o_totalprice") + 10)
+            .otherwise(dec("o_totalprice"))
+            .cast("decimal(12,2)")  # +10 widens to (14,2); pin the chunk
+            .alias("v"),
+            F.when(k % 9 == 0, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+        )
+    )
+    base_dir = work_dir("smerge", sf_dir)
+    flat = _write_chunks([base, changes], os.path.join(base_dir, "chunks"))
+    writer = MergeIdempotentSnapshotWriter(os.path.join(base_dir, "tbl"), key="k")
+    stream = spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = writer.current(spark)
+    return snap.select("k", F.col("v").cast("double").alias("v"))
