@@ -1,5 +1,6 @@
 """Probabilistic-sketch operators with cross-engine-exact portable
-hashes: Count-Min heavy-hitter estimation and Bloom-filter membership,
+hashes: Count-Min heavy-hitter estimation, Bloom-filter membership,
+HyperLogLog register construction, and signed feature hashing,
 each DETERMINISTIC end-to-end (md5-derived bucket/bit positions, integer
 counts) so the driver hash-verifies the full sketch algebra against
 DuckDB — the same verification strategy as the portable MinHash/LSH/IVF
