@@ -709,7 +709,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("prior_sum") + F.col("rb") * F.col("cnt")).alias("cum"),
     )
     total = wc.agg(F.sum("cnt").alias("total"))
-    targets = spark.createDataFrame([(50,), (75,), (90,), (95,), (99,)], "pct int")
+    # JVM-side literal frame: a local-list createDataFrame pays a
+    # Python serialization round per job (~5 s measured, round 6)
+    targets = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 75, 90, 95, 99)])).alias("pct")
+    )
     return (
         ranked.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(targets))

@@ -55,6 +55,27 @@ WM_MIN = 30  # watermark delay for the late-drop query, minutes
 LAST_TIMINGS: dict[str, float] = {"write_chunks_sec": 0.0, "stream_run_sec": 0.0}
 
 
+
+def _literal_rows(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Tiny literal frames built JVM-SIDE (range(1) + lit() + union)
+    instead of ``spark.createDataFrame(list)``: the local-list path
+    serializes through a Python round per JOB and costs ~5 s per write
+    in this environment (measured round 6: a 2-row sentinel chunk wrote
+    in 5.6 s via createDataFrame vs 0.7 s as literals) — the sentinel
+    chunks were 10 of the 14 bench seconds of each outer-join replay."""
+    frames = []
+    for row in rows:
+        cols = [
+            F.lit(v).cast(f.dataType).alias(f.name)
+            for v, f in zip(row, schema.fields)
+        ]
+        frames.append(spark.range(1).select(*cols))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
 def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
     """One parquet file per chunk with ascending mod-times so the file
     stream (maxFilesPerTrigger=1) replays chunk i as micro-batch i."""
@@ -436,7 +457,8 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = work_dir("ssouter", sf_dir)
 
     def sentinels(purchase_id: int, click_id: int) -> DataFrame:
-        return spark.createDataFrame(
+        return _literal_rows(
+            spark,
             [(purchase_id, maxts, -1, "purchase"), (click_id, maxts, -2, "click")],
             ev.schema,
         )
@@ -867,7 +889,8 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
     base = work_dir("ssfull", sf_dir)
 
     def sentinels(purchase_id: int, click_id: int) -> DataFrame:
-        return spark.createDataFrame(
+        return _literal_rows(
+            spark,
             [(purchase_id, maxts, -1, "purchase"), (click_id, maxts, -2, "click")],
             ev.schema,
         )
@@ -964,7 +987,7 @@ def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     base = work_dir("sstwolevel", sf_dir)
 
     def sentinel(tag: int) -> DataFrame:
-        return spark.createDataFrame([(maxts, f"___wm{tag}", 0.0)], ev.schema)
+        return _literal_rows(spark, [(maxts, f"___wm{tag}", 0.0)], ev.schema)
 
     flat = _write_chunks(
         [
