@@ -272,3 +272,49 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # CMS: vocab groupBy + (j,bucket) cell groupBy + TakeOrdered
+        # candidates + final estimate groupBy (probes broadcast)
+        ("q_countmin_heavy_hitters_portable", 4),
+        ("q_hll_registers_portable", 3),   # vocab distinct + register groupBy
+        ("q_feature_hashing", 2),          # (doc,tok) count + (doc,dim) combine
+        # sweep-line: per-day delta fold + the bounded single-partition
+        # running-sum window (days, not lineitems)
+        ("q_interval_sweepline", 3),
+        ("q_pq_encode_portable", 2),       # (vec,m) min-agg + vec_id regroup
+    ],
+)
+def test_round6_ops_shuffle_budget(spark, name, max_exchanges):
+    """Round-6 operators: same enforced shuffle inventory — the sketch
+    builds stay map-side-combined, nothing degenerates into extra
+    wide stages."""
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_pq_adc_broadcasts_lut_and_codebook(spark):
+    """The ADC scan must broadcast the LUT (queries x M x K cells) onto
+    the code table — shuffling codes to meet a 512-row table would be
+    the scale-killer PQ exists to avoid."""
+    df = QUERIES["q_pq_adc_topk_portable"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_bloom_probe_broadcasts_bits(spark):
+    """The Bloom probe joins the <= 4096-row bit set via broadcast —
+    the blocklist filter ships to every probe task, never the reverse."""
+    df = QUERIES["q_bloom_filter_audit_portable"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_oriented_triangles_no_cartesian(spark):
+    df = QUERIES["q_triangle_oriented"].spark_fn(spark, SF)
+    assert_no_cartesian(df)
