@@ -152,3 +152,71 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_value.o_totalprice").alias("old_totalprice"),
         F.col("new_value.o_totalprice").alias("new_totalprice"),
     )
+
+
+_V2_TS = "1996-01-01"
+
+
+@query(
+    "q_scd2_point_in_time_join",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CASE WHEN c.c_custkey % 5 = 0
+                      AND o.o_orderdate >= TIMESTAMP '{_V2_TS}'
+                     THEN CAST(c.c_acctbal AS DECIMAL(12,2)) + 100
+                     ELSE CAST(c.c_acctbal AS DECIMAL(12,2)) END AS DOUBLE)
+             AS bal_at_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("lakehouse", "scd2", "temporal", "join"),
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME lookup against a versioned dimension — the standard
+    warehouse query over SCD2 history (q_scd2_history builds such
+    history; this consumes one): every fact row joins the dimension
+    version that was valid AT ITS OWN timestamp, via
+    ``fact.ts >= valid_from AND fact.ts < valid_to``. The versioned
+    dimension is built deterministically (every 5th customer re-versions
+    at {_V2_TS} with +100 balance), and the oracle states the effective
+    balance per order analytically — picking the wrong version, leaking
+    a row into two versions (half-open interval bug), or dropping
+    single-version customers all flip the hash.
+
+    Scale shape: the version table is dimension-sized x version count —
+    broadcast, so the fact side never shuffles and the interval
+    predicate evaluates map-side (the theta part of a broadcast range
+    join). Versions are HALF-OPEN [from, to): exactly one version
+    matches any timestamp, which the row-count equality with the plain
+    FK join proves every round.
+    """
+    t = tables(spark, sf_dir)
+    c = t["customer"]
+    far, epoch = "9999-12-31", "0001-01-01"
+    v2_key = F.col("c_custkey") % 5 == 0
+    v1 = c.select(
+        "c_custkey",
+        dec("c_acctbal").alias("bal"),
+        F.lit(epoch).cast("timestamp").alias("valid_from"),
+        F.when(v2_key, F.lit(_V2_TS)).otherwise(F.lit(far)).cast("timestamp").alias("valid_to"),
+    )
+    v2 = c.filter(v2_key).select(
+        "c_custkey",
+        (dec("c_acctbal") + 100).alias("bal"),
+        F.lit(_V2_TS).cast("timestamp").alias("valid_from"),
+        F.lit(far).cast("timestamp").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        o.join(
+            F.broadcast(versions),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("bal").cast("double").alias("bal_at_order"),
+        )
+    )

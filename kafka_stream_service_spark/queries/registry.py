@@ -109,6 +109,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_pq_adc_topk_portable",
     "q_feature_hashing",
     "q_stream_merge_sink_replay",
+    "q_scd2_point_in_time_join",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
