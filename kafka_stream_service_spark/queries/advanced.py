@@ -536,3 +536,80 @@ def q_cume_dist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
         F.ntile(3).over(w).alias("bal_tercile"),
     )
+
+
+@query(
+    "q_cogroup_conversion_lag",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+    lagged AS (
+      SELECT p.user_id, p.t,
+             (SELECT MAX(c.t) FROM c
+              WHERE c.user_id = p.user_id AND c.t <= p.t) AS last_click
+      FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(last_click) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(t - last_click), 0) AS BIGINT) AS total_lag_us
+    FROM lagged GROUP BY user_id
+    """,
+    tags=("udf", "cogroup", "pandas", "asof"),
+)
+def q_cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED pandas op (``groupBy().cogroup().applyInPandas``) — the
+    two-stream grouped-map surface: per user, clicks and purchases
+    arrive as two aligned pandas frames and a vectorized searchsorted
+    matches each purchase to its latest click at or before it (a
+    per-group as-of), emitting purchase counts and the exact total
+    click-to-purchase lag in integer microseconds. Timestamps cross the
+    Arrow boundary pre-converted to int64 epoch-us, so the pandas side
+    is pure integer arithmetic with no tz/ns ambiguity.
+
+    Scale shape: cogroup shuffles BOTH streams once on the group key and
+    hands each key's pair of frames to one task — the right tool when
+    the per-key logic (order-dependent matching) doesn't decompose into
+    join + window. Per-key memory is that user's events, the same bound
+    the stream-stream join replays carry; the reference's gRPC slot
+    (R8) is this same Arrow-batched python-boundary shape one level up.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_type",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select("user_id", "t")
+    purchases = base.filter(F.col("event_type") == "purchase").select("user_id", "t")
+
+    def lag_stats(key, cl: pd.DataFrame, pu: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pu) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_purchases": [], "n_matched": [], "total_lag_us": []}
+            ).astype({"user_id": "int64", "n_purchases": "int64",
+                      "n_matched": "int64", "total_lag_us": "int64"})
+        pt = np.sort(pu["t"].to_numpy(dtype="int64"))
+        ct = np.sort(cl["t"].to_numpy(dtype="int64")) if len(cl) else np.array([], dtype="int64")
+        idx = np.searchsorted(ct, pt, side="right") - 1
+        matched = idx >= 0
+        lags = pt[matched] - ct[idx[matched]]
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [int(len(pt))],
+                "n_matched": [int(matched.sum())],
+                "total_lag_us": [int(lags.sum()) if len(lags) else 0],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            lag_stats,
+            "user_id long, n_purchases long, n_matched long, total_lag_us long",
+        )
+    )

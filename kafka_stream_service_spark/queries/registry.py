@@ -110,6 +110,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_feature_hashing",
     "q_stream_merge_sink_replay",
     "q_scd2_point_in_time_join",
+    "q_source_quota",
+    "q_cogroup_conversion_lag",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

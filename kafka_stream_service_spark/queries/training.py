@@ -313,3 +313,51 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key"))
     )
+
+
+QUOTA_K = 15  # per-source document cap
+
+
+@query(
+    "q_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rk <= {QUOTA_K}) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) FILTER (WHERE rk <= {QUOTA_K}) AS BIGINT) AS chars_kept
+    FROM ranked GROUP BY source
+    """,
+    tags=("training", "sampling", "curation", "llm-data"),
+)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document QUOTA (the per-domain cap every web-crawl
+    pipeline applies so no single domain dominates the corpus): keep at
+    most 15 documents per source, chosen by a deterministic
+    content-hash ranking (md5, doc_id tie-break) — an unbiased,
+    re-runnable sample, unlike "first K seen" which depends on scan
+    order. Complements the RATE-based samplers (q_stratified_sample
+    keeps a fraction; the quota keeps an exact count) — rate caps
+    relative share, quota caps absolute contribution.
+
+    Scale shape: one window partitioned by source — each domain's rank
+    is an independent partition, and the heavy-domain skew this op
+    exists for is exactly what the hash-order ranking bounds: only rank
+    <= K survives, so downstream reads shrink to K x |domains| rows.
+    At extreme per-domain cardinality swap row_number for a two-pass
+    top-K (per-partition TakeOrdered then merge), same semantics.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    w = W.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+    kept = F.col("rk") <= QUOTA_K
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).cast("bigint").alias("chars_kept"),
+    )
