@@ -112,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_scd2_point_in_time_join",
     "q_source_quota",
     "q_cogroup_conversion_lag",
+    "q_event_paths_topk",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

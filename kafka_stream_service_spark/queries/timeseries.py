@@ -534,3 +534,59 @@ def q_interval_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("net_change").over(w).cast("bigint").alias("in_flight"),
         F.sum("net_value").over(w).cast("double").alias("value_in_flight"),
     )
+
+
+@query(
+    "q_event_paths_topk",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE p2 IS NOT NULL
+    GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+    tags=("timeseries", "sequence", "window"),
+)
+def q_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream PATH MINING: the top-20 three-step behavior sequences
+    (sliding trigram over each user's time-ordered event stream) with
+    occurrence and distinct-user counts — the next structure up from
+    the 1-step Markov matrix (q_event_transitions), and the raw input
+    to funnel discovery (which paths actually precede purchase) as
+    opposed to funnel MEASUREMENT of a hypothesized path
+    (q_conversion_funnel). Ordering is the total (ts, event_id) order,
+    so ties are deterministic across engines.
+
+    Scale shape: one user-partitioned window shuffle carries two-deep
+    lag state; paths pre-aggregate map-side before the count shuffle
+    (path cardinality is |event_types|^3 — tiny); final top-20 is a
+    TakeOrdered. No self-joins — the naive sequence-mining join
+    (events x events x events on adjacency) never appears.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(20)
+    )
