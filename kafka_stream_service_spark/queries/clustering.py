@@ -573,3 +573,58 @@ def q_pq_adc_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "q_rank_normalize_embeddings",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    pos AS (
+      SELECT vec_id, CAST(i AS INT) AS pos, CAST(qv[CAST(i AS INT)] AS BIGINT) AS val
+      FROM q8, unnest(range(1, len(qv) + 1)) AS u(i)
+    ),
+    ranked AS (
+      SELECT vec_id, pos, val,
+             RANK() OVER (PARTITION BY pos ORDER BY val) AS r
+      FROM pos
+    )
+    SELECT vec_id,
+           CAST(SUM(r) AS BIGINT) AS rank_sum,
+           CAST(MIN(r) AS BIGINT) AS rank_min,
+           CAST(MAX(r) AS BIGINT) AS rank_max
+    FROM ranked GROUP BY vec_id
+    """,
+    tags=("similarity", "normalization", "llm-data"),
+)
+def q_rank_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension RANK (quantile) normalization of the embedding
+    corpus — the distribution-free feature transform (each dimension's
+    values replaced by their rank within that dimension) that makes
+    downstream distance metrics robust to per-dimension scale and
+    outliers. Tie handling is RANK() (equal values share a rank), which
+    is deterministic without any tie-break column, so the transform is
+    integer-exact; per-vector rank sum/min/max land in the driver hash
+    as the transform's fingerprint.
+
+    Scale shape: one posexplode feeds dim-partitioned rank windows — 64
+    independent partitions, each sorting one dimension's column; at
+    1e9+ vectors per-dimension sorts become the bottleneck and the
+    documented swap is approximate quantile bucketing (percentile-bound
+    assignment, no global sort) at the cost of rank granularity. The
+    final regroup shuffles (vec, rank) pairs once.
+    """
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    pos = e.select("vec_id", F.posexplode("qv").alias("pos0", "val")).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("pos").orderBy("val")
+    ranked = pos.select("vec_id", F.rank().over(w).alias("r"))
+    return ranked.groupBy("vec_id").agg(
+        F.sum("r").cast("bigint").alias("rank_sum"),
+        F.min("r").cast("bigint").alias("rank_min"),
+        F.max("r").cast("bigint").alias("rank_max"),
+    )

@@ -113,6 +113,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_source_quota",
     "q_cogroup_conversion_lag",
     "q_event_paths_topk",
+    "q_rfm_segmentation",
+    "q_rank_normalize_embeddings",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

@@ -590,3 +590,72 @@ def q_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             SUM(CAST(value AS DECIMAL(12,2))) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(ts) AS now_ts FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', last_ts, (SELECT now_ts FROM mx)) AS BIGINT)
+               AS recency_days,
+             frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM p
+    )
+    SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM rfm
+    """,
+    tags=("timeseries", "analytics", "window"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring query:
+    per purchasing user, Recency (days since last purchase, against the
+    corpus max timestamp so the query is reproducible), Frequency, and
+    Monetary (exact DECIMAL), then quintile scores per dimension
+    (deterministic ntile ties by user_id) composed into the 3-digit RFM
+    segment code. 111 = best-everything, 555 = churned-low-value.
+
+    Scale shape: one purchase aggregation shuffled on user_id, then
+    three global ntile windows — acceptable because they run over the
+    AGGREGATED per-user frame (|users|, not |events|), the same bounded
+    single-partition trade the equi-depth histogram documents; at
+    extreme user counts swap ntile for percentile-bound bucketing
+    (two-pass, no global sort).
+    """
+    ev = tables(spark, sf_dir)["events"]
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("value")).alias("monetary"),
+        )
+    )
+    now_ts = ev.agg(F.max("ts").alias("now_ts"))
+    wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return (
+        p.crossJoin(F.broadcast(now_ts))
+        .select(
+            "user_id",
+            F.datediff(F.col("now_ts"), F.col("last_ts")).cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            F.col("monetary").cast("double").alias("monetary"),
+            (
+                F.ntile(5).over(wr) * 100 + F.ntile(5).over(wf) * 10 + F.ntile(5).over(wm)
+            ).cast("bigint").alias("rfm"),
+        )
+    )
