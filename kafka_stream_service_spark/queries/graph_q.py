@@ -272,3 +272,71 @@ def q_triangle_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import oriented_triangles
 
     return oriented_triangles(_candidate_edges(spark, sf_dir))
+
+
+KCORE_K = 2
+KCORE_ITERS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling iterations as chained CTEs — same verification
+    strategy as the integer-PageRank oracle: a fixed iteration count
+    makes an iterative algorithm a deterministic, hash-checkable
+    function of the input."""
+    sql = _EDGES_CTE + """,
+    adj0 AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)"""
+    for i in range(KCORE_ITERS):
+        sql += f""",
+    deg{i} AS (SELECT a, COUNT(*) AS d FROM adj{i} GROUP BY a),
+    keep{i} AS (SELECT a FROM deg{i} WHERE d >= {KCORE_K}),
+    adj{i + 1} AS (
+      SELECT adj{i}.a, adj{i}.b FROM adj{i}
+      JOIN keep{i} ka ON ka.a = adj{i}.a
+      JOIN keep{i} kb ON kb.a = adj{i}.b
+    )"""
+    sql += f"""
+    SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM adj{KCORE_ITERS} GROUP BY a
+    """
+    return sql
+
+
+@query(
+    "q_kcore_decomposition",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "dedup", "llm-data"),
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE peeling (k=2, 3 unrolled iterations) over the rare-shingle
+    candidate graph: repeatedly delete vertices with degree < k; what
+    survives is the densely-interlinked near-dup core — a stronger
+    cluster-quality signal than connected components (which chain
+    through weak 1-edge bridges) and the standard preprocessing cut for
+    community detection. Fixed iteration count makes the iterative
+    peel a deterministic function of the input, so the unrolled-CTE
+    oracle hash-checks every surviving vertex and its in-core degree.
+
+    Scale shape: each iteration is one degree aggregation plus two
+    semi-join-shaped edge filters, all hash-partitioned on vertex ids —
+    the same per-iteration cost envelope as label propagation. Edges
+    shrink monotonically, so later iterations are cheaper; at 100 TB
+    the loop runs to fixpoint with the same convergence-fingerprint
+    trick connected_components uses (here: edge count is monotone
+    non-increasing, equal counts == fixpoint). Peeled edge frames are
+    lineage-truncated per generation like the other iterative ops.
+    """
+    edges = _candidate_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=False)
+    for _ in range(KCORE_ITERS):
+        deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("a")
+        adj = (
+            adj.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return adj.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("a").alias("doc_id"), F.col("core_degree").cast("bigint").alias("core_degree")
+    )

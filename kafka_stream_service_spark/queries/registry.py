@@ -115,6 +115,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_event_paths_topk",
     "q_rfm_segmentation",
     "q_rank_normalize_embeddings",
+    "q_kcore_decomposition",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
