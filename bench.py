@@ -118,6 +118,7 @@ DETAIL_ONLY = [
     "q_event_paths_topk",
     "q_rfm_segmentation",
     "q_rank_normalize_embeddings",
+    "q_kcore_decomposition",
 ]
 
 
