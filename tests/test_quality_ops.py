@@ -323,3 +323,52 @@ def test_mode_per_group_deterministic_tie_break(spark, tmp_path):
     out = {r.o_orderstatus: r for r in QUERIES["q_mode_per_group"].spark_fn(spark, str(tmp_path)).collect()}
     assert out["O"].mode_priority == "1-URGENT" and out["O"].mode_count == 1
     assert out["F"].mode_priority == "3-MEDIUM"
+
+
+def test_referential_integrity_null_keys_agree_with_oracle(spark, tmp_path):
+    """The r5 ADVICE scenario: NULL FKs and NULL parent keys — exactly
+    the dirty data an RI audit targets. Spark result must match the
+    registered DuckDB oracle on BOTH semantics points (NULL children
+    are not orphans, NULL parents are not unreferenced), not just on
+    clean fixtures."""
+    import duckdb
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    w("nation", "n_nationkey long", [(0,), (1,), (None,)])
+    # c_nationkey NULL: NOT an orphan (counted by q_data_quality_report)
+    w("customer", "c_custkey long, c_nationkey long", [(10, 0), (11, None), (12, 9)])
+    w("orders", "o_orderkey long, o_custkey long", [(100, 10), (101, None)])
+    w("part", "p_partkey long", [(1,)])
+    w("supplier", "s_suppkey long", [(1,)])
+    w(
+        "lineitem",
+        "l_orderkey long, l_partkey long, l_suppkey long",
+        [(100, 1, 1), (101, 1, 1)],
+    )
+    out = {
+        r.edge: r
+        for r in QUERIES["q_referential_integrity"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    # c_nationkey=9 orphan, NULL ignored; NULL nation key never "unreferenced"
+    cn = out["customer->nation"]
+    assert cn.orphan_rows == 1
+    assert cn.unreferenced_parents == 1  # nation 1 (NULL parent excluded)
+    oc = out["orders->customer"]
+    assert oc.orphan_rows == 0  # NULL o_custkey is not an orphan
+
+    # and the full row set matches the DuckDB oracle on the same files
+    con = duckdb.connect()
+    for t in ["nation", "customer", "orders", "part", "supplier", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    oracle = {r[0]: r for r in con.execute(QUERIES["q_referential_integrity"].oracle).fetchall()}
+    for edge, r in out.items():
+        o = oracle[edge]
+        assert (
+            r.child_rows, r.child_keys, r.parent_keys, r.orphan_rows, r.unreferenced_parents
+        ) == tuple(o[1:]), edge
