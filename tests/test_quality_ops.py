@@ -372,3 +372,44 @@ def test_referential_integrity_null_keys_agree_with_oracle(spark, tmp_path):
         assert (
             r.child_rows, r.child_keys, r.parent_keys, r.orphan_rows, r.unreferenced_parents
         ) == tuple(o[1:]), edge
+
+
+def test_text_roundtrip_newlines_and_nulls(spark, tmp_path):
+    """The r5 ADVICE scenario: embedded CR/LF would split one document
+    into multiple write.text lines, and NULL lang/text would shift
+    fields under concat_ws's NULL-skip. The hardened query must keep
+    one line per document (newlines flattened length-preservingly) and
+    parse NULLs as empty fields."""
+    docs = [
+        (1, "line one\nline two\r\nline three", "en", "s"),
+        (2, None, "en", "s"),
+        (3, "plain", None, "s"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in QUERIES["q_text_roundtrip"].spark_fn(spark, str(tmp_path)).collect()}
+    en = out["en"]
+    assert en.n_docs == 2  # doc 1 stayed ONE line; doc 2 (null text) survived
+    assert en.total_chars == len("line one\nline two\r\nline three")  # length-preserving
+    assert en.min_doc == 1 and en.max_doc == 2
+    assert out[""].n_docs == 1 and out[""].min_doc == 3  # null lang -> ''
+
+
+def test_embedding_outliers_rejects_ragged_vectors(spark, tmp_path):
+    """The uniform-dimension guard (r5 ADVICE): ragged embeddings within
+    a label must raise loudly instead of silently diverging from the
+    oracle's per-position counts."""
+    import pytest as _pytest
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0], 0),
+        (2, [2.0, 3.0], 0),  # ragged within label 0
+        (3, [1.0, 1.0, 1.0, 1.0], 1),
+        (4, [2.0, 2.0, 2.0, 2.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(Exception, match="ragged"):
+        QUERIES["q_embedding_outliers"].spark_fn(spark, str(tmp_path)).collect()
