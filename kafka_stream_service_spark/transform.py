@@ -54,11 +54,21 @@ def identity_function(batch: pd.DataFrame) -> pd.DataFrame:
 class FunctionConfig:
     """Mirror of the reference's @ConfigurationProperties("grpc")
     (StreamsApplication.java:42-64): host/port of the function server and
-    the enabled flag."""
+    the enabled flag.
+
+    ``transport`` selects the wire: "auto" uses grpcio when importable
+    and otherwise the local fallback (the safe default — the default
+    host:port points at nothing in this container); "grpcio" forces the
+    grpc.Channel path; "h2-stdlib" forces the dependency-free HTTP/2
+    transport (h2grpc.py) — a REAL loopback TCP hop speaking the public
+    gRPC wire format, which is how the live leg of R8 is exercised in
+    containers without grpcio; "local" forces the in-process fallback.
+    """
 
     host: str = "localhost"
     port: int = 10382
     enabled: bool = True
+    transport: str = "auto"
 
 
 class RemoteFunction:
@@ -82,12 +92,24 @@ class RemoteFunction:
 
     def connect(self):
         if self._channel is None:
-            try:
-                import grpc  # type: ignore[import-not-found]
-
-                self._channel = grpc.insecure_channel(f"{self.config.host}:{self.config.port}")
-            except ImportError:
+            mode = getattr(self.config, "transport", "auto")
+            if mode == "local":
                 self._channel = "local"
+            elif mode == "h2-stdlib":
+                from .h2grpc import H2GrpcChannel
+
+                self._channel = H2GrpcChannel(self.config.host, self.config.port)
+            else:
+                try:
+                    import grpc  # type: ignore[import-not-found]
+
+                    self._channel = grpc.insecure_channel(
+                        f"{self.config.host}:{self.config.port}"
+                    )
+                except ImportError:
+                    if mode == "grpcio":
+                        raise
+                    self._channel = "local"
         return self._channel
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
