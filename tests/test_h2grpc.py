@@ -172,3 +172,44 @@ def test_remote_function_pipeline_parity_over_live_hop(spark, server):
         bytes(r.payload) for r in transform_messages(df, uppercase_function).collect()
     )
     assert got == expect
+
+
+def test_streaming_pipeline_with_live_remote_function(spark, server, tmp_path):
+    """The REFERENCE ARCHITECTURE end-to-end, in-container: file-stream
+    source -> wire decode -> per-record function hosted in an EXTERNAL
+    server reached over a real gRPC/HTTP-2 TCP hop -> wire encode ->
+    memory sink. This is the full R1-R17 spine with the R8 leg live
+    (StreamsApplication.java:179-190), previously possible only where
+    grpcio was installed."""
+    from kafka_stream_service_spark.codec import decode_py, encode_py
+    from kafka_stream_service_spark.pipeline import PipelineConfig, start_pipeline
+
+    messages = [
+        ({"Accept": ["*/*"]}, b"World"),
+        ({}, b"hello spark"),
+        ({"x": ["1", "2"]}, b"MiXeD CaSe 123"),
+    ]
+    frames = spark.createDataFrame(
+        [(None, bytearray(encode_py(h, p))) for h, p in messages],
+        "key binary, value binary",
+    )
+    src = tmp_path / "in"
+    frames.write.parquet(str(src))
+    cfg = PipelineConfig(
+        source="files",
+        sink="memory",
+        source_path=str(src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="h2_live_pipe",
+        function=FunctionConfig(host="127.0.0.1", port=server.port, transport="h2-stdlib"),
+    )
+    remote = RemoteFunction(cfg.function)
+    q = start_pipeline(spark, cfg, remote)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        decode_py(bytes(r.value))[1] for r in spark.table("h2_live_pipe").collect()
+    )
+    assert got == sorted(p.decode().upper().encode() for _, p in messages)
