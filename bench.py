@@ -164,11 +164,38 @@ def pipeline_throughput(spark, sf_dir: str, tmp_dir: str) -> dict:
 
     fused = best_of(run_pipeline_fused)
     staged = best_of(run_pipeline_batch)
+
+    # the reference's ACTUAL architecture: the per-record function hosted
+    # in an external server, reached over a real gRPC/HTTP-2 TCP hop
+    # (stdlib transport, h2grpc.py) from every executor task — measured
+    # so the in-process vs remote-hop cost is a recorded number, not a
+    # guess (round 6; detail-only)
+    from kafka_stream_service_spark.grpc_function import (
+        pb_decode_message,
+        pb_encode_message,
+    )
+    from kafka_stream_service_spark.h2grpc import H2GrpcServer
+    from kafka_stream_service_spark.transform import FunctionConfig, RemoteFunction
+
+    def upper_handler(request_iterator):
+        for raw in request_iterator:
+            headers, payload = pb_decode_message(raw)
+            yield pb_encode_message(headers, payload.decode("utf-8").upper().encode("utf-8"))
+
+    srv = H2GrpcServer(upper_handler)
+    try:
+        remote = RemoteFunction(
+            FunctionConfig(host="127.0.0.1", port=srv.port, transport="h2-stdlib")
+        )
+        remote_sec = best_of(lambda df, _fn: run_pipeline_batch(df, remote))
+    finally:
+        srv.close()
     return {
         "msgs": n,
         "sec": round(fused, 3),
         "msgs_per_sec": round(n / fused),
         "staged_msgs_per_sec": round(n / staged),
+        "remote_grpc_hop_msgs_per_sec": round(n / remote_sec),
     }
 
 
