@@ -207,3 +207,61 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", F.shiftrightunsigned("simhash", 48))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT k AS prefix_key,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+           CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+    FROM ranked GROUP BY k
+    """,
+    tags=("dedup", "curation", "llm-data"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-RANKED dedup (keep-BEST, not keep-first): documents
+    sharing the same 5-token opening are treated as variants of one
+    underlying document (the truncation / boilerplate-wrapper dedup
+    shape — same opening, different amounts of surviving body), and the
+    LONGEST variant wins (n_chars desc, doc_id tie-break). Keep-first
+    (q_dedup_keep_first) answers "which arrived first"; keep-best
+    answers "which copy should train" — the semantic production
+    pipelines actually want when near-identical variants differ in
+    completeness. Per retained doc the audit also accounts the
+    character mass dropped with the losing variants.
+
+    Scale shape: one window partitioned by the prefix key (computed
+    map-side from the first 5 tokens only — the full text never keys a
+    shuffle), then a per-key fold; identical to keep-first's cost. For
+    fuzzier variant groups swap the key for a MinHash band — the
+    ranking logic is key-agnostic.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("k"),
+    )
+    w = W.partitionBy("k").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("k").alias("prefix_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("bigint").alias("keep_doc_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("bigint").alias("keep_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)
+        ).cast("bigint").alias("chars_dropped"),
+    )
