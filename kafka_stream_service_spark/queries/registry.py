@@ -117,6 +117,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_rank_normalize_embeddings",
     "q_kcore_decomposition",
     "q_dedup_keep_best",
+    "q_token_budget_allocation",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

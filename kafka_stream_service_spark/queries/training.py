@@ -361,3 +361,95 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars"))).cast("bigint").alias("chars_kept"),
     )
+
+
+@query(
+    "q_token_budget_allocation",
+    oracle="""
+    WITH avail AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(avail) // 2 AS BIGINT) AS budget
+      FROM avail
+    ),
+    base AS (
+      SELECT a.source, a.avail,
+             LEAST(a.avail, t.budget // t.n_src) AS take1
+      FROM avail a, tot t
+    ),
+    lo AS (
+      SELECT CAST((SELECT budget FROM tot) - SUM(take1) AS BIGINT) AS leftover,
+             CAST(SUM(avail - take1) AS BIGINT) AS cap_rem
+      FROM base
+    )
+    SELECT b.source, b.avail,
+           CAST(b.take1 AS BIGINT) AS base_take,
+           CAST(CASE WHEN lo.cap_rem > 0
+                     THEN (lo.leftover * (b.avail - b.take1)) // lo.cap_rem
+                     ELSE 0 END AS BIGINT) AS extra_take,
+           CAST(b.take1 + CASE WHEN lo.cap_rem > 0
+                     THEN (lo.leftover * (b.avail - b.take1)) // lo.cap_rem
+                     ELSE 0 END AS BIGINT) AS final_take
+    FROM base b, lo
+    """,
+    tags=("training", "planning", "mixture", "llm-data"),
+)
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget ALLOCATION planning — "fill a B-token training
+    budget from N sources without letting any source exceed what it
+    has": equal base quota per source capped at availability, then one
+    proportional-to-remaining-capacity redistribution of the leftover
+    (a single waterfilling round, all floor-division integer arithmetic
+    so the plan is bit-reproducible). The output is the per-source
+    take table a mixture sampler (q_corpus_mixture) consumes as rates;
+    budget here is 50% of corpus tokens, exercising both the capped
+    (small sources give everything) and uncapped branches.
+
+    Scale shape: one map-side token count + source agg (N_src rows),
+    then pure scalar algebra over broadcast 1-row totals — the
+    planning query costs one corpus scan regardless of budget logic,
+    and iterating more waterfilling rounds re-runs only the tiny
+    scalar tail. DIV keeps every quantity integer; no float surface.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail")
+    )
+    tot = avail.agg(
+        F.sum("avail").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.expr("CAST(sum(avail) DIV 2 AS BIGINT)").alias("budget"),
+    )
+    base = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.least(F.col("avail"), F.expr("budget DIV n_src")).alias("take1"),
+        "budget",
+    )
+    lo = base.agg(
+        (F.first("budget") - F.sum("take1")).cast("bigint").alias("leftover"),
+        F.sum(F.col("avail") - F.col("take1")).cast("bigint").alias("cap_rem"),
+    )
+    out = base.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "avail",
+        F.col("take1").cast("bigint").alias("base_take"),
+        F.when(
+            F.col("cap_rem") > 0,
+            F.expr("(leftover * (avail - take1)) DIV cap_rem"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("extra_take"),
+    )
+    return out.select(
+        "source",
+        "avail",
+        "base_take",
+        "extra_take",
+        (F.col("base_take") + F.col("extra_take")).cast("bigint").alias("final_take"),
+    )
