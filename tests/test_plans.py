@@ -318,3 +318,29 @@ def test_bloom_probe_broadcasts_bits(spark):
 def test_oriented_triangles_no_cartesian(spark):
     df = QUERIES["q_triangle_oriented"].spark_fn(spark, SF)
     assert_no_cartesian(df)
+
+
+def test_pit_join_broadcasts_version_table(spark):
+    """The point-in-time join must broadcast the versioned dimension —
+    the fact side never shuffles to meet dim-sized version rows."""
+    df = QUERIES["q_scd2_point_in_time_join"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_dedup_keep_best", 2),          # prefix-key window + regroup
+        ("q_source_quota", 2),             # source window + regroup
+        ("q_event_paths_topk", 3),         # user window + path count + TakeOrdered
+        ("q_token_budget_allocation", 3),  # source agg + two scalar folds
+        ("q_rank_normalize_embeddings", 3),  # pos windows + vec regroup
+    ],
+)
+def test_round6_late_ops_shuffle_budget(spark, name, max_exchanges):
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
