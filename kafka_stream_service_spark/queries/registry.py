@@ -79,11 +79,15 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # record;
 # (b) every query materially CHANGED this round (the ADVICE null/newline
 # /ragged-dim fixes touch q_referential_integrity, q_text_roundtrip,
-# q_embedding_outliers — already in (a)/(b)) plus everything round 6
-# ADDS (new operators get driver verdicts in their birth round);
+# q_embedding_outliers — already in (a)/(b)) plus all 20 queries round
+# 6 ADDED (new operators get driver verdicts in their birth round:
+# sketches, PQ, streaming full-outer/two-level/merge-sink, oriented
+# triangles + k-core, sweep-line, PIT join, cogroup as-of, quota,
+# path mining, RFM, rank normalization, keep-best dedup, token budget);
 # (c) q_dedup_minhash_lsh stays as the rows-only sentinel;
 # (d) flagship + family drift coverage for the remaining slots,
-# rotating back entries whose last green verdict is oldest (r2/r3).
+# rotating back entries whose last green verdict is oldest (r2/r3);
+# everything displaced past slot 50 carries a green r4/r5 verdict.
 PRIORITY_ORDER: tuple[str, ...] = (
     # (a) never driver-sampled (judge-green in r5's local gate)
     "q_asof_join_forward",
