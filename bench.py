@@ -119,6 +119,8 @@ DETAIL_ONLY = [
     "q_rfm_segmentation",
     "q_rank_normalize_embeddings",
     "q_kcore_decomposition",
+    "q_dedup_keep_best",
+    "q_token_budget_allocation",
 ]
 
 
