@@ -122,6 +122,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_kcore_decomposition",
     "q_dedup_keep_best",
     "q_token_budget_allocation",
+    "q_basket_part_pairs",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first

@@ -262,3 +262,75 @@ def q_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q_basket_part_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_orders AS (
+      SELECT l_partkey, COUNT(*) AS n_orders FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.pair_orders AS BIGINT) AS pair_orders,
+           CAST((p.pair_orders * 10000) // pa.n_orders AS BIGINT) AS conf_a_to_b_x10000,
+           CAST((p.pair_orders * 10000) // pb.n_orders AS BIGINT) AS conf_b_to_a_x10000
+    FROM pairs p
+    JOIN part_orders pa ON pa.l_partkey = p.part_a
+    JOIN part_orders pb ON pb.l_partkey = p.part_b
+    ORDER BY pair_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("analytics", "basket", "join"),
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the support/confidence core of
+    association-rule analysis): the top-20 part pairs co-purchased in
+    the same order, with both directional confidences as exact scaled
+    integers (floor(10000 * pair/antecedent) — no float ratio in the
+    hash). The input dedupes to DISTINCT (order, part) so repeated
+    lineitems of one part do not inflate support.
+
+    Scale shape: the pair join is keyed on l_orderkey, so fan-out per
+    key is C(basket_size, 2) — baskets are small (TPC-H ≤ 7 items), so
+    the "self-join" is really a bounded per-key expansion, NEVER an
+    all-pairs over parts; the per-part order counts broadcast back onto
+    the pair aggregate. For pathological mega-baskets, cap or sample
+    the basket before pairing (same hot-bucket discipline as LSH).
+    Final top-20 is a TakeOrdered.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    part_orders = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    pa = part_orders.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
+    pb = part_orders.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_orders").cast("bigint").alias("pair_orders"),
+            F.expr("(pair_orders * 10000) DIV na").cast("bigint").alias("conf_a_to_b_x10000"),
+            F.expr("(pair_orders * 10000) DIV nb").cast("bigint").alias("conf_b_to_a_x10000"),
+        )
+        .orderBy(F.col("pair_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
