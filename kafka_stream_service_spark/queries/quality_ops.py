@@ -1241,3 +1241,125 @@ def q_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitems_kept",
         "kept_order_value",
     )
+
+
+@query(
+    "q_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST((COUNT(*) * 10000) // (SELECT n FROM tot) AS BIGINT) AS share_x10000
+    FROM d GROUP BY digit
+    """,
+    tags=("quality", "audit", "fraud"),
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fraud / synthetic-data
+    screen: the leading-digit distribution of order totals, as exact
+    counts plus floor-scaled shares (x10000, integer — the Benford
+    expectation log10(1+1/d) is the reader's overlay, kept out of the
+    hash so no float crosses engines). Naturally-grown monetary data
+    tracks Benford; flat or uniform first digits flag generated or
+    manipulated ledgers — the fixture, being synthetic-uniform, shows
+    exactly that deviation, which is the point of the audit.
+
+    Scale shape: map-side digit extraction via decimal-string prefix
+    (identical canonical form both engines), one 9-group combine; the
+    share denominator is a broadcast 1-row aggregate.
+    """
+    o = tables(spark, sf_dir)["orders"]
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(dec("o_totalprice").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(n_orders * 10000) DIV n").cast("bigint").alias("share_x10000"),
+        )
+    )
+
+
+@query(
+    "q_order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS booked,
+             li.computed,
+             CASE WHEN li.computed IS NULL THEN 'no_lineitems'
+                  WHEN ABS(li.computed - CAST(o.o_totalprice AS DECIMAL(12,2))) < 0.005
+                       THEN 'match'
+                  ELSE 'mismatch' END AS status
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(booked) AS DOUBLE) AS booked_total,
+           CAST(SUM(CASE WHEN computed IS NOT NULL
+                         THEN ABS(computed - booked) ELSE booked END) AS DOUBLE)
+             AS abs_discrepancy
+    FROM j GROUP BY status
+    """,
+    tags=("quality", "audit", "finance", "join"),
+)
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial RECONCILIATION audit — does the order header's booked
+    total equal the sum of its lines under the TPC-H pricing formula
+    (extendedprice * (1-discount) * (1+tax))? Every order is classified
+    match / mismatch / no_lineitems, with exact-DECIMAL discrepancy
+    mass per class — the dual-ledger consistency check every warehouse
+    runs between a fact header and its detail table. On this synthetic
+    fixture headers were generated independently of lines, so the audit
+    SURFACES that (mostly mismatch) — deterministic either way, which
+    is what the driver hash checks.
+
+    Scale shape: one lineitem aggregation shuffled on the order key,
+    one key-partitioned left join to headers (co-partitioned for free
+    on bucketed fact tables), map-side classification, 3-row combine.
+    DECIMAL end to end — a float epsilon here would make 'match'
+    engine-dependent; 0.005 against 2-decimal DECIMALs is exact.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1) - dec("l_discount", 4, 2))
+            * (F.lit(1) + dec("l_tax", 4, 2))
+        ).alias("computed")
+    )
+    o = t["orders"].select("o_orderkey", dec("o_totalprice").alias("booked"))
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left").select(
+        "booked",
+        "computed",
+        F.when(F.col("computed").isNull(), "no_lineitems")
+        .when(F.abs(F.col("computed") - F.col("booked")) < 0.005, "match")
+        .otherwise("mismatch")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("booked").cast("double").alias("booked_total"),
+        F.sum(
+            F.when(
+                F.col("computed").isNotNull(), F.abs(F.col("computed") - F.col("booked"))
+            ).otherwise(F.col("booked"))
+        ).cast("double").alias("abs_discrepancy"),
+    )

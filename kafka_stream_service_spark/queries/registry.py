@@ -123,6 +123,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_token_budget_allocation",
     "q_basket_part_pairs",
+    "q_benford_digit_audit",
+    "q_order_total_reconciliation",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
