@@ -32,6 +32,7 @@ def asof_join(
     strict: bool = False,
     direction: str = "backward",
     tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row per ``on`` key:
     ``direction="backward"`` (default) takes the latest right with
@@ -45,6 +46,13 @@ def asof_join(
     matching ``ORDER BY ts DESC, tb DESC LIMIT 1`` /
     ``ORDER BY ts ASC, tb ASC LIMIT 1`` respectively. Without it, equal
     timestamps resolve in partition order (fine for unique-ts data).
+
+    ``tolerance`` (an SQL interval literal, e.g. ``"30 minutes"``) bounds
+    match staleness — the feature-store TTL semantic (pandas
+    ``merge_asof(tolerance=...)``): a nearest match farther than the
+    tolerance from the left timestamp is nulled out instead of attached,
+    so a stale feature never silently rides along. Applied as a map-side
+    post-filter on the carried columns — zero extra shuffles.
 
     Returns all left columns plus ``{col}{suffix}`` for each of
     ``right_cols`` and ``{right_ts}{suffix}``.
@@ -97,4 +105,21 @@ def asof_join(
         .select("_is_right", "_left", *carried)
         .filter(F.col("_is_right") == 0)
     )
-    return out.select("_left.*", *[f"{c}{suffix}" for c in rcols + [right_ts]])
+    result = out.select("_left.*", *[f"{c}{suffix}" for c in rcols + [right_ts]])
+    if tolerance is not None:
+        rts = F.col(f"{right_ts}{suffix}")
+        bound = F.expr(f"INTERVAL {tolerance}")
+        within = (
+            rts >= F.col(left_ts) - bound
+            if direction == "backward"
+            else rts <= F.col(left_ts) + bound
+        )
+        keep = rts.isNotNull() & within
+        result = result.select(
+            *[c for c in left.columns],
+            *[
+                F.when(keep, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in rcols + [right_ts]
+            ],
+        )
+    return result

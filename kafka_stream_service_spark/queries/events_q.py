@@ -255,3 +255,54 @@ def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
     return spark.sql(_MULTIGRAIN_SQL)
+
+
+@query(
+    "q_asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) c ON TRUE
+    """,
+    tags=("streaming", "asof-join", "feature-store"),
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with STALENESS TOLERANCE — the feature-store TTL
+    semantic (pandas merge_asof(tolerance=...)): each purchase attaches
+    the latest same-user click at-or-before it ONLY if that click is at
+    most 30 minutes old; a staler nearest click yields NULL instead of a
+    silently-stale feature. Differs from the plain as-of
+    (q_asof_join: any age) and from the interval join (all matches in
+    range, not nearest-1) — the three shapes of temporal attachment.
+
+    Scale shape: identical to the plain as-of — one union-tag shuffle on
+    the key, running last() carry — plus a map-side tolerance nulling;
+    the TTL adds ZERO shuffles, vs the naive banded-join formulation
+    which would shuffle both sides into time bands.
+    """
+    from ..operators import asof_join
+
+    e = tables(spark, sf_dir)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=("click_id",),
+        suffix="",
+        tolerance="30 minutes",
+    )
+    return joined.select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

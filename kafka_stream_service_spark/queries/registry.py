@@ -125,6 +125,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_basket_part_pairs",
     "q_benford_digit_audit",
     "q_order_total_reconciliation",
+    "q_asof_join_tolerance",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
     # (d) flagship + family drift coverage; oldest verdicts first
