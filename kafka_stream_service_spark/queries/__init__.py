@@ -40,3 +40,5 @@ from . import storage_q  # noqa: E402,F401
 from . import dedup2  # noqa: E402,F401
 from . import quality_ops  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
+from . import mlops  # noqa: E402,F401
