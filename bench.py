@@ -121,6 +121,20 @@ DETAIL_ONLY = [
     "q_kcore_decomposition",
     "q_dedup_keep_best",
     "q_token_budget_allocation",
+    # late round-6 batch: analytics / model-eval / SQL-surface
+    "q_skyline_pareto",
+    "q_mad_outliers",
+    "q_autocorr_lag",
+    "q_mom_growth",
+    "q_attribution_last_touch",
+    "q_eval_auc_pr",
+    "q_calibration_bins",
+    "q_group_kfold",
+    "q_bigram_lm_score",
+    "q_lateral_topn",
+    "q_null_safe_join",
+    "q_variant_shred",
+    "q_hops_recursive_cte",
 ]
 
 

@@ -126,44 +126,30 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_benford_digit_audit",
     "q_order_total_reconciliation",
     "q_asof_join_tolerance",
+    # (b) late round-6 batch: robust-stats/BI analytics, model-eval /
+    # split ops, and the modern SQL surface — new operators get driver
+    # verdicts in their birth round
+    "q_skyline_pareto",
+    "q_mad_outliers",
+    "q_autocorr_lag",
+    "q_mom_growth",
+    "q_attribution_last_touch",
+    "q_eval_auc_pr",
+    "q_calibration_bins",
+    "q_group_kfold",
+    "q_bigram_lm_score",
+    "q_lateral_topn",
+    "q_null_safe_join",
+    "q_variant_shred",
+    "q_hops_recursive_cte",
     # (c) rows-only sentinel
     "q_dedup_minhash_lsh",
-    # (d) flagship + family drift coverage; oldest verdicts first
+    # (d) flagship + drift watch (q_knn_cosine_bruteforce is the VERDICT
+    # r5 #3 timing-drift query). Everything displaced from the round-6
+    # window past slot 50 carries a green r4/r5 driver verdict and stays
+    # covered by the judge's full-catalog verify_local gate.
     "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q06_forecast_revenue_filter",
-    "q_window_topk_per_group",
-    "q_tumbling_window",
-    "q_session_window",
-    "q_asof_join",
-    "q_dedup_exact_hash",
     "q_knn_cosine_bruteforce",
-    "q_text_wordcount",
-    "q_codec_roundtrip",
-    "q_stream_watermark_drop",
-    "q_pack_sequences",
-    "q_hash_sample",
-    "q_corpus_mixture",
-    "q_text_redact_pii",
-    "q_decontaminate_ngram",
-    "q_training_corpus_pipeline",
-    "q_salted_count_distinct",
-    "q_text_unigram_logprob",
-    "q_stream_incremental_dedup",
-    "q_stateful_running_totals_replay",
-    "q_ohlc_resample",
-    "q_conversion_funnel",
-    "q_cohort_retention",
-    "q_knn_cosine_int8",
-    "q_chunk_documents",
-    "q_stream_session_window_replay",
-    "q_upsert_merge",
-    "q_jaccard_prefix_join",
-    "q_data_quality_report",
-    "q_inverted_index",
-    "q_minhash_lsh_portable",
-    "q_dedup_clusters_portable",
-    "q_ivf_probe_portable",
 )
 
 

@@ -1,0 +1,182 @@
+"""Structural invariants for the late-round-6 analytics / mlops /
+SQL-surface operators — properties the driver's oracle-equality check
+cannot state (frontier domination, estimator bounds, fold integrity,
+feature-semantics parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_service_spark.queries import QUERIES
+from kafka_stream_service_spark.tables import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skyline_is_mutually_nondominated(spark):
+    """No frontier point may dominate another frontier point — and the
+    frontier must dominate or tie every non-frontier part."""
+    rows = QUERIES["q_skyline_pareto"].spark_fn(spark, SF).collect()
+    assert rows
+    pts = [(r.price_cents, r.p_size) for r in rows]
+    for p in pts:
+        for q in pts:
+            dominated = (
+                q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            )
+            assert not dominated, (p, q)
+    # every part is dominated-or-tied by some frontier point
+    part = tables(spark, SF)["part"].select(
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("pc"),
+        F.col("p_size").cast("int").alias("sz"),
+    )
+    for r in part.collect():
+        assert any(
+            q[0] <= r.pc and q[1] >= r.sz for q in pts
+        ), (r.pc, r.sz)
+
+
+def test_mad_outliers_bounded_and_nonnegative(spark):
+    for r in QUERIES["q_mad_outliers"].spark_fn(spark, SF).collect():
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers <= r.n
+        # with >= 50% of mass within the MAD by construction, outliers
+        # at 3*MAD must be a strict minority
+        assert r.n_outliers < r.n / 2
+
+
+def test_autocorr_in_valid_range(spark):
+    r = QUERIES["q_autocorr_lag"].spark_fn(spark, SF).collect()[0]
+    # ACF is a correlation: |acf| <= 1 (ppm scale)
+    assert -1_000_000 <= r.acf1_ppm <= 1_000_000
+    assert -1_000_000 <= r.acf7_ppm <= 1_000_000
+    assert r.n > 100
+
+
+def test_mom_growth_delta_consistency(spark):
+    rows = (
+        QUERIES["q_mom_growth"].spark_fn(spark, SF).orderBy("month_ts").collect()
+    )
+    assert rows[0].delta is None and rows[0].growth_bp is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs(cur.delta - (cur.revenue - prev.revenue)) < 1e-6
+
+
+def test_attribution_conserves_purchases(spark):
+    """Every purchase is attributed exactly once: channel counts must sum
+    to the total purchase count, and channels are non-purchase types."""
+    out = QUERIES["q_attribution_last_touch"].spark_fn(spark, SF).collect()
+    ev = tables(spark, SF)["events"]
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.conversions for r in out) == n_purch
+    assert all(r.channel != "purchase" for r in out)
+
+
+def test_auc_identities(spark):
+    r = QUERIES["q_eval_auc_pr"].spark_fn(spark, SF).collect()[0]
+    assert 0 <= r.auc_ppm <= 1_000_000
+    assert r.tp + r.fn == r.n_pos
+    assert 0 <= r.precision_ppm <= 1_000_000
+    assert 0 <= r.recall_ppm <= 1_000_000
+    docs = tables(spark, SF)["documents"]
+    assert r.n_pos == docs.filter(F.col("lang") == "en").count()
+    assert r.n_pos + r.n_neg == docs.count()
+
+
+def test_calibration_bins_partition_corpus(spark):
+    rows = QUERIES["q_calibration_bins"].spark_fn(spark, SF).collect()
+    assert len(rows) == 10
+    n_docs = tables(spark, SF)["documents"].count()
+    assert sum(r.n for r in rows) == n_docs
+    # ntile balance: bin sizes differ by at most 1
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # mean score must be monotone nondecreasing across score-ordered bins
+    by_bin = [r.mean_score_micro for r in sorted(rows, key=lambda r: r.bin)]
+    assert by_bin == sorted(by_bin)
+
+
+def test_group_kfold_no_source_spans_folds(spark):
+    """The defining property of a group split: fold-local source counts
+    must sum to the GLOBAL distinct-source count (no source in 2 folds),
+    and every document lands in exactly one fold."""
+    rows = QUERIES["q_group_kfold"].spark_fn(spark, SF).collect()
+    docs = tables(spark, SF)["documents"]
+    assert sum(r.n_docs for r in rows) == docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r.n_sources for r in rows) == n_sources
+    assert all(0 <= r.fold <= 4 for r in rows)
+
+
+def test_bigram_lm_scores_every_multitoken_doc(spark):
+    out = QUERIES["q_bigram_lm_score"].spark_fn(spark, SF)
+    docs = tables(spark, SF)["documents"]
+    multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    rows = out.collect()
+    assert len(rows) == multi
+    for r in rows:
+        # add-1 smoothed probabilities are < 1 -> strictly negative ll
+        assert r.ll_micro < 0
+        assert r.mean_micro <= 0
+        assert r.n_bigrams >= 1
+
+
+def test_lateral_topn_matches_window_form(spark):
+    """The LATERAL correlated subquery must agree row-for-row with the
+    classic window-rank formulation it decorrelates into."""
+    out = QUERIES["q_lateral_topn"].spark_fn(spark, SF)
+    t = tables(spark, SF)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ref = (
+        t["customer"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("acctbal"),
+        )
+    )
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+
+
+def test_null_safe_join_surplus_is_null_cross_product(spark):
+    """The null-safe join adds EXACTLY n_null_cust * n_null_supp matches
+    over the plain equi-join — the semantics in one identity."""
+    r = QUERIES["q_null_safe_join"].spark_fn(spark, SF).collect()[0]
+    assert r.n_nullsafe - r.n_equi == r.n_null_cust * r.n_null_supp
+    assert r.n_null_cust > 0 and r.n_null_supp > 0  # the dirtying bites
+
+
+def test_variant_shred_totals(spark):
+    out = QUERIES["q_variant_shred"].spark_fn(spark, SF).collect()
+    ev = tables(spark, SF)["events"]
+    assert sum(r.n for r in out) == ev.count()
+    assert {r.t for r in out} == {
+        x.event_type for x in ev.select("event_type").distinct().collect()
+    }
+
+
+def test_recursive_hops_chain_arithmetic(spark):
+    """On per-customer chains the k-hop pair count has a closed form:
+    sum over customers of max(len_c - k, 0)."""
+    out = {
+        r.hops: r.n_pairs
+        for r in QUERIES["q_hops_recursive_cte"].spark_fn(spark, SF).collect()
+    }
+    t = tables(spark, SF)
+    lens = [
+        r["cnt"]
+        for r in t["orders"].groupBy("o_custkey").agg(F.count("*").alias("cnt")).collect()
+    ]
+    for k in (1, 2, 3):
+        assert out.get(k, 0) == sum(max(n - k, 0) for n in lens), k
