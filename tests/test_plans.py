@@ -344,3 +344,60 @@ def test_round6_late_ops_shuffle_budget(spark, name, max_exchanges):
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_lateral_decorrelates_to_window_join(spark):
+    """The correlated LATERAL ORDER BY..LIMIT must decorrelate into a
+    ranked-window + broadcast hash join — never a per-outer-row
+    nested-loop re-execution."""
+    plan = physical_plan(QUERIES["q_lateral_topn"].spark_fn(spark, SF))
+    assert "Window" in plan and "row_number" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe compiles to a HASH join on the null-coalesced key
+    (coalesce(k), isnull(k)) — the null-safe semantics must not cost a
+    nested loop. The only nested-loop nodes allowed are the bounded
+    1-row aggregate combiners."""
+    plan = physical_plan(QUERIES["q_null_safe_join"].spark_fn(spark, SF))
+    assert "isnull" in plan and "coalesce" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # equi + null-safe legs
+
+
+def test_variant_shred_stays_jvm_side(spark):
+    """VARIANT parse/extract are codegen expressions: no Python workers,
+    no Arrow eval nodes anywhere in the shred plan."""
+    plan = physical_plan(QUERIES["q_variant_shred"].spark_fn(spark, SF))
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_skyline_windows_only_aggregated_series(spark):
+    """The skyline's global-order window must consume the per-price
+    aggregate, never the base part table: exactly one partial_max/merge
+    aggregation feeds the window, and the frontier re-join broadcasts."""
+    df = QUERIES["q_skyline_pareto"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_mad_outliers", 3),        # two percentile aggs + final regroup
+        ("q_mom_growth", 3),          # month agg + series window
+        ("q_attribution_last_touch", 3),  # user window + channel agg
+        ("q_eval_auc_pr", 5),         # score agg + series windows + 1-row folds
+        ("q_bigram_lm_score", 5),     # bigram/unigram counts + doc tf + regroup
+        ("q_group_kfold", 2),         # map-side hash + one agg
+    ],
+)
+def test_round6b_ops_shuffle_budget(spark, name, max_exchanges):
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
