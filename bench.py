@@ -135,6 +135,10 @@ DETAIL_ONLY = [
     "q_null_safe_join",
     "q_variant_shred",
     "q_hops_recursive_cte",
+    "q_chi2_independence",
+    "q_entropy_by_source",
+    "q_gini_concentration",
+    "q_seasonal_weekday_deviation",
 ]
 
 

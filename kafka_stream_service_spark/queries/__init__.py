@@ -43,3 +43,4 @@ from . import sketches  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import mlops  # noqa: E402,F401
 from . import sqlfeatures  # noqa: E402,F401
+from . import stataudit  # noqa: E402,F401

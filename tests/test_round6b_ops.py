@@ -180,3 +180,54 @@ def test_recursive_hops_chain_arithmetic(spark):
     ]
     for k in (1, 2, 3):
         assert out.get(k, 0) == sum(max(n - k, 0) for n in lens), k
+
+
+def test_chi2_nonnegative_and_dof(spark):
+    r = QUERIES["q_chi2_independence"].spark_fn(spark, SF).collect()[0]
+    assert r.chi2_micro >= 0
+    assert r.dof == (5 - 1) * (7 - 1)  # 5 event types x 7 weekdays
+    assert r.n_cells <= 35
+    ev_n = tables(spark, SF)["events"].count()
+    assert r.n == ev_n
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(n_langs): entropy maximized by the uniform mix."""
+    import math
+
+    for r in QUERIES["q_entropy_by_source"].spark_fn(spark, SF).collect():
+        assert 0 <= r.h_micro <= math.log(r.n_langs) * 1e6 + 1
+        assert r.n_langs >= 1
+
+
+def test_gini_in_unit_interval_and_matches_numpy(spark):
+    r = QUERIES["q_gini_concentration"].spark_fn(spark, SF).collect()[0]
+    assert 0 <= r.gini_ppm <= 1_000_000
+    # independent reference implementation
+    t = tables(spark, SF)["orders"]
+    vals = sorted(
+        x.v
+        for x in t.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100))
+            .cast("bigint")
+            .alias("v")
+        )
+        .collect()
+    )
+    n = len(vals)
+    sv = sum(vals)
+    iv = sum((i + 1) * v for i, v in enumerate(vals))
+    import math
+
+    expect = math.floor((2.0 * iv - (n + 1.0) * sv) * 1e6 / (n * sv))
+    assert r.gini_ppm == expect
+    assert r.n_customers == n
+
+
+def test_seasonal_deviation_orders_by_magnitude(spark):
+    rows = QUERIES["q_seasonal_weekday_deviation"].spark_fn(spark, SF).collect()
+    assert len(rows) == 20
+    mags = [abs(r.dev_ppm) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    assert all(0 <= r.wd <= 6 for r in rows)
