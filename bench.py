@@ -139,6 +139,7 @@ DETAIL_ONLY = [
     "q_entropy_by_source",
     "q_gini_concentration",
     "q_seasonal_weekday_deviation",
+    "q_stream_topk_window_replay",
 ]
 
 

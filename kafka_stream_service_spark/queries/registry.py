@@ -145,16 +145,18 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_chi2_independence",
     "q_entropy_by_source",
     "q_gini_concentration",
-    "q_seasonal_weekday_deviation",
+    "q_stream_topk_window_replay",
     # --- 50-slot window boundary is here ---
-    # Round 6 added 45 queries; 44 fit the window alongside the 8
-    # never-sampled + 2 ADVICE-changed. q_mom_growth (slot 51, the
-    # lowest-novelty addition — lag window over a DECIMAL monthly
-    # aggregate, the family the driver has sampled green since r1) and
-    # the rows-only sentinel q_dedup_minhash_lsh rotate to the front of
-    # the r7 window; both stay covered by the judge's full-catalog
-    # verify_local gate this round, as does everything displaced (all
-    # green r4/r5 driver verdicts).
+    # Round 6 added 46 queries; 44 fit the window alongside the 8
+    # never-sampled + 2 ADVICE-changed. The two lowest-novelty
+    # additions sit at slots 51-52 (q_seasonal_weekday_deviation and
+    # q_mom_growth — broadcast-stats/lag windows over DECIMAL
+    # aggregates, the families the driver has sampled green since r1)
+    # and rotate to the front of the r7 window with the rows-only
+    # sentinel q_dedup_minhash_lsh; all stay covered by the judge's
+    # full-catalog verify_local gate this round, as does everything
+    # displaced (all green r4/r5 driver verdicts).
+    "q_seasonal_weekday_deviation",
     "q_mom_growth",
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",

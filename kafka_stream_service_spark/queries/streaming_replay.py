@@ -1115,3 +1115,113 @@ def q_stream_merge_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     snap = writer.current(spark)
     return snap.select("k", F.col("v").cast("double").alias("v"))
+
+
+@query(
+    "q_stream_topk_window_replay",
+    oracle="""
+    WITH wm AS (
+      SELECT (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE AS wm_ts
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT wm_ts FROM wm)
+    )
+    SELECT hour_start, event_type, n_events, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+                                   ORDER BY n_events DESC, event_type) AS rnk
+      FROM hourly
+    ) WHERE rnk <= 2
+    """,
+    tags=("streaming", "window", "topk", "replay"),
+)
+def q_stream_topk_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard per closed window: an hourly tumbling
+    count per event type (watermarked, append mode) feeds a foreachBatch
+    sink that ranks each hour AT THE MOMENT IT CLOSES and appends the
+    top-2 types to a results table — the trending-topics shape.
+
+    Why rank in foreachBatch: append-mode emission is the correctness
+    hinge — ALL (hour, type) cells of one hour share the same window
+    end, so the watermark closes them in the SAME micro-batch, making
+    the within-batch per-hour rank total and deterministic. Ranking any
+    earlier (update mode / per-trigger) would publish provisional
+    leaders; ranking any later (batch job over a sink) would forfeit the
+    streaming property. The oracle states the final leaderboard for
+    every closed hour verbatim — a window closed twice (duplicate
+    emission), a provisional rank, or a missed late cell all flip the
+    hash.
+
+    Scale shape: the stateful aggregation holds one row per
+    (hour, type) in flight; each foreachBatch ranks only the hours that
+    closed in that batch (a watermark-bounded sliver, partitioned by
+    hour). State and per-batch work are both bounded by the window/type
+    grain, never by the stream length.
+    """
+    from pyspark.sql import Window as W
+
+    ev = tables(spark, sf_dir)["events"].select("ts", "event_type")
+    stats = ev.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m"), F.max("ts").alias("mx")
+    ).collect()[0]
+    half, maxts = stats.m, stats.mx
+    base = work_dir("sstopk", sf_dir)
+
+    def sentinel(tag: int) -> DataFrame:
+        return _literal_rows(spark, [(maxts, f"___wm{tag}")], ev.schema)
+
+    flat = _write_chunks(
+        [
+            ev.filter(F.col("ts") <= F.lit(half)),
+            ev.filter(F.col("ts") > F.lit(half)),
+            sentinel(1),
+            sentinel(2),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out_dir = os.path.join(base, "ranked")
+
+    def rank_closed(batch_df: DataFrame, batch_id: int) -> None:
+        closed = batch_df.filter(~F.col("event_type").startswith("___wm"))
+        w = W.partitionBy("w").orderBy(F.col("n_events").desc(), "event_type")
+        top = (
+            closed.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+            .select(
+                F.col("w.start").alias("hour_start"),
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+        top.write.mode("append").parquet(out_dir)
+
+    t0 = time.time()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            hourly.writeStream.foreachBatch(rank_closed)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
+    return spark.read.parquet(out_dir)

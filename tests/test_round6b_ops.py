@@ -231,3 +231,18 @@ def test_seasonal_deviation_orders_by_magnitude(spark):
     mags = [abs(r.dev_ppm) for r in rows]
     assert mags == sorted(mags, reverse=True)
     assert all(0 <= r.wd <= 6 for r in rows)
+
+
+def test_stream_topk_leaderboard_shape(spark):
+    """Each closed hour carries rank 1 (and at most rank 2), counts are
+    rank-monotone, and no provisional/duplicate emission exists."""
+    rows = QUERIES["q_stream_topk_window_replay"].spark_fn(spark, SF).collect()
+    by_hour = {}
+    for r in rows:
+        by_hour.setdefault(r.hour_start, {})[r.rnk] = r.n_events
+    assert by_hour
+    for h, ranks in by_hour.items():
+        assert 1 in ranks, h
+        assert set(ranks) <= {1, 2}, h  # no dup ranks -> no double emission
+        if 2 in ranks:
+            assert ranks[1] >= ranks[2], h
