@@ -140,6 +140,9 @@ DETAIL_ONLY = [
     "q_gini_concentration",
     "q_seasonal_weekday_deviation",
     "q_stream_topk_window_replay",
+    "q_snapshot_time_travel",
+    "q_collated_join",
+    "q_join_hints",
 ]
 
 

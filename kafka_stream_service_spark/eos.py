@@ -317,6 +317,27 @@ class MergeIdempotentSnapshotWriter:
             return None
         return spark.read.format(self.fmt).load(ptr["path"])
 
+    def snapshot_at(self, spark, epoch: int) -> DataFrame | None:
+        """Time-travel read: the snapshot as of a PAST committed epoch.
+
+        Works because each epoch's merge lands in its own immutable
+        ``snapshot_epoch={E}`` directory and commits by pointer swap —
+        history is a free by-product of the commit protocol (the
+        Delta/Iceberg snapshot-isolation pattern). Only epochs at or
+        below the committed pointer are readable: an uncommitted or
+        future epoch directory may exist mid-write (crash window) and
+        MUST NOT be served. Returns None for unknown/uncommitted epochs.
+        Retention: a real deployment vacuums old epoch dirs by age;
+        this writer keeps them all (fixture lifetimes are short).
+        """
+        committed = self.committed_epoch()
+        if committed is None or epoch > committed:
+            return None
+        path = os.path.join(self.base_dir, f"snapshot_epoch={int(epoch)}")
+        if not os.path.isdir(path):
+            return None
+        return spark.read.format(self.fmt).load(path)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from .operators.merge import OP_COL, OP_UPSERT, merge_into
 

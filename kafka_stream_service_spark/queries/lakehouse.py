@@ -14,6 +14,8 @@ updated totals are bit-identical across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,3 +222,78 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal").cast("double").alias("bal_at_order"),
         )
     )
+
+
+@query(
+    "q_snapshot_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    epoch1 AS (
+      SELECT k, CASE WHEN k % 8 = 1 THEN v + 5 ELSE v END AS v
+      FROM base WHERE k % 12 != 1
+      UNION ALL
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 7 = 0
+    )
+    SELECT 'epoch0' AS as_of, k, CAST(v AS DOUBLE) AS v FROM base
+    UNION ALL
+    SELECT 'epoch1' AS as_of, k, CAST(v AS DOUBLE) AS v FROM epoch1
+    """,
+    tags=("lakehouse", "time-travel", "merge"),
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel on the MERGE sink: commit an
+    initial keyed snapshot (epoch 0), apply a mixed CDC changeset
+    (updates +5, deletes, inserts — epoch 1), then read BOTH epochs
+    back — the historical read must still show the pre-changeset table
+    byte-for-byte while the current read shows the post-merge table.
+    The oracle states both epochs algebraically, so a mutated history
+    (epoch-0 dir touched by the epoch-1 merge), a lost delete, or a
+    stale pointer all flip the hash.
+
+    History is a free by-product of the writer's commit protocol:
+    immutable per-epoch directories + atomic pointer swap
+    (eos.MergeIdempotentSnapshotWriter.snapshot_at) — the same
+    mechanism Delta/Iceberg call snapshot isolation. Scale shape: one
+    keyed merge join per epoch (changeset-sized side broadcastable);
+    a time-travel read is a plain scan of one immutable directory, no
+    log replay.
+    """
+    from ..eos import MergeIdempotentSnapshotWriter
+    from ._util import work_dir
+
+    o = tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    base = o.filter(k % 4 == 1).select(
+        k.alias("k"), dec("o_totalprice").alias("v"), F.lit("U").alias("_op")
+    )
+    changes = (
+        o.filter(
+            ((k % 4 == 1) & ((k % 8 == 1) | (k % 12 == 1)))
+            | ((k % 4 == 2) & (k % 7 == 0))
+        )
+        .select(
+            k.alias("k"),
+            F.when(k % 12 == 1, F.lit(None).cast("decimal(12,2)"))
+            .when(k % 8 == 1, dec("o_totalprice") + 5)
+            .otherwise(dec("o_totalprice"))
+            .cast("decimal(12,2)")
+            .alias("v"),
+            F.when(k % 12 == 1, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+        )
+    )
+    writer = MergeIdempotentSnapshotWriter(
+        os.path.join(work_dir("ttravel", sf_dir), "tbl"), key="k"
+    )
+    writer(base, 0)
+    writer(changes, 1)
+    hist = writer.snapshot_at(spark, 0).select(
+        F.lit("epoch0").alias("as_of"), "k", F.col("v").cast("double").alias("v")
+    )
+    cur = writer.current(spark).select(
+        F.lit("epoch1").alias("as_of"), "k", F.col("v").cast("double").alias("v")
+    )
+    return hist.unionByName(cur)

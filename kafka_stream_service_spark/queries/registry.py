@@ -123,8 +123,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_keep_best",
     "q_token_budget_allocation",
     "q_basket_part_pairs",
-    "q_benford_digit_audit",
-    "q_order_total_reconciliation",
     "q_asof_join_tolerance",
     # (b) late round-6 batch: robust-stats/BI analytics, model-eval /
     # split ops, and the modern SQL surface — new operators get driver
@@ -146,6 +144,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_entropy_by_source",
     "q_gini_concentration",
     "q_stream_topk_window_replay",
+    # (b) lakehouse time travel + collation surface
+    "q_snapshot_time_travel",
+    "q_collated_join",
     # --- 50-slot window boundary is here ---
     # Round 6 added 46 queries; 44 fit the window alongside the 8
     # never-sampled + 2 ADVICE-changed. The two lowest-novelty

@@ -232,3 +232,101 @@ def q_hops_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     t["orders"].createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware comparison (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+    WITH a AS (SELECT DISTINCT p_brand AS b FROM part),
+    mixed AS (  -- deterministic case mangling: odd-length brands lowered
+      SELECT CASE WHEN length(b) % 2 = 1 THEN lower(b) ELSE b END AS b
+      FROM a
+    )
+    SELECT (SELECT COUNT(*) FROM a JOIN mixed USING (b)) AS n_sensitive,
+           (SELECT COUNT(*) FROM a JOIN mixed m ON lower(a.b) = lower(m.b))
+             AS n_insensitive,
+           (SELECT COUNT(DISTINCT lower(b)) FROM (SELECT b FROM a UNION ALL
+                                                  SELECT b FROM mixed))
+             AS n_distinct_ci
+"""
+
+
+@query(
+    "q_collated_join",
+    oracle=_COLLATE_ORACLE,
+    tags=("sql-surface", "collation"),
+)
+def q_collated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive semantics through Spark 4 collations: brands vs
+    a deterministically case-mangled copy, joined once binary
+    (case-sensitive) and once under UNICODE_CI COLLATE — plus a
+    collated COUNT(DISTINCT). The oracle expresses the same semantics
+    via lower(): the fixture strings are ASCII, where UNICODE_CI and
+    lowercase-fold agree exactly (the doc'd precondition; non-ASCII
+    corpora need the ICU collation on both engines).
+
+    Why collations beat lower() at scale: the collation is carried in
+    the TYPE, so every downstream join/group/distinct on the column is
+    case-insensitive without wrapping each reference in lower() — and
+    Spark hashes the collation key directly (one pass, no derived
+    column to materialize).
+    """
+    p = tables(spark, sf_dir)["part"]
+    a = p.select("p_brand").distinct().select(F.col("p_brand").alias("b"))
+    mixed = a.select(
+        F.when(F.length("b") % 2 == 1, F.lower("b")).otherwise(F.col("b")).alias("b")
+    )
+    ci = "collate(b, 'UNICODE_CI')"
+    n_sens = a.join(mixed, "b").agg(F.count(F.lit(1)).alias("n_sensitive"))
+    n_ins = (
+        a.selectExpr(f"{ci} AS bc")
+        .join(mixed.selectExpr(f"{ci} AS bc"), "bc")
+        .agg(F.count(F.lit(1)).alias("n_insensitive"))
+    )
+    n_dist = (
+        a.unionAll(mixed)
+        .selectExpr(f"{ci} AS bc")
+        .agg(F.count_distinct("bc").alias("n_distinct_ci"))
+    )
+    return n_sens.crossJoin(F.broadcast(n_ins)).crossJoin(F.broadcast(n_dist))
+
+
+# ---------------------------------------------------------------------------
+# Join strategy hints
+# ---------------------------------------------------------------------------
+
+_HINTS_ORACLE = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "q_join_hints",
+    oracle=_HINTS_ORACLE,
+    tags=("sql-surface", "hints", "join"),
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: the same orders-customer aggregation
+    with an explicit SHUFFLE_HASH hint — the escape hatch when the
+    optimizer's choice (broadcast here, sort-merge at warehouse scale)
+    is wrong for a workload the user knows better (e.g. the build side
+    fits executor memory but exceeds the broadcast threshold, where
+    hash beats sort-merge by skipping both sorts). Results must be
+    hint-invariant — that IS the oracle check; the strategy actually
+    taking effect is plan-asserted in tests/test_plans.py.
+    """
+    t = tables(spark, sf_dir)
+    joined = t["orders"].join(
+        t["customer"].hint("shuffle_hash"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )

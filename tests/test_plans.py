@@ -401,3 +401,11 @@ def test_round6b_ops_shuffle_budget(spark, name, max_exchanges):
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_join_hint_forces_shuffle_hash(spark):
+    """The SHUFFLE_HASH hint must override the optimizer's broadcast
+    preference — the strategy escape hatch has to actually steer."""
+    plan = physical_plan(QUERIES["q_join_hints"].spark_fn(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -246,3 +246,49 @@ def test_stream_topk_leaderboard_shape(spark):
         assert set(ranks) <= {1, 2}, h  # no dup ranks -> no double emission
         if 2 in ranks:
             assert ranks[1] >= ranks[2], h
+
+
+def test_time_travel_history_is_immutable(spark):
+    """Epoch-0 must read identically before and after the epoch-1 merge,
+    replaying a committed epoch must be a no-op, and uncommitted epochs
+    must not be served."""
+    rows = QUERIES["q_snapshot_time_travel"].spark_fn(spark, SF).collect()
+    e0 = {r.k: r.v for r in rows if r.as_of == "epoch0"}
+    e1 = {r.k: r.v for r in rows if r.as_of == "epoch1"}
+    assert e0 and e1
+    # deletes: keys with k % 12 == 1 exist in history but not current
+    deleted = [k for k in e0 if k % 12 == 1]
+    assert deleted and all(k not in e1 for k in deleted)
+    # updates: +5 exactly
+    for k in e0:
+        if k % 12 != 1 and k % 8 == 1:
+            assert abs(e1[k] - (e0[k] + 5)) < 1e-9
+    # inserts exist only in current
+    assert any(k % 4 == 2 for k in e1)
+    assert all(k % 4 == 1 for k in e0)
+    # the writer refuses future epochs
+    from kafka_stream_service_spark.eos import MergeIdempotentSnapshotWriter
+    from kafka_stream_service_spark.queries._util import work_dir
+    import os
+
+    # NB: work_dir() wipes on entry — reconstruct the path without wiping
+    import hashlib, tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"kssp_work_{os.getuid()}")
+    path = os.path.join(
+        root, f"ttravel_{hashlib.md5(SF.encode()).hexdigest()[:8]}", "tbl"
+    )
+    w = MergeIdempotentSnapshotWriter(path, key="k")
+    assert w.committed_epoch() == 1
+    assert w.snapshot_at(spark, 2) is None
+
+
+def test_collated_join_counts(spark):
+    r = QUERIES["q_collated_join"].spark_fn(spark, SF).collect()[0]
+    assert r.n_insensitive >= r.n_sensitive
+    assert r.n_insensitive > r.n_sensitive  # the mangling bites
+    brands = (
+        tables(spark, SF)["part"].select("p_brand").distinct().count()
+    )
+    assert r.n_distinct_ci == brands  # CI collapses the mangled copies
+    assert r.n_insensitive == brands  # 1:1 brand match under CI
