@@ -143,6 +143,7 @@ DETAIL_ONLY = [
     "q_snapshot_time_travel",
     "q_collated_join",
     "q_join_hints",
+    "q_wiredump_roundtrip",
 ]
 
 

@@ -122,7 +122,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_kcore_decomposition",
     "q_dedup_keep_best",
     "q_token_budget_allocation",
-    "q_basket_part_pairs",
     "q_asof_join_tolerance",
     # (b) late round-6 batch: robust-stats/BI analytics, model-eval /
     # split ops, and the modern SQL surface — new operators get driver
@@ -147,6 +146,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (b) lakehouse time travel + collation surface
     "q_snapshot_time_travel",
     "q_collated_join",
+    # (b) Python DataSource connector round trip
+    "q_wiredump_roundtrip",
     # --- 50-slot window boundary is here ---
     # Round 6 added 46 queries; 44 fit the window alongside the 8
     # never-sampled + 2 ADVICE-changed. The two lowest-novelty

@@ -10,6 +10,8 @@ accepting a drop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -368,4 +370,64 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_wiredump_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(4 AS BIGINT) AS n_segments
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("storage", "connector", "python-datasource", "codec"),
+)
+def q_wiredump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full custom-connector round trip through the PySpark 4 Python
+    DataSource API (sources/wiredump.py): events are framed with the
+    engine's wire codec and written as length-prefixed dump segments via
+    ``df.write.format("wiredump")`` (task-temp + rename-on-commit), then
+    read back as a TABLE via ``spark.read.format("wiredump")`` — one
+    input partition per segment — and shredded (event type from the
+    frame headers, k from the JSON payload) into per-type aggregates the
+    oracle computes from the base columns. A lost frame, a corrupted
+    header block, a partial segment surviving commit, or a misassembled
+    partition all flip the hash; n_segments pins the writer's
+    task-to-segment contract (repartition(4) -> exactly 4 files).
+
+    This is the extension path for formats Spark has no JVM reader for
+    (here: the reference ecosystem's message-dump shape) — parallelism
+    comes from segment files, the codec is the same decode_py the wire
+    tests golden-check, and for natively-readable formats the native
+    reader path (storage_q's parquet/CSV/JSON/ORC/Avro queries) remains
+    the fast path.
+    """
+    from ..sources.wiredump import register
+
+    register(spark)
+    ev = tables(spark, sf_dir)["events"]
+    frames = ev.repartition(4).select(
+        F.create_map(
+            F.lit("type"), F.array(F.col("event_type")),
+            F.lit("user"), F.array(F.col("user_id").cast("string")),
+        ).alias("headers"),
+        F.encode(F.col("props"), "utf-8").alias("payload"),
+    )
+    path = os.path.join(work_dir("wiredump", sf_dir), "seg")
+    frames.write.format("wiredump").mode("append").save(path)
+    back = spark.read.format("wiredump").load(path)
+    shred = back.select(
+        F.element_at(F.col("headers"), "type").getItem(0).alias("event_type"),
+        F.get_json_object(F.decode(F.col("payload"), "utf-8"), "$.k")
+        .cast("bigint")
+        .alias("k"),
+        "_file",
+    )
+    return shred.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count_distinct("_file").cast("bigint").alias("n_segments"),
     )

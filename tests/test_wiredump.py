@@ -1,0 +1,86 @@
+"""Python DataSource connector (sources/wiredump.py): format contract,
+commit protocol hygiene, and corruption detection — the properties the
+driver's aggregate-level oracle (q_wiredump_roundtrip) cannot state.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_service_spark.codec import decode_py, encode_py
+from kafka_stream_service_spark.queries._util import work_dir
+from kafka_stream_service_spark.sources.wiredump import register
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def seg_dir(spark):
+    register(spark)
+    return os.path.join(work_dir("wiredump_t", SF), "seg")
+
+
+def _frames(spark, n=20):
+    from kafka_stream_service_spark.tables import tables
+
+    ev = tables(spark, SF)["events"].orderBy("event_id").limit(n)
+    return ev.select(
+        F.create_map(F.lit("type"), F.array(F.col("event_type"))).alias("headers"),
+        F.encode(F.col("props"), "utf-8").alias("payload"),
+    )
+
+
+def test_roundtrip_preserves_every_frame(spark, seg_dir):
+    src = _frames(spark).collect()
+    _frames(spark).repartition(3).write.format("wiredump").mode("append").save(seg_dir)
+    back = spark.read.format("wiredump").load(seg_dir).collect()
+    assert len(back) == len(src)
+    want = sorted((r.headers["type"][0], bytes(r.payload)) for r in src)
+    got = sorted((r.headers["type"][0], bytes(r.payload)) for r in back)
+    assert want == got
+
+
+def test_commit_leaves_no_temp_files(spark, seg_dir):
+    _frames(spark).repartition(3).write.format("wiredump").mode("append").save(seg_dir)
+    assert not glob.glob(os.path.join(seg_dir, "_tmp_*"))
+    assert len(glob.glob(os.path.join(seg_dir, "*.wiredump"))) == 3
+
+
+def test_partitions_map_one_to_one_to_segments(spark, seg_dir):
+    _frames(spark).repartition(4).write.format("wiredump").mode("append").save(seg_dir)
+    files = spark.read.format("wiredump").load(seg_dir).select("_file").distinct()
+    assert files.count() == 4
+
+
+def test_truncated_segment_raises(spark, seg_dir):
+    _frames(spark, 5).coalesce(1).write.format("wiredump").mode("append").save(seg_dir)
+    (seg,) = glob.glob(os.path.join(seg_dir, "*.wiredump"))
+    raw = open(seg, "rb").read()
+    open(seg, "wb").write(raw[:-3])  # chop mid-frame
+    with pytest.raises(Exception) as ei:
+        spark.read.format("wiredump").load(seg_dir).collect()
+    assert "truncated" in str(ei.value)
+
+
+def test_segment_bytes_are_the_documented_format(spark, seg_dir):
+    """Independent parse: the file must be exactly repeated
+    [>I length][codec frame] records decodable by codec.decode_py."""
+    _frames(spark, 7).coalesce(1).write.format("wiredump").mode("append").save(seg_dir)
+    (seg,) = glob.glob(os.path.join(seg_dir, "*.wiredump"))
+    raw = open(seg, "rb").read()
+    off, n = 0, 0
+    while off < len(raw):
+        (ln,) = struct.unpack(">I", raw[off : off + 4])
+        frame = raw[off + 4 : off + 4 + ln]
+        headers, payload = decode_py(frame)
+        assert set(headers) == {"type"}
+        # frame re-encodes byte-identically (codec golden property)
+        assert encode_py(headers, payload) == frame
+        off += 4 + ln
+        n += 1
+    assert n == 7 and off == len(raw)
