@@ -149,15 +149,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (b) Python DataSource connector round trip
     "q_wiredump_roundtrip",
     # --- 50-slot window boundary is here ---
-    # Round 6 added 46 queries; 44 fit the window alongside the 8
-    # never-sampled + 2 ADVICE-changed. The two lowest-novelty
-    # additions sit at slots 51-52 (q_seasonal_weekday_deviation and
-    # q_mom_growth — broadcast-stats/lag windows over DECIMAL
-    # aggregates, the families the driver has sampled green since r1)
-    # and rotate to the front of the r7 window with the rows-only
-    # sentinel q_dedup_minhash_lsh; all stay covered by the judge's
-    # full-catalog verify_local gate this round, as does everything
-    # displaced (all green r4/r5 driver verdicts).
+    # Round 6 added 50 queries; 40 of them fit the window alongside the
+    # 8 never-sampled + 2 ADVICE-changed. The overflow — the
+    # lowest-novelty additions, whose shapes (scaled-int audits over
+    # DECIMAL aggregates, lag/broadcast-stats windows, TakeOrdered
+    # mining) the driver has sampled green in r1-r5 siblings:
+    # q_seasonal_weekday_deviation, q_mom_growth, q_basket_part_pairs,
+    # q_benford_digit_audit, q_order_total_reconciliation — rotates to
+    # the front of the r7 window with the rows-only sentinel
+    # q_dedup_minhash_lsh. All stay covered by the judge's full-catalog
+    # verify_local gate this round, as does everything displaced (green
+    # r4/r5 driver verdicts).
     "q_seasonal_weekday_deviation",
     "q_mom_growth",
     "q_dedup_minhash_lsh",
