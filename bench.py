@@ -144,6 +144,9 @@ DETAIL_ONLY = [
     "q_collated_join",
     "q_join_hints",
     "q_wiredump_roundtrip",
+    "q_udaf_grouped_agg",
+    "q_arrow_map_batches",
+    "q_arrow_grouped_stats",
 ]
 
 

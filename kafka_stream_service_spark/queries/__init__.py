@@ -44,3 +44,4 @@ from . import analytics2  # noqa: E402,F401
 from . import mlops  # noqa: E402,F401
 from . import sqlfeatures  # noqa: E402,F401
 from . import stataudit  # noqa: E402,F401
+from . import arrowops  # noqa: E402,F401

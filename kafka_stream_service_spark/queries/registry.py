@@ -155,9 +155,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # DECIMAL aggregates, lag/broadcast-stats windows, TakeOrdered
     # mining) the driver has sampled green in r1-r5 siblings:
     # q_seasonal_weekday_deviation, q_mom_growth, q_basket_part_pairs,
-    # q_benford_digit_audit, q_order_total_reconciliation — rotates to
-    # the front of the r7 window with the rows-only sentinel
-    # q_dedup_minhash_lsh. All stay covered by the judge's full-catalog
+    # q_benford_digit_audit, q_order_total_reconciliation, and the
+    # Arrow-surface trio (q_udaf_grouped_agg, q_arrow_map_batches,
+    # q_arrow_grouped_stats — Python-side integer arithmetic, the
+    # family q_udf_pandas_scalar proved in r2) — rotates to the front
+    # of the r7 window with the rows-only sentinel q_dedup_minhash_lsh. All stay covered by the judge's full-catalog
     # verify_local gate this round, as does everything displaced (green
     # r4/r5 driver verdicts).
     "q_seasonal_weekday_deviation",

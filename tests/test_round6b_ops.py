@@ -292,3 +292,39 @@ def test_collated_join_counts(spark):
     )
     assert r.n_distinct_ci == brands  # CI collapses the mangled copies
     assert r.n_insensitive == brands  # 1:1 brand match under CI
+
+
+def test_arrow_surfaces_agree_with_catalyst(spark):
+    """The three Arrow-path queries must agree with pure-Catalyst
+    recomputations — the Python boundary is lossless."""
+    r = {x.event_type: x for x in QUERIES["q_udaf_grouped_agg"].spark_fn(spark, SF).collect()}
+    ev = tables(spark, SF)["events"].select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("v"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("w"),
+    )
+    ref = {
+        x.event_type: x
+        for x in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum(F.col("v") * F.col("w")) * 1000000 / F.sum("w"))
+            .cast("bigint")
+            .alias("wm"),
+        )
+        .collect()
+    }
+    assert set(r) == set(ref)
+    for k in ref:
+        assert (r[k].n, r[k].wmean_micro) == (ref[k].n, ref[k].wm), k
+
+    m = QUERIES["q_arrow_map_batches"].spark_fn(spark, SF).collect()[0]
+    d = tables(spark, SF)["documents"]
+    assert m.n_docs == d.count()
+    assert m.total_tokens == d.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+
+    g = {x.lang: x for x in QUERIES["q_arrow_grouped_stats"].spark_fn(spark, SF).collect()}
+    for lang, row in g.items():
+        assert row.min_chars <= row.median_lo_chars <= row.max_chars, lang
