@@ -147,6 +147,7 @@ DETAIL_ONLY = [
     "q_udaf_grouped_agg",
     "q_arrow_map_batches",
     "q_arrow_grouped_stats",
+    "q_stream_wiredump_source_replay",
 ]
 
 

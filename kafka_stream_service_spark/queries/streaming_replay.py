@@ -1225,3 +1225,94 @@ def q_stream_topk_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_stream_wiredump_source_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "connector", "python-datasource", "replay"),
+)
+def q_stream_wiredump_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the CUSTOM Python DataSource
+    (sources/wiredump.py simpleStreamReader): events are framed with
+    the wire codec into dump segments, the segment directory is tailed
+    as a STREAM in two stages (half the corpus, processAllAvailable,
+    then the second half — two real micro-batches over the connector's
+    count-of-segments offset), and a complete-mode per-type aggregation
+    lands in the sink. The final counts must equal the batch statement
+    over the base table: a segment read twice across the offset
+    boundary, skipped, or torn mid-frame flips the hash.
+
+    This closes the connector triangle: batch read + committing write
+    (q_wiredump_roundtrip) and now resumable streaming consumption —
+    offset checkpointing and crash-replay (readBetweenOffsets) are
+    pytest-driven in tests/test_wiredump.py.
+
+    Scale note: the simple-reader streams segments driver-side — the
+    tailing shape for an ingest directory; bulk history loads use the
+    partition-parallel batch reader.
+    """
+    from ..sources.wiredump import register
+
+    register(spark)
+    ev = tables(spark, sf_dir)["events"]
+    frames = ev.select(
+        F.create_map(F.lit("type"), F.array(F.col("event_type"))).alias("headers"),
+        F.encode(F.col("props"), "utf-8").alias("payload"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    base = work_dir("swiredump", sf_dir)
+    seg_dir = os.path.join(base, "seg")
+    t0 = time.time()
+    frames.filter(F.col("half") == 0).drop("half").coalesce(1).write.format(
+        "wiredump"
+    ).mode("append").save(seg_dir)
+    LAST_TIMINGS["write_chunks_sec"] = time.time() - t0
+
+    stream = spark.readStream.format("wiredump").load(seg_dir)
+    agg = (
+        stream.select(
+            F.element_at(F.col("headers"), "type").getItem(0).alias("event_type"),
+            F.get_json_object(F.decode(F.col("payload"), "utf-8"), "$.k")
+            .cast("bigint")
+            .alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+    t1 = time.time()
+    name = f"wdsrc_{uuid.uuid4().hex[:10]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # stage 2: the second half arrives while the query runs —
+            # a genuine new micro-batch over the connector's offset
+            t2 = time.time()
+            frames.filter(F.col("half") == 1).drop("half").coalesce(1).write.format(
+                "wiredump"
+            ).mode("append").save(seg_dir)
+            LAST_TIMINGS["write_chunks_sec"] += time.time() - t2
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t1 - LAST_TIMINGS["write_chunks_sec"]
+    return spark.table(name)

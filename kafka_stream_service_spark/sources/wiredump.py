@@ -125,7 +125,6 @@ class WireDumpWriter(DataSourceWriter):
 
         seg = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f"_tmp_{seg}")
-        final = os.path.join(self.path, f"part-{seg}.wiredump")
         with open(tmp, "wb") as f:
             for row in iterator:
                 headers = row.headers or {}
@@ -135,11 +134,22 @@ class WireDumpWriter(DataSourceWriter):
                 )
                 f.write(struct.pack(">I", len(frame)))
                 f.write(frame)
-        return _SegmentCommit(tmp_path=tmp, final_path=final)
+        return _SegmentCommit(tmp_path=tmp, final_path="")
 
     def commit(self, messages):
-        for m in messages:
-            os.replace(m.tmp_path, m.final_path)
+        # Final names are assigned HERE, driver-side, from a monotonic
+        # timestamp + sequence — so segments committed later always sort
+        # AFTER earlier ones (Kafka's base-offset-in-the-name pattern).
+        # The streaming reader's count-of-segments offset is only sound
+        # over an append-ONLY sorted list; task-side random names broke
+        # that (a later segment could sort before consumed ones and be
+        # skipped forever — caught by the sf0.001 oracle in round 6).
+        import time as _time
+
+        base = _time.time_ns()
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            final = os.path.join(self.path, f"part-{base:020d}-{i:05d}.wiredump")
+            os.replace(m.tmp_path, final)
 
     def abort(self, messages):
         for m in messages:
@@ -161,7 +171,86 @@ class WireDumpDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return WireDumpWriter(self.options)
 
+    def simpleStreamReader(self, schema):
+        return WireDumpStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the wiredump format on a session."""
     spark.dataSource.register(WireDumpDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source (simpleStreamReader)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class WireDumpStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a wiredump directory: the offset is the count
+    of consumed segments over the SORTED segment list — segments are
+    immutable and append-only (broker-dump semantics), so `count`
+    totally orders progress and `readBetweenOffsets` can replay any
+    committed range deterministically for exactly-once recovery (the
+    engine re-reads a batch's exact segment slice after a crash instead
+    of trusting the first read).
+
+    Scale note: the simple-reader API reads on the DRIVER — right for
+    segment-at-a-time tailing of an ingest directory; bulk history
+    loads belong to the partition-parallel batch reader above
+    (one InputPartition per segment).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wiredump: 'path' option is required")
+
+    def _segments(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.wiredump")))
+
+    def initialOffset(self) -> dict:
+        return {"count": 0}
+
+    def _frames_of(self, path: str):
+        from ..codec import decode_py
+
+        fname = os.path.basename(path)
+        with open(path, "rb") as f:
+            pos = 0
+            while True:
+                head = f.read(4)
+                if not head:
+                    break
+                if len(head) < 4:
+                    raise EOFError(f"{fname}: truncated length prefix")
+                (n,) = struct.unpack(">I", head)
+                frame = f.read(n)
+                if len(frame) < n:
+                    raise EOFError(f"{fname}: truncated frame")
+                headers, payload = decode_py(frame)
+                yield (headers, payload, fname, pos)
+                pos += 1
+
+    def read(self, start: dict):
+        segs = self._segments()
+        done = int(start.get("count", 0))
+        # materialized list, not a generator: the runtime pickles the
+        # returned rows to prefetch the batch; one batch == the newly
+        # arrived segments, bounded by ingest cadence
+        rows = [r for p in segs[done:] for r in self._frames_of(p)]
+        return iter(rows), {"count": len(segs)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        segs = self._segments()
+        return iter(
+            [
+                r
+                for p in segs[int(start.get("count", 0)) : int(end.get("count", 0))]
+                for r in self._frames_of(p)
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # segments are immutable; nothing to clean up

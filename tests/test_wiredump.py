@@ -84,3 +84,71 @@ def test_segment_bytes_are_the_documented_format(spark, seg_dir):
         off += 4 + ln
         n += 1
     assert n == 7 and off == len(raw)
+
+
+def test_stream_source_resumes_without_duplication(spark, seg_dir):
+    """Exactly-once across restart: consume segment 1, STOP the query,
+    add segment 2, restart from the same checkpoint — final counts must
+    equal the union exactly (no re-read of segment 1, no skip of 2).
+    Also pins the round-6 fix: segments COMMITTED later must sort after
+    consumed ones (commit-time monotonic naming), or the offset slides."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    def frames(lo, hi):
+        from kafka_stream_service_spark.tables import tables
+
+        ev = (
+            tables(spark, SF)["events"]
+            .orderBy("event_id")
+            .limit(hi)
+            .filter(F.col("event_id") >= lo)
+        )
+        return ev.select(
+            F.create_map(F.lit("type"), F.array(F.col("event_type"))).alias(
+                "headers"
+            ),
+            F.encode(F.col("props"), "utf-8").alias("payload"),
+        )
+
+    base = os.path.dirname(seg_dir)
+    ckpt = os.path.join(base, "ckpt")
+    name = f"wdres_{_uuid.uuid4().hex[:8]}"
+
+    frames(0, 40).coalesce(1).write.format("wiredump").mode("append").save(seg_dir)
+
+    def run_until_quiet(qname):
+        q = (
+            spark.readStream.format("wiredump")
+            .load(seg_dir)
+            .groupBy(F.element_at("headers", "type").getItem(0).alias("t"))
+            .count()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_quiet(name)  # consumes segment 1, commits offset
+    frames(40, 90).coalesce(1).write.format("wiredump").mode("append").save(seg_dir)
+    run_until_quiet(name + "b")  # restart from checkpoint
+    got = {
+        r.t: r["count"] for r in spark.table(name + "b").collect()
+    }
+    want = {
+        r.t: r.n
+        for r in frames(0, 90)
+        .select(F.element_at("headers", "type").getItem(0).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # monotonic naming: committed order == sorted order
+    segs = sorted(glob.glob(os.path.join(seg_dir, "*.wiredump")))
+    assert len(segs) == 2
+    assert segs == sorted(segs, key=os.path.getmtime)
