@@ -116,8 +116,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_scd2_point_in_time_join",
     "q_source_quota",
     "q_cogroup_conversion_lag",
-    "q_rfm_segmentation",
-    "q_rank_normalize_embeddings",
     "q_kcore_decomposition",
     "q_dedup_keep_best",
     "q_token_budget_allocation",
@@ -148,6 +146,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (b) Python DataSource connector: batch round trip + streaming source
     "q_wiredump_roundtrip",
     "q_stream_wiredump_source_replay",
+    # (b) entity resolution + binaryFile ingest
+    "q_entity_resolution",
+    "q_binaryfile_ingest",
     # --- 50-slot window boundary is here ---
     # Round 6 added 50 queries; 40 of them fit the window alongside the
     # 8 never-sampled + 2 ADVICE-changed. The overflow — the
@@ -156,7 +157,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # mining) the driver has sampled green in r1-r5 siblings:
     # q_seasonal_weekday_deviation, q_mom_growth, q_basket_part_pairs,
     # q_benford_digit_audit, q_order_total_reconciliation,
-    # q_event_paths_topk, and the
+    # q_event_paths_topk, q_rfm_segmentation, q_rank_normalize_embeddings
+    # (ntile/rank-window families), and the
     # Arrow-surface trio (q_udaf_grouped_agg, q_arrow_map_batches,
     # q_arrow_grouped_stats — Python-side integer arithmetic, the
     # family q_udf_pandas_scalar proved in r2) — rotates to the front
