@@ -409,3 +409,10 @@ def test_join_hint_forces_shuffle_hash(spark):
     plan = physical_plan(QUERIES["q_join_hints"].spark_fn(spark, SF))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_entity_resolution_blocked_join_no_cartesian(spark):
+    """The ER candidate generation must stay brand-blocked — an
+    unblocked levenshtein pass would be the all-pairs scale-killer."""
+    df = QUERIES["q_entity_resolution"].spark_fn(spark, SF)
+    assert_no_cartesian(df)
