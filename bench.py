@@ -62,32 +62,12 @@ HEADLINE = [
     "q_inverted_index",
     # round-5 additions: wall-time accountability for the round-4
     # operators (VERDICT r4 next-steps #5) + the new real image codec
-    "q_ohlc_resample",
-    "q_conversion_funnel",
-    "q_cohort_retention",
-    "q_knn_cosine_int8",
-    "q_salted_count_distinct",
     "q_multimodal_decode",
     # round-5 operators: chunking/boilerplate/segment-dedup corpus ops,
     # integer-exact timeseries, triangle enumeration, streaming
     # sessionization, and the lakehouse CDC trio
-    "q_chunk_documents",
-    "q_boilerplate_bigrams",
-    "q_segment_dedup_reconstruct",
-    "q_rolling_anomaly",
-    "q_ewma_smoothing",
-    "q_triangle_candidates",
     "q_stream_session_window_replay",
-    "q_upsert_merge",
-    "q_cdc_snapshot_diff",
-    "q_audio_decode",
-    "q_pagerank_candidates",
-    "q_kmeans_assign_int8",
     # quality_ops batch: audit + tokenizer-training + span-dedup shapes
-    "q_data_quality_report",
-    "q_bpe_merge_candidates",
-    "q_repeated_ngram_spans",
-    "q_embedding_outliers",
     "q_jaccard_prefix_join",
     "q_winsorized_stats",
     "q_corpus_drift_kl",
@@ -110,6 +90,32 @@ HEADLINE = [
 # one-line contract with these names included would exceed it. Wall-time
 # accountability without breaking the line budget.
 DETAIL_ONLY = [
+    # demoted from HEADLINE (round 6): r5-era rows with recorded
+    # BENCH_r05/judge cells — still timed every run, reported here so
+    # the one-line driver contract stays well under the 2000-char tail
+    # capture as the catalog grows (measured: 62 rows = 1822 bytes,
+    # too close; 42 rows ~ 1.25 KB)
+    "q_ohlc_resample",
+    "q_conversion_funnel",
+    "q_cohort_retention",
+    "q_knn_cosine_int8",
+    "q_salted_count_distinct",
+    "q_chunk_documents",
+    "q_boilerplate_bigrams",
+    "q_segment_dedup_reconstruct",
+    "q_rolling_anomaly",
+    "q_ewma_smoothing",
+    "q_triangle_candidates",
+    "q_upsert_merge",
+    "q_cdc_snapshot_diff",
+    "q_audio_decode",
+    "q_pagerank_candidates",
+    "q_kmeans_assign_int8",
+    "q_data_quality_report",
+    "q_bpe_merge_candidates",
+    "q_repeated_ngram_spans",
+    "q_embedding_outliers",
+
     "q_feature_hashing",
     "q_stream_merge_sink_replay",
     "q_scd2_point_in_time_join",
