@@ -156,6 +156,8 @@ DETAIL_ONLY = [
     "q_stream_wiredump_source_replay",
     "q_entity_resolution",
     "q_binaryfile_ingest",
+    "q_session_window_dynamic_gap",
+    "q_order_cycle_time",
 ]
 
 

@@ -306,3 +306,70 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance="30 minutes",
     )
     return joined.select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+@query(
+    "q_session_window_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_type,
+             ts + CASE WHEN event_type = 'error' THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS e_end
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, e_end,
+             MAX(e_end) OVER (PARTITION BY user_id ORDER BY ts, e_end
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM e
+    ),
+    s AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END
+                  AS is_new
+      FROM m
+    ),
+    g AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, e_end
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(e_end) AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session-window", "dynamic-gap"),
+)
+def q_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: the inactivity gap is an expression
+    of the row (60 min after an 'error', 30 min otherwise), so a session
+    is the union of per-event intervals [ts, ts+gap) — error events hold
+    sessions open longer, the incident-tracking shape. This is the
+    F.session_window(gap_expr) surface on top of the fixed-gap
+    q_session_window.
+
+    The oracle is the general interval-union form (running max of
+    interval ends, NEW session iff ts >= every previous end): with
+    per-row gaps the fixed-gap lag test is WRONG — a long-gap event can
+    bridge across a short-gap successor — so the oracle states the
+    merge semantics Spark implements, half-open boundary included
+    (ts == prev end starts a new session).
+
+    Scale shape: identical to fixed-gap sessionization — one shuffle on
+    the session key, per-key ordered merge; in streaming the same
+    expression drives watermarked stateful sessionization.
+    """
+    e = tables(spark, sf_dir)["events"]
+    gap = F.when(F.col("event_type") == "error", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

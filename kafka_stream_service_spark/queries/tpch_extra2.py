@@ -334,3 +334,55 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_order_cycle_time",
+    oracle="""
+    WITH lead AS (
+      SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) AS days
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY days) AS BIGINT)
+             AS p50_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY days) AS BIGINT)
+             AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lead GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "bi", "percentiles"),
+)
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment cycle time: order date -> item ship lag in
+    days, summarized per order priority with EXACT discrete percentiles
+    (p50/p90) — the supply-chain SLA report, and a priority-class audit
+    (do urgent orders actually ship faster?). Day differences are
+    integers, percentile_disc picks real elements: every output cell is
+    integer-exact.
+
+    Scale shape: one fact-fact equi-join on the natural key (orderkey —
+    co-partitioned shuffle, AQE-coalesced), then a sort-based exact
+    percentile per priority class (5 groups; the
+    approx_percentile swap applies at extreme group counts per the
+    winsorized-stats policy).
+    """
+    t = tables(spark, sf_dir)
+    lead = t["orders"].join(
+        t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    return lead.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)")
+        .cast("bigint")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)")
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

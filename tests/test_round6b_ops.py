@@ -354,3 +354,26 @@ def test_binaryfile_ingest_covers_all_staged_images(spark):
     for r in rows:
         assert r.width == 16 + r.doc_id % 17
         assert r.height == 12 + r.doc_id % 13
+
+
+def test_dynamic_gap_sessions_error_events_extend(spark):
+    """Interval-union semantics: session count must be <= the fixed
+    30-min session count (longer error gaps can only merge sessions,
+    never split them), and each session's end >= last event + 30 min."""
+    dyn = QUERIES["q_session_window_dynamic_gap"].spark_fn(spark, SF)
+    fixed = QUERIES["q_session_window"].spark_fn(spark, SF)
+    assert dyn.count() <= fixed.count()
+    r = dyn.agg(
+        F.min(
+            F.col("session_end").cast("timestamp").cast("long")
+            - F.col("session_start").cast("timestamp").cast("long")
+        )
+    ).collect()[0][0]
+    assert r >= 30 * 60  # every session spans at least the minimum gap
+
+
+def test_order_cycle_time_priority_profile(spark):
+    rows = QUERIES["q_order_cycle_time"].spark_fn(spark, SF).collect()
+    assert len(rows) == 5  # five order priorities
+    for r in rows:
+        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
