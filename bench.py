@@ -158,6 +158,7 @@ DETAIL_ONLY = [
     "q_binaryfile_ingest",
     "q_session_window_dynamic_gap",
     "q_order_cycle_time",
+    "q_stream_wiredump_sink_replay",
 ]
 
 

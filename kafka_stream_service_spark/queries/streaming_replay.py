@@ -1316,3 +1316,77 @@ def q_stream_wiredump_source_replay(spark: SparkSession, sf_dir: str) -> DataFra
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t1 - LAST_TIMINGS["write_chunks_sec"]
     return spark.table(name)
+
+
+@query(
+    "q_stream_wiredump_sink_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "connector", "python-datasource", "eos", "replay"),
+)
+def q_stream_wiredump_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EGRESS through the custom Python DataSource sink
+    (sources/wiredump.py streamWriter): a 2-chunk file-stream replay of
+    events is written as wire-frame segments by the streaming writer —
+    per-epoch deterministic segment names assigned at commit, so a
+    replayed epoch overwrites itself (idempotent exactly-once, pytest-
+    crashed in tests/test_wiredump.py) — then the committed dump is read
+    back with the batch reader and shredded into per-type aggregates
+    the oracle states over the base table. A duplicated epoch, a lost
+    task segment, or a torn frame flips the hash.
+
+    With q_wiredump_roundtrip (batch R/W) and
+    q_stream_wiredump_source_replay (streaming read), this completes
+    the connector matrix: the engine can now sit on EITHER side of a
+    wire-dump directory, batch or streaming, with commit protocols on
+    every write path.
+    """
+    from ..sources.wiredump import register
+
+    register(spark)
+    ev = tables(spark, sf_dir)["events"].select(
+        "ts",
+        F.create_map(F.lit("type"), F.array(F.col("event_type"))).alias("headers"),
+        F.encode(F.col("props"), "utf-8").alias("payload"),
+    )
+    stats = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0]
+    base = work_dir("sswiresink", sf_dir)
+    flat = _write_chunks(
+        [
+            ev.filter(F.col("ts") <= F.lit(stats.m)).drop("ts"),
+            ev.filter(F.col("ts") > F.lit(stats.m)).drop("ts"),
+        ],
+        base,
+    )
+    out_dir = os.path.join(base, "dump")
+    schema = ev.drop("ts").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.format("wiredump")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
+    back = spark.read.format("wiredump").load(out_dir)
+    return (
+        back.select(
+            F.element_at(F.col("headers"), "type").getItem(0).alias("event_type"),
+            F.get_json_object(F.decode(F.col("payload"), "utf-8"), "$.k")
+            .cast("bigint")
+            .alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k"))
+    )

@@ -174,6 +174,9 @@ class WireDumpDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return WireDumpStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return WireDumpStreamWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the wiredump format on a session."""
@@ -254,3 +257,44 @@ class WireDumpStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # segments are immutable; nothing to clean up
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink (streamWriter)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class WireDumpStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming sink: each epoch's task segments are
+    written to temp files and renamed AT COMMIT to
+    ``part-e{batchId:010d}-{seq}.wiredump`` — deterministic per-epoch
+    names, so a REPLAYED epoch (crash after data write, before the
+    engine records the commit) rewrites the same final names via
+    os.replace instead of appending duplicates: idempotent-overwrite
+    exactly-once, the same protocol family as eos.EpochIdempotentWriter.
+    Epoch-numbered names also keep the batch/stream readers' sorted
+    order append-only (epochs are monotone).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wiredump: 'path' option/save(path) is required")
+        os.makedirs(self.path, exist_ok=True)
+
+    # task-side: same temp-segment protocol as the batch writer
+    write = WireDumpWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(sorted((m for m in messages if m), key=lambda m: m.tmp_path)):
+            final = os.path.join(
+                self.path, f"part-e{int(batchId):010d}-{i:05d}.wiredump"
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

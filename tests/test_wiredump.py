@@ -152,3 +152,38 @@ def test_stream_source_resumes_without_duplication(spark, seg_dir):
     segs = sorted(glob.glob(os.path.join(seg_dir, "*.wiredump")))
     assert len(segs) == 2
     assert segs == sorted(segs, key=os.path.getmtime)
+
+
+def test_stream_sink_epoch_replay_is_idempotent(spark, seg_dir):
+    """Crash-replay discipline of the streaming sink: committing the
+    SAME epoch twice (fresh task temp files each time — the post-crash
+    re-execution) must converge to the same final segment set, not
+    append duplicates; a different epoch appends."""
+    from kafka_stream_service_spark.sources.wiredump import (
+        WireDumpStreamWriter,
+        _SegmentCommit,
+    )
+
+    w = WireDumpStreamWriter({"path": seg_dir})
+
+    def fake_epoch_files(tag):
+        msgs = []
+        for i in range(2):
+            p = os.path.join(seg_dir, f"_tmp_{tag}_{i}")
+            with open(p, "wb") as f:
+                frame = encode_py({"t": ["x"]}, f"{tag}:{i}".encode())
+                f.write(struct.pack(">I", len(frame)))
+                f.write(frame)
+            msgs.append(_SegmentCommit(tmp_path=p, final_path=""))
+        return msgs
+
+    w.commit(fake_epoch_files("a"), batchId=7)
+    first = sorted(glob.glob(os.path.join(seg_dir, "*.wiredump")))
+    w.commit(fake_epoch_files("b"), batchId=7)  # replay of epoch 7
+    second = sorted(glob.glob(os.path.join(seg_dir, "*.wiredump")))
+    assert first == second  # same names, replaced in place
+    w.commit(fake_epoch_files("c"), batchId=8)
+    third = sorted(glob.glob(os.path.join(seg_dir, "*.wiredump")))
+    assert len(third) == len(second) + 2
+    assert third == sorted(third)  # epoch names keep append-only order
+    assert not glob.glob(os.path.join(seg_dir, "_tmp_*"))
