@@ -159,6 +159,7 @@ DETAIL_ONLY = [
     "q_session_window_dynamic_gap",
     "q_order_cycle_time",
     "q_stream_wiredump_sink_replay",
+    "q_statestore_introspection",
 ]
 
 

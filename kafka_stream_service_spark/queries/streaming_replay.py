@@ -1390,3 +1390,67 @@ def q_stream_wiredump_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k"))
     )
+
+
+@query(
+    "q_statestore_introspection",
+    oracle="""
+    SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) + CAST(90 AS BIGINT) * 86400 * 1000000
+             AS expires_at_micros
+    FROM events
+    """,
+    tags=("streaming", "statestore", "introspection"),
+)
+def q_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE as a queryable table: after a
+    dropDuplicatesWithinWatermark run over the full events stream, the
+    query's RocksDB/HDFS state store is opened with Spark 4's
+    `statestore` read format and every state row is emitted —
+    (dedup key, expiry timestamp). The oracle states the exact expected
+    state algebraically: one row per event_id, expiring at
+    event-time + 90 days (the watermark delay), in microseconds. A
+    missing key, a duplicate slot, or a wrong TTL in the store itself
+    flips the hash — this is white-box verification INSIDE the engine's
+    checkpoint, the debugging surface an operator reaches for when a
+    stateful query misbehaves ("what is this job actually holding?").
+
+    Scale shape: the state source reads per-partition store files in
+    parallel (partition_id is a column); no stream is re-run. State
+    size here is |distinct keys|; for windowed aggs the same reader
+    exposes per-window partials (operatorId/storeName options select
+    the operator in multi-stateful queries).
+    """
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts")
+    base = work_dir("ssintro", sf_dir)
+    flat = _write_chunks([ev], base)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    dedup = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    ckpt = os.path.join(base, "ckpt")
+    t0 = time.time()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            dedup.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_id").alias("event_id"),
+        F.col("value.expiresAtMicros").alias("expires_at_micros"),
+    )
