@@ -114,10 +114,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_feature_hashing",
     "q_stream_merge_sink_replay",
     "q_scd2_point_in_time_join",
-    "q_source_quota",
     "q_cogroup_conversion_lag",
     "q_kcore_decomposition",
-    "q_dedup_keep_best",
     "q_token_budget_allocation",
     "q_asof_join_tolerance",
     # (b) late round-6 batch: robust-stats/BI analytics, model-eval /
@@ -149,6 +147,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (b) entity resolution + binaryFile ingest
     "q_entity_resolution",
     "q_binaryfile_ingest",
+    # (b) dynamic-gap sessions + state-store introspection
+    "q_session_window_dynamic_gap",
+    "q_statestore_introspection",
     # --- 50-slot window boundary is here ---
     # Round 6 added 50 queries; 40 of them fit the window alongside the
     # 8 never-sampled + 2 ADVICE-changed. The overflow — the
@@ -157,8 +158,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # mining) the driver has sampled green in r1-r5 siblings:
     # q_seasonal_weekday_deviation, q_mom_growth, q_basket_part_pairs,
     # q_benford_digit_audit, q_order_total_reconciliation,
-    # q_event_paths_topk, q_rfm_segmentation, q_rank_normalize_embeddings
-    # (ntile/rank-window families), and the
+    # q_event_paths_topk, q_rfm_segmentation, q_rank_normalize_embeddings,
+    # q_source_quota, q_dedup_keep_best (ntile/rank/cap-window families),
+    # q_order_cycle_time, q_stream_wiredump_sink_replay, and the
     # Arrow-surface trio (q_udaf_grouped_agg, q_arrow_map_batches,
     # q_arrow_grouped_stats — Python-side integer arithmetic, the
     # family q_udf_pandas_scalar proved in r2) — rotates to the front
