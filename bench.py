@@ -160,6 +160,7 @@ DETAIL_ONLY = [
     "q_order_cycle_time",
     "q_stream_wiredump_sink_replay",
     "q_statestore_introspection",
+    "q_stream_fanout_dual_sink_replay",
 ]
 
 

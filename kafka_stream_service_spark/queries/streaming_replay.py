@@ -1454,3 +1454,98 @@ def q_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_id").alias("event_id"),
         F.col("value.expiresAtMicros").alias("expires_at_micros"),
     )
+
+
+@query(
+    "q_stream_fanout_dual_sink_replay",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) + 1 AS v
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 = 0
+    ),
+    snapshot AS (  -- keyed table after both epochs (last write wins)
+      SELECT k, CASE WHEN k % 10 = 0 THEN v + 1 ELSE v END AS v FROM base
+    ),
+    log AS (  -- append log holds every change event exactly once
+      SELECT k, v FROM base UNION ALL SELECT k, v FROM upd
+    )
+    SELECT 'log' AS sink, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(14,2))) AS DOUBLE) AS total_v
+    FROM log
+    UNION ALL
+    SELECT 'snapshot' AS sink, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(14,2))) AS DOUBLE) AS total_v
+    FROM snapshot
+    """,
+    tags=("streaming", "eos", "fanout", "replay"),
+)
+def q_stream_fanout_dual_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-sink fan-out with PER-SINK exactly-once: one CDC stream
+    (base snapshot, then +1 updates for half the keys) feeds a single
+    foreachBatch that writes BOTH an append LOG (epoch-idempotent file
+    writer — the audit-trail sink) and a keyed SNAPSHOT (pointer-swap
+    MERGE writer — the serving sink). Each sink carries its own commit
+    protocol, so a replayed epoch dedups independently in both — the
+    fan-out pattern every CDC pipeline ends up needing (log for
+    reprocessing, table for serving).
+
+    The oracle states both sinks after the 2-epoch run: the log holds
+    every change event exactly once (a double-applied epoch doubles
+    n_rows), the snapshot holds last-write-wins per key (a lost update
+    or replayed merge shifts total_v). Cross-sink consistency is
+    therefore part of the driver hash, not an aspiration.
+    """
+    from ..eos import ForeachBatchIdempotentWriter, MergeIdempotentSnapshotWriter
+
+    o = tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    base_rows = o.filter(k % 5 == 0).select(
+        k.alias("k"), dec("o_totalprice").alias("v")
+    )
+    upd_rows = o.filter((k % 5 == 0) & (k % 10 == 0)).select(
+        k.alias("k"), (dec("o_totalprice") + 1).cast("decimal(12,2)").alias("v")
+    )
+    base_dir = work_dir("fanout", sf_dir)
+    flat = _write_chunks([base_rows, upd_rows], os.path.join(base_dir, "chunks"))
+
+    log_writer = ForeachBatchIdempotentWriter(os.path.join(base_dir, "log"))
+    snap_writer = MergeIdempotentSnapshotWriter(
+        os.path.join(base_dir, "snap"), key="k"
+    )
+
+    def fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        # one materialization, two sinks — localCheckpoint keeps the
+        # second write from recomputing the batch scan
+        b = batch_df.localCheckpoint(eager=True)
+        log_writer(b, epoch_id)
+        snap_writer(b, epoch_id)
+
+    stream = (
+        spark.readStream.schema(base_rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
+
+    log_df = spark.read.parquet(os.path.join(base_dir, "log", "batch_id=*"))
+    snap_df = snap_writer.current(spark)
+    summarize = lambda df, tag: df.agg(  # noqa: E731
+        F.lit(tag).alias("sink"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(14,2)")).cast("double").alias("total_v"),
+    ).select("sink", "n_rows", "total_v")
+    return summarize(log_df, "log").unionByName(summarize(snap_df, "snapshot"))

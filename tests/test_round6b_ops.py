@@ -396,3 +396,30 @@ def test_statestore_reader_partition_spread(spark):
     st = spark.read.format("statestore").load(ckpt)
     parts = st.select("partition_id").distinct().count()
     assert parts > 1
+
+
+def test_fanout_sinks_mutually_consistent(spark):
+    """Cross-sink reconciliation: replaying the log's change events
+    through last-write-wins must reproduce the snapshot exactly."""
+    QUERIES["q_stream_fanout_dual_sink_replay"].spark_fn(spark, SF).collect()
+    import hashlib, os, tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"kssp_work_{os.getuid()}")
+    base = os.path.join(root, f"fanout_{hashlib.md5(SF.encode()).hexdigest()[:8]}")
+    log = spark.read.parquet(os.path.join(base, "log", "batch_id=*")).withColumn(
+        "epoch",
+        F.regexp_extract(F.input_file_name(), r"batch_id=(\d+)", 1).cast("int"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("epoch").desc())
+    replayed = (
+        log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("k", "v")
+    )
+    from kafka_stream_service_spark.eos import MergeIdempotentSnapshotWriter
+
+    snap = MergeIdempotentSnapshotWriter(os.path.join(base, "snap"), key="k").current(
+        spark
+    )
+    assert replayed.exceptAll(snap).count() == 0
+    assert snap.exceptAll(replayed).count() == 0
