@@ -116,7 +116,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_scd2_point_in_time_join",
     "q_cogroup_conversion_lag",
     "q_kcore_decomposition",
-    "q_token_budget_allocation",
     "q_asof_join_tolerance",
     # (b) late round-6 batch: robust-stats/BI analytics, model-eval /
     # split ops, and the modern SQL surface — new operators get driver
@@ -147,9 +146,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (b) entity resolution + binaryFile ingest
     "q_entity_resolution",
     "q_binaryfile_ingest",
-    # (b) dynamic-gap sessions + state-store introspection
+    # (b) dynamic-gap sessions + state-store introspection + EOS fan-out
     "q_session_window_dynamic_gap",
     "q_statestore_introspection",
+    "q_stream_fanout_dual_sink_replay",
     # --- 50-slot window boundary is here ---
     # Round 6 added 50 queries; 40 of them fit the window alongside the
     # 8 never-sampled + 2 ADVICE-changed. The overflow — the
@@ -160,7 +160,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # q_benford_digit_audit, q_order_total_reconciliation,
     # q_event_paths_topk, q_rfm_segmentation, q_rank_normalize_embeddings,
     # q_source_quota, q_dedup_keep_best (ntile/rank/cap-window families),
-    # q_order_cycle_time, q_stream_wiredump_sink_replay, and the
+    # q_order_cycle_time, q_stream_wiredump_sink_replay,
+    # q_token_budget_allocation, and the
     # Arrow-surface trio (q_udaf_grouped_agg, q_arrow_map_batches,
     # q_arrow_grouped_stats — Python-side integer arithmetic, the
     # family q_udf_pandas_scalar proved in r2) — rotates to the front
