@@ -161,6 +161,7 @@ DETAIL_ONLY = [
     "q_stream_wiredump_sink_replay",
     "q_statestore_introspection",
     "q_stream_fanout_dual_sink_replay",
+    "q_stream_available_now_incremental",
 ]
 
 

@@ -1549,3 +1549,68 @@ def q_stream_fanout_dual_sink_replay(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.col("v").cast("decimal(14,2)")).cast("double").alias("total_v"),
     ).select("sink", "n_rows", "total_v")
     return summarize(log_df, "log").unionByName(summarize(snap_df, "snapshot"))
+
+
+@query(
+    "q_stream_available_now_incremental",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "trigger", "incremental", "replay"),
+)
+def q_stream_available_now_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled incremental batch via Trigger.AvailableNow: the SAME
+    streaming query is STARTED TWICE against one checkpoint — run 1
+    sees half the data, drains it, and stops on its own; more files
+    land; run 2 drains exactly the delta and stops. Each run's batches
+    land through the epoch-idempotent writer, and the final union of
+    epoch directories must aggregate to the full-table truth: a
+    re-processed file (offset loss between runs), a skipped delta, or a
+    double-committed epoch all flip the hash.
+
+    This is the pattern that replaces cron'd batch jobs at scale: the
+    checkpoint carries the high-water mark, the trigger bounds each
+    invocation, and the engine — not hand-rolled bookmark tables —
+    guarantees each file is processed exactly once across invocations.
+    """
+    from ..eos import ForeachBatchIdempotentWriter
+
+    ev = tables(spark, sf_dir)["events"].select("event_id", "ts", "event_type", "value")
+    stats = ev.agg(F.percentile_approx("ts", 0.5, 10000).alias("m")).collect()[0]
+    base = work_dir("savailnow", sf_dir)
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    writer = ForeachBatchIdempotentWriter(os.path.join(base, "out"))
+    ckpt = os.path.join(base, "ckpt")
+
+    def land(df: DataFrame, tag: str) -> None:
+        staged = os.path.join(base, f"stage_{tag}")
+        df.coalesce(1).write.parquet(staged)
+        (part,) = glob.glob(os.path.join(staged, "*.parquet"))
+        shutil.copy(part, os.path.join(in_dir, f"{tag}.parquet"))
+
+    def drain() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()  # availableNow stops by itself
+
+    t0 = time.time()
+    land(ev.filter(F.col("ts") <= F.lit(stats.m)), "00_first")
+    drain()  # invocation 1: the backlog
+    land(ev.filter(F.col("ts") > F.lit(stats.m)), "01_delta")
+    drain()  # invocation 2: exactly the delta
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
+
+    out = spark.read.parquet(os.path.join(base, "out", "batch_id=*"))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )

@@ -423,3 +423,20 @@ def test_fanout_sinks_mutually_consistent(spark):
     )
     assert replayed.exceptAll(snap).count() == 0
     assert snap.exceptAll(replayed).count() == 0
+
+
+def test_available_now_second_run_processes_only_delta(spark):
+    """Across the two availableNow invocations the epoch ledger must
+    show non-overlapping batches and the union must cover every event
+    exactly once (no re-read of the backlog on invocation 2)."""
+    out = QUERIES["q_stream_available_now_incremental"].spark_fn(spark, SF)
+    n_total = sum(r.n for r in out.collect())
+    assert n_total == tables(spark, SF)["events"].count()
+    import hashlib, os, tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"kssp_work_{os.getuid()}")
+    base = os.path.join(root, f"savailnow_{hashlib.md5(SF.encode()).hexdigest()[:8]}")
+    log = spark.read.parquet(os.path.join(base, "out", "batch_id=*"))
+    # exactly-once across invocations: no event_id appears twice
+    dup = log.groupBy("event_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0
