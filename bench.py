@@ -162,6 +162,7 @@ DETAIL_ONLY = [
     "q_statestore_introspection",
     "q_stream_fanout_dual_sink_replay",
     "q_stream_available_now_incremental",
+    "q_distributed_exact_quantiles",
 ]
 
 

@@ -323,3 +323,63 @@ def q_seasonal_weekday_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dev_ppm"),
     )
     return scored.orderBy(F.abs(F.col("dev_ppm")).desc(), "day_ts").limit(20)
+
+
+_DISTRANK_ORACLE = """
+    WITH t AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    )
+    SELECT CAST(10 AS BIGINT) AS quantile_pct,
+           CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY v) AS BIGINT)
+             AS value FROM t
+    UNION ALL
+    SELECT CAST(25 AS BIGINT) AS quantile_pct,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT)
+             AS value FROM t
+    UNION ALL
+    SELECT CAST(50 AS BIGINT) AS quantile_pct,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)
+             AS value FROM t
+    UNION ALL
+    SELECT CAST(75 AS BIGINT) AS quantile_pct,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT)
+             AS value FROM t
+    UNION ALL
+    SELECT CAST(90 AS BIGINT) AS quantile_pct,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT)
+             AS value FROM t
+"""
+
+
+@query(
+    "q_distributed_exact_quantiles",
+    oracle=_DISTRANK_ORACLE,
+    tags=("stat-audit", "distributed-rank", "scale"),
+)
+def q_distributed_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles with NO single-partition stage: the
+    two-phase range-partition rank (operators/ranks.py) — range
+    exchange, per-partition parallel rank windows, driver-side prefix
+    sum over |partitions| counts, codegen offset add — then the value
+    at rank ceil(p*N) for p in {10,25,50,75,90}%. The oracle is
+    percentile_disc, so the distributed algorithm must reproduce the
+    sort-based definition bit-for-bit.
+
+    This is the operator the catalog's global-order queries
+    (calibration bins, Gini, ntile family) name as their at-scale
+    replan — here it IS the implementation, plan-asserted to contain a
+    range exchange and NO SinglePartition window exchange
+    (tests/test_plans.py). At 100 TB: the range exchange is the only
+    full-data movement; every window runs partition-parallel; driver
+    state is one row per partition.
+    """
+    from ..operators.ranks import exact_quantiles
+
+    orders = tables(spark, sf_dir)["orders"].select(
+        (dec("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    return exact_quantiles(
+        orders, "v", "tb", [0.10, 0.25, 0.50, 0.75, 0.90], num_partitions=8
+    ).select(F.col("quantile_pct").cast("bigint").alias("quantile_pct"), "value")

@@ -416,3 +416,32 @@ def test_entity_resolution_blocked_join_no_cartesian(spark):
     unblocked levenshtein pass would be the all-pairs scale-killer."""
     df = QUERIES["q_entity_resolution"].spark_fn(spark, SF)
     assert_no_cartesian(df)
+
+
+def test_distributed_quantiles_no_single_partition_window(spark):
+    """The whole point of operators/ranks.py: exact global quantiles
+    with a RANGE exchange and parallel per-partition windows — never an
+    Exchange SinglePartition feeding a window. The operator
+    localCheckpoints the ranked frame (required: AQE must not re-plan
+    the exchange between the offsets job and the caller's job), so the
+    assertion targets the pre-checkpoint plan the checkpoint runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.operators.ranks import PARTITION_COL
+    from kafka_stream_service_spark.tables import tables
+
+    orders = tables(spark, SF).__getitem__("orders").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    ranged = orders.repartitionByRange(8, F.col("v"), F.col("tb")).withColumn(
+        PARTITION_COL, F.spark_partition_id()
+    )
+    w = Window.partitionBy(PARTITION_COL).orderBy("v", "tb")
+    plan = physical_plan(ranged.withColumn("r", F.row_number().over(w)))
+    assert "rangepartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and PARTITION_COL in plan

@@ -440,3 +440,31 @@ def test_available_now_second_run_processes_only_delta(spark):
     # exactly-once across invocations: no event_id appears twice
     dup = log.groupBy("event_id").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_distributed_ranks_are_a_permutation(spark):
+    """Global ranks must be exactly 1..N with no gaps or duplicates."""
+    from kafka_stream_service_spark.operators.ranks import (
+        RANK_COL,
+        with_global_ranks,
+    )
+
+    orders = tables(spark, SF)["orders"].select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    ranked = with_global_ranks(orders, "v", "tb", num_partitions=8)
+    n = orders.count()
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(RANK_COL).alias("dst"),
+        F.min(RANK_COL).alias("mn"),
+        F.max(RANK_COL).alias("mx"),
+    ).collect()[0]
+    assert (agg.cnt, agg.dst, agg.mn, agg.mx) == (n, n, 1, n)
+    # rank order agrees with the value order on a sample
+    rows = ranked.orderBy(RANK_COL).limit(100).collect()
+    vals = [r.v for r in rows]
+    assert vals == sorted(vals)
