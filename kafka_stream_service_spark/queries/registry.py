@@ -111,11 +111,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_hll_registers_portable",
     "q_pq_encode_portable",
     "q_pq_adc_topk_portable",
-    "q_feature_hashing",
     "q_stream_merge_sink_replay",
     "q_scd2_point_in_time_join",
     "q_cogroup_conversion_lag",
-    "q_kcore_decomposition",
     "q_asof_join_tolerance",
     # (b) late round-6 batch: robust-stats/BI analytics, model-eval /
     # split ops, and the modern SQL surface — new operators get driver
@@ -150,6 +148,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_session_window_dynamic_gap",
     "q_statestore_introspection",
     "q_stream_fanout_dual_sink_replay",
+    "q_stream_available_now_incremental",
+    "q_distributed_exact_quantiles",
     # --- 50-slot window boundary is here ---
     # Round 6 added 50 queries; 40 of them fit the window alongside the
     # 8 never-sampled + 2 ADVICE-changed. The overflow — the
@@ -161,7 +161,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # q_event_paths_topk, q_rfm_segmentation, q_rank_normalize_embeddings,
     # q_source_quota, q_dedup_keep_best (ntile/rank/cap-window families),
     # q_order_cycle_time, q_stream_wiredump_sink_replay,
-    # q_token_budget_allocation, and the
+    # q_token_budget_allocation, q_feature_hashing, q_kcore_decomposition
+    # (sketch/graph families with 3+ siblings in-window), and the
     # Arrow-surface trio (q_udaf_grouped_agg, q_arrow_map_batches,
     # q_arrow_grouped_stats — Python-side integer arithmetic, the
     # family q_udf_pandas_scalar proved in r2) — rotates to the front
