@@ -163,6 +163,7 @@ DETAIL_ONLY = [
     "q_stream_fanout_dual_sink_replay",
     "q_stream_available_now_incremental",
     "q_distributed_exact_quantiles",
+    "q_stream_hll_merge_replay",
 ]
 
 

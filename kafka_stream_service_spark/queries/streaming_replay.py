@@ -1614,3 +1614,107 @@ def q_stream_available_now_incremental(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
+
+
+def _hll_merge_oracle() -> str:
+    from .dedup2 import _h_sql
+    from .sketches import HLL_BUCKETS
+
+    return f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+      SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS tok
+      FROM t, unnest(range(1, len(w))) AS u(i)
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks WHERE length(tok) >= 3),
+    h AS (SELECT {_h_sql('tok', '0')} AS hv FROM vocab),
+    reg AS (
+      SELECT hv % {HLL_BUCKETS} AS bucket, hv // {HLL_BUCKETS} AS v FROM h
+    ),
+    rho AS (
+      SELECT bucket,
+             CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END AS r
+      FROM reg
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(r) AS BIGINT) AS max_rho
+    FROM rho GROUP BY bucket
+    """
+
+
+@query(
+    "q_stream_hll_merge_replay",
+    oracle=_hll_merge_oracle(),
+    tags=("streaming", "sketch", "mergeable-state", "replay"),
+)
+def q_stream_hll_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch-state maintenance: the corpus arrives in two
+    micro-batches, each batch builds its PARTIAL HyperLogLog registers
+    (the same portable construction q_hll_registers_portable verifies)
+    and lands them through the epoch-idempotent writer; the final
+    registers are the elementwise MAX-merge of all committed partials.
+    The oracle computes registers over the WHOLE corpus in one shot —
+    so the driver hash proves the mergeability law itself:
+    merge(HLL(A), HLL(B)) == HLL(A union B), across real micro-batch
+    boundaries with exactly-once partial commits. THIS is why
+    fixed-size sketches are the distinct-count answer on an unbounded
+    stream: per-batch state is 256 integers, merge is max(), and replay
+    safety comes free from the epoch ledger.
+    """
+    from ..eos import ForeachBatchIdempotentWriter
+    from .dedup2 import portable_hash64
+    from .sketches import HLL_BUCKETS
+
+    d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    base = work_dir("shllmerge", sf_dir)
+    flat = _write_chunks(
+        [d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)],
+        base,
+    )
+    writer = ForeachBatchIdempotentWriter(os.path.join(base, "partials"))
+
+    def partial_registers(batch_df: DataFrame, epoch_id: int) -> None:
+        w = batch_df.select(F.split("text", " ").alias("w"))
+        toks = w.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"
+                )
+            ).alias("tok")
+        ).filter(F.length("tok") >= 3)
+        h = toks.select("tok").distinct().select(
+            portable_hash64(F.col("tok"), 0).alias("hv")
+        )
+        reg = h.select(
+            (F.col("hv") % HLL_BUCKETS).alias("bucket"),
+            F.expr(f"hv DIV {HLL_BUCKETS}").alias("v"),
+        )
+        rho = reg.select(
+            "bucket",
+            F.when(F.col("v") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(F.col("v"))))
+            .alias("r"),
+        )
+        partial = rho.groupBy("bucket").agg(F.max("r").alias("max_rho"))
+        writer(partial, epoch_id)
+
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(partial_registers)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
+    partials = spark.read.parquet(os.path.join(base, "partials", "batch_id=*"))
+    return partials.groupBy("bucket").agg(
+        F.max("max_rho").cast("bigint").alias("max_rho")
+    ).select(F.col("bucket").cast("bigint").alias("bucket"), "max_rho")

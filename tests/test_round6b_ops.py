@@ -468,3 +468,18 @@ def test_distributed_ranks_are_a_permutation(spark):
     rows = ranked.orderBy(RANK_COL).limit(100).collect()
     vals = [r.v for r in rows]
     assert vals == sorted(vals)
+
+
+def test_hll_merge_partials_bounded(spark):
+    """Each committed partial holds at most 256 register rows — the
+    fixed-size-state claim, checked on the actual epoch directories."""
+    QUERIES["q_stream_hll_merge_replay"].spark_fn(spark, SF).collect()
+    import hashlib, os, tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"kssp_work_{os.getuid()}")
+    base = os.path.join(root, f"shllmerge_{hashlib.md5(SF.encode()).hexdigest()[:8]}")
+    for epoch_dir in sorted(os.listdir(os.path.join(base, "partials"))):
+        if not epoch_dir.startswith("batch_id="):
+            continue
+        n = spark.read.parquet(os.path.join(base, "partials", epoch_dir)).count()
+        assert 0 < n <= 256, epoch_dir
