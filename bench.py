@@ -164,6 +164,8 @@ DETAIL_ONLY = [
     "q_stream_available_now_incremental",
     "q_distributed_exact_quantiles",
     "q_stream_hll_merge_replay",
+    "q_time_weighted_average",
+    "q_source_overlap_matrix",
 ]
 
 

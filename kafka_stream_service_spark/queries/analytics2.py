@@ -397,3 +397,165 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 10, 2)).cast("double").alias("attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v_c,
+             event_id
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, v_c,
+             lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us, event_id)
+               - t_us AS dt_us
+      FROM e
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS total_dt_us,
+           CAST(FLOOR(CAST(SUM(v_c * dt_us) AS DOUBLE) * 10000 / SUM(dt_us))
+                AS BIGINT) AS twap_micro
+    FROM d WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query(
+    "q_time_weighted_average",
+    oracle=_TWAP_ORACLE,
+    tags=("analytics", "timeseries", "twap"),
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: each
+    observation is weighted by how long it remained current (microsecond
+    gap to the next event of the same type) — the estimator that is
+    correct under irregular sampling, where the plain mean over-weights
+    bursts. All arithmetic is integer (cents x micros, ~1e17 max, well
+    inside bigint); the final ratio is the floor-of-double pipeline.
+
+    Scale shape: one shuffle on event_type for the lead window
+    (horizontal — partitioned by the key), then a map-side-combinable
+    aggregation. The same construction with a date-bucketed key yields
+    per-day TWAP without any new machinery.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    e = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        (dec("value", 10, 2) * 100).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    d = e.select(
+        "event_type",
+        "v_c",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").cast("bigint").alias("total_dt_us"),
+        F.floor(
+            F.sum(F.col("v_c") * F.col("dt_us")).cast("double")
+            * 10000
+            / F.sum("dt_us")
+        )
+        .cast("bigint")
+        .alias("twap_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-vocabulary overlap matrix
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+    WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+      SELECT source, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS tok
+      FROM t, unnest(range(1, len(w))) AS u(i)
+    ),
+    vocab AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) >= 3),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(FLOOR(CAST(n_common AS DOUBLE) * 1000000
+                      / (sa.sz + sb.sz - n_common)) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+"""
+
+
+@query(
+    "q_source_overlap_matrix",
+    oracle=_OVERLAP_ORACLE,
+    tags=("analytics", "dedup", "corpus", "llm-data"),
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET-level dedup signal: pairwise bigram-vocabulary Jaccard
+    between sources — the audit that flags two crawl dumps as largely
+    the same corpus before any document-level dedup runs (the doc-level
+    MinHash family answers a different question). Intersections come
+    from a token-keyed equi-join of the per-source vocabularies — pairs
+    are generated ONLY where a shared token exists, never source x
+    source.
+
+    Scale shape: vocabulary dedup is map-side-combinable; the
+    intersection join shuffles on the token (its natural key) and the
+    pair aggregation is bounded by |sources|^2 cells; the sizes frame is
+    |sources| rows, broadcast. Hot boilerplate tokens fan out at most
+    |sources| per token.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    w = d.select("source", F.split("text", " ").alias("w"))
+    toks = w.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"
+            )
+        ).alias("tok"),
+    ).filter(F.length("tok") >= 3)
+    vocab = toks.distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sa"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.floor(
+                F.col("n_common").cast("double")
+                * 1000000
+                / (F.col("sa") + F.col("sb") - F.col("n_common"))
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -483,3 +483,29 @@ def test_hll_merge_partials_bounded(spark):
             continue
         n = spark.read.parquet(os.path.join(base, "partials", epoch_dir)).count()
         assert 0 < n <= 256, epoch_dir
+
+
+def test_twap_between_min_max(spark):
+    """A weighted mean must lie inside the value range of its type."""
+    out = {r.event_type: r for r in QUERIES["q_time_weighted_average"].spark_fn(spark, SF).collect()}
+    ev = tables(spark, SF)["events"].groupBy("event_type").agg(
+        (F.min(F.col("value").cast("decimal(10,2)") * 100)).alias("mn"),
+        (F.max(F.col("value").cast("decimal(10,2)") * 100)).alias("mx"),
+    )
+    for r in ev.collect():
+        t = out[r.event_type]
+        assert int(r.mn) * 10000 <= t.twap_micro <= int(r.mx) * 10000, r.event_type
+        assert t.total_dt_us > 0
+
+
+def test_source_overlap_symmetric_complete(spark):
+    rows = QUERIES["q_source_overlap_matrix"].spark_fn(spark, SF).collect()
+    docs = tables(spark, SF)["documents"]
+    n_src = docs.select("source").distinct().count()
+    # every pair with at least one shared bigram appears at most once
+    pairs = {(r.src_a, r.src_b) for r in rows}
+    assert len(pairs) == len(rows)
+    assert len(rows) <= n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.jaccard_ppm <= 1_000_000
