@@ -163,7 +163,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # q_order_cycle_time, q_stream_wiredump_sink_replay,
     # q_token_budget_allocation, q_feature_hashing, q_kcore_decomposition
     # (sketch/graph families with 3+ siblings in-window),
-    # q_stream_hll_merge_replay (mergeability law, judge-gate covered), and the
+    # q_stream_hll_merge_replay, q_time_weighted_average,
+    # q_source_overlap_matrix (judge-gate covered this round), and the
     # Arrow-surface trio (q_udaf_grouped_agg, q_arrow_map_batches,
     # q_arrow_grouped_stats — Python-side integer arithmetic, the
     # family q_udf_pandas_scalar proved in r2) — rotates to the front
