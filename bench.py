@@ -166,6 +166,8 @@ DETAIL_ONLY = [
     "q_stream_hll_merge_replay",
     "q_time_weighted_average",
     "q_source_overlap_matrix",
+    "q_weighted_median",
+    "q_lorenz_curve",
 ]
 
 

@@ -383,3 +383,164 @@ def q_distributed_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return exact_quantiles(
         orders, "v", "tb", [0.10, 0.25, 0.50, 0.75, 0.90], num_partitions=8
     ).select(F.col("quantile_pct").cast("bigint").alias("quantile_pct"), "value")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (aggregated-series form)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v_c,
+             CAST(props ->> '$.k' AS BIGINT) AS wt
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, v_c, SUM(wt) AS w FROM v GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, v_c, w,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY v_c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_w,
+             SUM(w) OVER (PARTITION BY event_type) AS total_w
+      FROM per
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN 2 * cum_w >= total_w THEN v_c END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(total_w) AS BIGINT) AS total_weight
+    FROM ser GROUP BY event_type
+"""
+
+
+@query(
+    "q_weighted_median",
+    oracle=_WMEDIAN_ORACLE,
+    tags=("stat-audit", "robust-stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per event type (weights = the payload's k): the
+    smallest value whose cumulative weight reaches half the total — the
+    robust center estimate when observations carry importance weights
+    (sampled telemetry, token-weighted doc stats). percentile_disc has
+    no weighted form in either engine, so BOTH sides state the
+    definition directly on the per-value aggregated series: one
+    map-side-combinable (type, value) roll-up, then a cumulative-weight
+    window over |distinct values| rows per type — never the raw stream.
+    All integers end to end.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("v_c"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("wt"),
+    )
+    per = v.groupBy("event_type", "v_c").agg(F.sum("wt").alias("w"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    ser = per.select(
+        "event_type",
+        "v_c",
+        F.sum("w").over(w_cum).alias("cum_w"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return ser.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("v_c")))
+        .cast("bigint")
+        .alias("wmedian_cents"),
+        F.max("total_w").cast("bigint").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve (the plot behind the Gini coefficient)
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS v
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT v,
+             ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(CAST(v AS HUGEINT)) OVER (ORDER BY v, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+             SUM(CAST(v AS HUGEINT)) OVER () AS tot_v
+      FROM x
+    ),
+    deciles AS (
+      SELECT CAST(10.0 * i / n AS INT) AS decile, cum_v, tot_v, i, n
+      FROM ranked
+      WHERE i IN (SELECT CAST(FLOOR(n * d / 10.0) AS BIGINT)
+                  FROM (SELECT DISTINCT n FROM ranked),
+                       unnest(range(1, 11)) AS u(d))
+    )
+    SELECT CAST(ROUND(10.0 * i / n) AS BIGINT) AS decile,
+           CAST(FLOOR(CAST(cum_v AS DOUBLE) * 1000000 / CAST(tot_v AS DOUBLE))
+                AS BIGINT) AS cum_share_ppm
+    FROM deciles
+"""
+
+
+@query(
+    "q_lorenz_curve",
+    oracle=_LORENZ_ORACLE,
+    tags=("stat-audit", "bi"),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points: the cumulative revenue share held by the
+    bottom d/10 of customers, for d = 1..10 — the curve whose area
+    deficit IS q_gini_concentration's coefficient, and the concrete
+    'bottom 80% of customers hold X% of revenue' readout. Cumulative
+    sums run in HUGEINT/DECIMAL(38,0) over the customer-dimension
+    series; the share is the floor-ppm double pipeline.
+
+    Scale shape: identical to the Gini operator — one aggregation to
+    the customer grain, a rank/cumsum window over the dimension-sized
+    series (two-phase range-partition replan documented there, and
+    implemented in operators/ranks.py).
+    """
+    orders = tables(spark, sf_dir)["orders"]
+    x = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    w_ord = Window.orderBy("v", "o_custkey")
+    ranked = x.select(
+        "v",
+        F.row_number().over(w_ord).alias("i"),
+        F.count(F.lit(1)).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)"))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_v"),
+        F.sum(F.col("v").cast("decimal(38,0)"))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("tot_v"),
+    )
+    targets = ranked.filter(
+        F.expr(
+            "i IN ("
+            + ", ".join(
+                f"CAST(FLOOR(n * {d} / 10.0) AS BIGINT)" for d in range(1, 11)
+            )
+            + ")"
+        )
+    )
+    return targets.select(
+        F.round(10.0 * F.col("i") / F.col("n")).cast("bigint").alias("decile"),
+        F.floor(
+            F.col("cum_v").cast("double") * 1000000 / F.col("tot_v").cast("double")
+        )
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+    )

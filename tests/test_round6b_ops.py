@@ -509,3 +509,35 @@ def test_source_overlap_symmetric_complete(spark):
     for r in rows:
         assert r.src_a < r.src_b
         assert 0 < r.jaccard_ppm <= 1_000_000
+
+
+def test_weighted_median_within_range_and_weight_conservation(spark):
+    out = {r.event_type: r for r in QUERIES["q_weighted_median"].spark_fn(spark, SF).collect()}
+    ev = tables(spark, SF)["events"].select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("v"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("wt"),
+    )
+    stats = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.sum("wt").alias("w"))
+        .collect()
+    }
+    for t, r in out.items():
+        assert stats[t].mn <= r.wmedian_cents <= stats[t].mx, t
+        assert r.total_weight == stats[t].w, t
+
+
+def test_lorenz_curve_convex_to_equality(spark):
+    rows = sorted(
+        QUERIES["q_lorenz_curve"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)  # monotone
+    assert shares[-1] >= 999_999  # bottom 100% holds everything
+    # Lorenz curve lies on or below the equality diagonal
+    for r in rows:
+        assert r.cum_share_ppm <= r.decile * 100_000 + 1
