@@ -868,21 +868,47 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordered = tok.join(df, "tok").select("doc_id", "tok", pos.alias("pos"))
     prefix_len = F.col("n") - F.expr("(7 * n + 9) div 10") + 1
-    pref = ordered.join(sz, "doc_id").filter(F.col("pos") <= prefix_len).select("doc_id", "tok")
-    cand = (
+    pref = (
+        ordered.join(sz, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "tok", "pos", "n")
+    )
+    # Candidate generation keeps the matching token's positions so the
+    # POSITIONAL filter (PPJoin's second pruning rule, round-7) can run
+    # before verification. For a pair matched on token w at (pa, pb):
+    # any shared token is w itself, precedes w in the global order (at
+    # most min(pa-1, pb-1) of those exist on the smaller side), or
+    # follows w (at most min(na-pa, nb-pb)). So
+    #   overlap <= 1 + min(pa-1, pb-1) + min(na-pa, nb-pb)
+    # for EVERY matching prefix token — the min over matches is a
+    # lossless upper bound. Jaccard >= 7/10 needs
+    # 17*overlap >= 7*(na+nb), i.e. overlap >= ceil(7*(na+nb)/17).
+    matches = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            (
+                1
+                + F.least(F.col("a.pos") - 1, F.col("b.pos") - 1)
+                + F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos"))
+            ).alias("ubound"),
+        )
     )
-    # PPJoin length filter: Jaccard >= 7/10 forces 10*|B| >= 7*(|A|+|B|-|B|)
-    # in the best case inter=|B| (B subset of A), i.e. 10*min >= 7*max —
-    # candidates with incompatible sizes never reach verification
     cand = (
-        cand.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        matches.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("ubound").alias("ubound"))
+        # PPJoin length filter: Jaccard >= 7/10 forces 10*|B| >= 7*|A|
+        # in the best case inter=|B| (B subset of A), i.e.
+        # 10*min >= 7*max — incompatible sizes never reach verification
         .filter(10 * F.least("na", "nb") >= 7 * F.greatest("na", "nb"))
+        # positional filter: best possible overlap must reach the
+        # integer-exact equivalent-overlap threshold
+        .filter(F.col("ubound") >= F.expr("(7 * (na + nb) + 16) div 17"))
         .select("doc_a", "doc_b")
     )
     ca = cand.join(tok.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a")
