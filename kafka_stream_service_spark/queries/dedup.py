@@ -70,15 +70,21 @@ def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, n_chars FROM (
       SELECT doc_id, lang, source, n_chars,
              ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ) WHERE rn = 1
     """,
     tags=("dedup", "llm-data"),
 )
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup keeping the lowest doc_id per (lang, source) — the
-    deterministic form of dropDuplicates([...])."""
-    d = tables(spark, sf_dir)["documents"]
+    deterministic form of dropDuplicates([...]).
+
+    NULL doc_id rows are excluded up front (both sides): a document
+    without an identity cannot be a canonical keep, and leaving it in
+    would make the pick engine-defined (Spark sorts NULLS FIRST
+    ascending, DuckDB NULLS LAST — the adversarial-fixture tier caught
+    exactly this divergence)."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id").isNotNull())
     w = W.partitionBy("lang", "source").orderBy("doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))

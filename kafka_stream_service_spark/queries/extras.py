@@ -342,7 +342,10 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text still hold), and nullable ``lang``/``text`` go through explicit
     ``coalesce(_, '')`` rather than relying on concat_ws's NULL-skip,
     which would shift fields on parse-back; the oracle applies the same
-    coalesce. ``doc_id`` is the table's non-null key (precondition).
+    coalesce. A NULL ``doc_id`` (round-7 adversarial tier) frames as an
+    empty first field — concat_ws would otherwise SKIP the null and
+    shift every field left — and parses back to NULL via ``try_cast``,
+    which min/max skip on both engines.
 
     At 100 TB: text is the lowest-common-denominator interchange format;
     the scan parallelizes per line-split like any file source, the parse
@@ -355,14 +358,14 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.select(
         F.concat_ws(
             "\t",
-            F.col("doc_id"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
             F.coalesce(F.col("lang"), F.lit("")),
             F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[\\r\\n]", " "),
         ).alias("value")
     ).write.mode("overwrite").text(path)
     parts = F.split(F.col("value"), "\t", 3)
     back = spark.read.text(path).select(
-        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(0).try_cast("long").alias("doc_id"),
         parts.getItem(1).alias("lang"),
         parts.getItem(2).alias("text"),
     )

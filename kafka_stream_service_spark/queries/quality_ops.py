@@ -1207,7 +1207,11 @@ def q_idempotent_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
     ),
     kept_orders AS (
-      SELECT o.* FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM doomed)
+      -- NULL o_custkey belongs to no data subject: kept, exactly as the
+      -- anti-join keeps it (bare NOT IN would NULL-out those rows)
+      SELECT o.* FROM orders o
+      WHERE o.o_custkey IS NULL
+         OR o.o_custkey NOT IN (SELECT c_custkey FROM doomed)
     ),
     kept_lines AS (
       SELECT l.* FROM lineitem l JOIN kept_orders o ON l.l_orderkey = o.o_orderkey

@@ -110,6 +110,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_udaf_grouped_agg",
     "q_arrow_map_batches",
     "q_arrow_grouped_stats",
+    # (b) changed by the round-7 adversarial-fixture tier (dirty-data
+    # contracts pinned: NULL-custkey orders kept by GDPR cascade, NULL
+    # doc_id excluded from keep-first dedup, NULL doc_id framed+try_cast
+    # in the text round trip)
+    "q_gdpr_delete_propagation",
+    "q_dedup_keep_first",
+    "q_text_roundtrip",
     # (b) new in round 7 — inserted here as they land
     # (c) sentinel + flagship
     "q_dedup_minhash_lsh",
