@@ -70,19 +70,23 @@ HEADLINE = [
     # quality_ops batch: audit + tokenizer-training + span-dedup shapes
     "q_jaccard_prefix_join",
     "q_winsorized_stats",
-    "q_corpus_drift_kl",
     # round-6 operators: skew-safe triangles, portable sketches (CMS /
     # Bloom / HLL), sweep-line intervals, the stream-stream full-outer +
     # chained-rollup replays, and the PQ ANN pair
     "q_triangle_oriented",
-    "q_countmin_heavy_hitters_portable",
-    "q_bloom_filter_audit_portable",
-    "q_hll_registers_portable",
-    "q_interval_sweepline",
     "q_stream_full_outer_join_replay",
     "q_stream_two_level_agg_replay",
-    "q_pq_encode_portable",
     "q_pq_adc_topk_portable",
+    # round-7 operators: sequence analytics, perceptual image hashing,
+    # fuzzy vocabulary join, graph link prediction, exact-fraction
+    # window ranks, batch SCD1 upsert (sub-second r6 sketch rows and
+    # drift-kl demoted to DETAIL_ONLY to hold the ~1.3 KB line budget)
+    "q_markov_transitions",
+    "q_image_ahash",
+    "q_fuzzy_match_levenshtein",
+    "q_jaccard_neighbors",
+    "q_percent_rank_cume",
+    "q_scd1_upsert",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -168,6 +172,28 @@ DETAIL_ONLY = [
     "q_source_overlap_matrix",
     "q_weighted_median",
     "q_lorenz_curve",
+    # demoted from HEADLINE (round 7): fast sketch/audit rows with
+    # recorded BENCH_r06 cells; families still headline-represented
+    "q_countmin_heavy_hitters_portable",
+    "q_bloom_filter_audit_portable",
+    "q_hll_registers_portable",
+    "q_interval_sweepline",
+    "q_pq_encode_portable",
+    "q_corpus_drift_kl",
+    # round-7 additions not in HEADLINE
+    "q_activity_bitmap",
+    "q_run_length_islands",
+    "q_window_count_distinct",
+    "q_decile_lift",
+    "q_calendar_gap_fill",
+    "q_target_encoding",
+    "q_minmax_scaling",
+    "q_systematic_sample",
+    "q_histogram_2d",
+    "q_group_by_all",
+    "q_sql_udf",
+    "q_parameterized_sql",
+    "q_ngram_novelty",
 ]
 
 

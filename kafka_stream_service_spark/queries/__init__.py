@@ -45,3 +45,6 @@ from . import mlops  # noqa: E402,F401
 from . import sqlfeatures  # noqa: E402,F401
 from . import stataudit  # noqa: E402,F401
 from . import arrowops  # noqa: E402,F401
+from . import round7  # noqa: E402,F401
+from . import round7b  # noqa: E402,F401
+from . import round7c  # noqa: E402,F401

@@ -117,10 +117,33 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_gdpr_delete_propagation",
     "q_dedup_keep_first",
     "q_text_roundtrip",
-    # (b) new in round 7 — inserted here as they land
-    # (c) sentinel + flagship
+    # (b) new in round 7 — event-sequence analytics + ML-data prep
+    "q_markov_transitions",
+    "q_activity_bitmap",
+    "q_run_length_islands",
+    "q_window_count_distinct",
+    "q_decile_lift",
+    "q_calendar_gap_fill",
+    "q_target_encoding",
+    "q_minmax_scaling",
+    "q_systematic_sample",
+    "q_histogram_2d",
+    # (b) new in round 7 — modern SQL surface + fuzzy/upsert/similarity
+    "q_group_by_all",
+    "q_sql_udf",
+    "q_parameterized_sql",
+    "q_percent_rank_cume",
+    "q_fuzzy_match_levenshtein",
+    "q_scd1_upsert",
+    "q_ngram_novelty",
+    # (b) new in round 7 — graph link prediction + perceptual image hash
+    "q_jaccard_neighbors",
+    "q_image_ahash",
+    # (c) sentinel + flagship + drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
+    "q_knn_cosine_bruteforce",
+    "q02_revenue_by_nation",
 )
 
 

@@ -52,6 +52,10 @@ def test_priority_window_is_exactly_50():
         QUERIES,
     )
 
+    assert len(PRIORITY_ORDER) == 50, (
+        f"PRIORITY_ORDER has {len(PRIORITY_ORDER)} entries — pin exactly the "
+        "50-slot driver window so overflow composition is deliberate"
+    )
     assert len(PRIORITY_ORDER) == len(set(PRIORITY_ORDER)), "duplicate names"
     unknown = [n for n in PRIORITY_ORDER if n not in QUERIES]
     assert not unknown, f"PRIORITY_ORDER names not registered: {unknown}"
