@@ -194,6 +194,9 @@ DETAIL_ONLY = [
     "q_sql_udf",
     "q_parameterized_sql",
     "q_ngram_novelty",
+    "q_pipe_syntax",
+    "q_sql_scripting",
+    "q_execute_immediate",
 ]
 
 

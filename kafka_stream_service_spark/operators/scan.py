@@ -1,0 +1,80 @@
+"""Distributed inclusive prefix sums (parallel scan) over a total order.
+
+Sibling of ``ranks.with_global_ranks`` — same two-phase range-partition
+algorithm, generalized from ranks (prefix COUNT) to prefix SUM of
+arbitrary integer columns. This is the scale-safe replacement for the
+classic ``SUM(x) OVER (ORDER BY k)`` single-partition window: ECDFs,
+rank-sum statistics, cumulative histograms, and Lorenz-style curves all
+reduce to it.
+
+Algorithm:
+
+1. ``repartitionByRange(n, order_cols)`` — one range exchange puts a
+   contiguous slice of the global order in each partition.
+2. Per-partition inclusive running sums via a window partitioned BY
+   PARTITION — fully parallel, no single-partition stage.
+3. Per-partition column totals (|partitions| x |cols| scalars) are
+   prefix-summed ON THE DRIVER — bounded by the partition count, never
+   the data — and added back as chained-``when`` literal offsets (pure
+   codegen, no join, no extra shuffle).
+
+Exactness: sums are over integer (or decimal) columns, so the result is
+independent of intra-partition evaluation order; the (order_cols) total
+order only needs to be total over *distinct key rows* (callers pass a
+pre-aggregated histogram frame, one row per distinct key).
+
+The ``localCheckpoint`` between (2) and (3) pins partition ids: AQE
+re-plans range exchanges per job, so without it the collected totals and
+the downstream job could see different pid assignments (same hazard
+documented in operators/ranks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PARTITION_COL = "__scan_pid"
+
+
+def with_running_totals(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Returns ``df`` plus ``cum_<c>`` inclusive prefix sums for each
+    ``c`` in ``sum_cols``, taken over the global ``order_cols`` order,
+    computed without any single-partition window."""
+    ranged = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).withColumn(PARTITION_COL, F.spark_partition_id())
+    w = (
+        Window.partitionBy(PARTITION_COL)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "*", *[F.sum(c).over(w).alias(f"__local_{c}") for c in sum_cols]
+    ).localCheckpoint(eager=True)
+    totals = {
+        r[PARTITION_COL]: r
+        for r in local.groupBy(PARTITION_COL)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    offsets: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    acc = dict.fromkeys(sum_cols, 0)
+    for pid in sorted(totals):
+        for c in sum_cols:
+            offsets[c][pid] = acc[c]
+            acc[c] += totals[pid][c] or 0
+    out = local
+    for c in sum_cols:
+        off: Column = F.lit(0)
+        for pid, val in offsets[c].items():
+            off = F.when(F.col(PARTITION_COL) == pid, F.lit(val)).otherwise(off)
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"__local_{c}") + off).cast("bigint")
+        ).drop(f"__local_{c}")
+    return out.drop(PARTITION_COL)

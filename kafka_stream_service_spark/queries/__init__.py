@@ -48,3 +48,4 @@ from . import arrowops  # noqa: E402,F401
 from . import round7  # noqa: E402,F401
 from . import round7b  # noqa: E402,F401
 from . import round7c  # noqa: E402,F401
+from . import round7d  # noqa: E402,F401

@@ -145,6 +145,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_knn_cosine_bruteforce",
     "q02_revenue_by_nation",
 )
+# Round-7 overflow (window already at its 50 pinned slots): the late
+# SQL-language batch q_pipe_syntax / q_sql_scripting / q_execute_immediate
+# is judge-gate covered this round and rotates to the front of the r8
+# window (the only never-driver-sampled queries at end of r7).
 
 
 def _ordered_specs() -> list[QuerySpec]:
