@@ -87,6 +87,12 @@ HEADLINE = [
     "q_jaccard_neighbors",
     "q_percent_rank_cume",
     "q_scd1_upsert",
+    # round-7e: distributed-scan stats, deletion-vector read path,
+    # ranking eval (one headline representative per new family; the
+    # other five round-7e rows are DETAIL_ONLY)
+    "q_ks_two_sample",
+    "q_merge_on_read_deletion_vectors",
+    "q_ndcg_ranking_eval",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -197,6 +203,11 @@ DETAIL_ONLY = [
     "q_pipe_syntax",
     "q_sql_scripting",
     "q_execute_immediate",
+    "q_mannwhitney_u",
+    "q_crosscorr_lag",
+    "q_k_anonymity_audit",
+    "q_text_readability",
+    "q_identifier_clause",
 ]
 
 

@@ -49,3 +49,4 @@ from . import round7  # noqa: E402,F401
 from . import round7b  # noqa: E402,F401
 from . import round7c  # noqa: E402,F401
 from . import round7d  # noqa: E402,F401
+from . import round7e  # noqa: E402,F401

@@ -146,9 +146,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q02_revenue_by_nation",
 )
 # Round-7 overflow (window already at its 50 pinned slots): the late
-# SQL-language batch q_pipe_syntax / q_sql_scripting / q_execute_immediate
-# is judge-gate covered this round and rotates to the front of the r8
-# window (the only never-driver-sampled queries at end of r7).
+# batches — SQL-language (q_pipe_syntax / q_sql_scripting /
+# q_execute_immediate / q_identifier_clause) and round-7e
+# (q_ks_two_sample / q_mannwhitney_u / q_crosscorr_lag /
+# q_k_anonymity_audit / q_merge_on_read_deletion_vectors /
+# q_ndcg_ranking_eval / q_text_readability) — are judge-gate covered
+# this round and rotate to the front of the r8 window (the only
+# never-driver-sampled queries at end of r7).
 
 
 def _ordered_specs() -> list[QuerySpec]:

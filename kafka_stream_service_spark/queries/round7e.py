@@ -193,9 +193,11 @@ def q_crosscorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = daily.filter(F.col("event_type") == "purchase").select(
         F.col("d").alias("dy"), F.col("n").alias("y")
     )
-    lagged = x.withColumn(
-        "lag", F.explode(F.array(*[F.lit(i) for i in range(7)])).cast("bigint")
-    ).withColumn("d_shift", F.date_add(F.col("d"), F.col("lag").cast("int")))
+    lagged = (
+        x.withColumn("lag", F.explode(F.array(*[F.lit(i) for i in range(7)])))
+        .withColumn("lag", F.col("lag").cast("bigint"))
+        .withColumn("d_shift", F.date_add(F.col("d"), F.col("lag").cast("int")))
+    )
     j = lagged.join(y, F.col("dy") == F.col("d_shift"))
     n = F.count(F.lit(1))
     return (
@@ -255,7 +257,10 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_linestatus, l_returnflag, l_quantity, l_extendedprice,
              l_orderkey % 8 AS file_id,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey % 8
-                                ORDER BY l_orderkey, l_linenumber) AS pos
+                                ORDER BY l_orderkey, l_linenumber, l_partkey,
+                                         l_suppkey, l_quantity, l_extendedprice,
+                                         l_discount, l_tax, l_returnflag,
+                                         l_linestatus, l_shipdate) AS pos
       FROM lineitem
     ),
     dv AS (
@@ -287,11 +292,18 @@ def q_merge_on_read_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFr
     the delete application is a key-partitioned anti join on
     (file_id, pos) with the small delete side broadcastable."""
     li = tables(spark, sf_dir)["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in this fixture (11k+ dup
+    # pairs), so pos orders by ALL columns: the order is then total up to
+    # fully-identical rows, whose interchangeable pos assignment cannot
+    # change any observable result.
+    order_cols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
     base = li.withColumn("file_id", F.expr("l_orderkey % 8")).withColumn(
         "pos",
-        F.row_number().over(
-            Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
-        ),
+        F.row_number().over(Window.partitionBy("file_id").orderBy(*order_cols)),
     )
     dv = (
         base.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10))
