@@ -93,6 +93,9 @@ HEADLINE = [
     "q_ks_two_sample",
     "q_merge_on_read_deletion_vectors",
     "q_ndcg_ranking_eval",
+    # round-7f headline representatives (zonemap/containment/ZCR in DETAIL)
+    "q_bm25_retrieval",
+    "q_theil_sen_slope",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -208,6 +211,9 @@ DETAIL_ONLY = [
     "q_k_anonymity_audit",
     "q_text_readability",
     "q_identifier_clause",
+    "q_zonemap_pruning_audit",
+    "q_containment_join",
+    "q_audio_zero_crossing",
 ]
 
 

@@ -50,3 +50,4 @@ from . import round7b  # noqa: E402,F401
 from . import round7c  # noqa: E402,F401
 from . import round7d  # noqa: E402,F401
 from . import round7e  # noqa: E402,F401
+from . import round7f  # noqa: E402,F401

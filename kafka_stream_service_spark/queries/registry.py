@@ -150,7 +150,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_execute_immediate / q_identifier_clause) and round-7e
 # (q_ks_two_sample / q_mannwhitney_u / q_crosscorr_lag /
 # q_k_anonymity_audit / q_merge_on_read_deletion_vectors /
-# q_ndcg_ranking_eval / q_text_readability) — are judge-gate covered
+# q_ndcg_ranking_eval / q_text_readability) and round-7f
+# (q_bm25_retrieval / q_zonemap_pruning_audit / q_containment_join /
+# q_audio_zero_crossing / q_theil_sen_slope) — are judge-gate covered
 # this round and rotate to the front of the r8 window (the only
 # never-driver-sampled queries at end of r7).
 

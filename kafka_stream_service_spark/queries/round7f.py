@@ -1,0 +1,417 @@
+"""Round-7 operator batch 6: BM25 retrieval, zonemap scan planning,
+containment join, audio zero-crossing features, Theil–Sen robust trend.
+
+Each operator fills a named gap in an existing family: BM25 completes
+the lexical-retrieval stack above q_inverted_index/q_tfidf_top_terms;
+the zonemap audit is the scan-planning diagnostic for the lakehouse
+tier (what does clustering buy a predicate?); containment is the
+asymmetric sibling of q_dedup_ngram_jaccard (doc-inside-doc detection);
+zero-crossing rate extends the audio feature tier; Theil–Sen is the
+robust counterpart of q_groupwise_regression's least-squares slope.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.audiocodec import decode_wav
+from ..operators.dedup import word_shingles_from_tokens
+from ..tables import tables
+from .audio import _SAMPLE_CTE, wav_files_df
+from .dedup import SHINGLES_SQL
+from .registry import query
+
+# BM25 query terms: two ubiquitous vocabulary words plus the rare
+# planted-duplicate marker token, so idf spans its full dynamic range.
+_BM25_TERMS = ("dup", "vector", "scan")
+_BM25_TERMS_SQL = "('dup', 'vector', 'scan')"
+
+
+@query(
+    "q_bm25_retrieval",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, token
+    ),
+    df_ AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(1000000.0 * (
+               LN((CAST(s.n_docs AS DOUBLE) - CAST(df_.df AS DOUBLE) + 0.5)
+                  / (CAST(df_.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                    (CAST(dl.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             )) AS BIGINT) AS term_q
+      FROM tf JOIN df_ ON df_.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_q) AS BIGINT) AS bm25_q,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_q DESC, doc_id LIMIT 15
+    """,
+    tags=("text", "retrieval", "bm25", "round7"),
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) ranked retrieval for a 3-term query — the
+    lexical-retrieval layer above q_inverted_index (postings) and
+    q_tfidf_top_terms (weighting): Robertson idf with the +1 floor, tf
+    saturation, and document-length normalization. Per-term scores are
+    floored at x1e6 into integers BEFORE summation, so the per-doc
+    score is an order-free integer sum and the top-15 cut (score desc,
+    doc_id) is engine-deterministic.
+
+    Scale shape: tf is one groupBy over query-term postings (the IN
+    filter prunes the explode before the shuffle); df and the corpus
+    stats are broadcast scalars; the final cut is TakeOrdered, never a
+    global sort."""
+    d = tables(spark, sf_dir)["documents"]
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfn = (F.col("tf").cast("double") * 2.2) / (
+        F.col("tf").cast("double")
+        + 1.2
+        * (
+            0.25
+            + 0.75
+            * (
+                F.col("dl").cast("double")
+                / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(F.lit(1000000.0) * (idf * tfn)).cast("bigint").alias("term_q"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_q").cast("bigint").alias("bm25_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25_q").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "q_zonemap_pruning_audit",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey // 1024 AS file_id, l_orderkey, l_shipdate FROM lineitem
+    ),
+    zm AS (
+      SELECT file_id, COUNT(*) AS n_rows,
+             MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k,
+             MIN(l_shipdate) AS min_d, MAX(l_shipdate) AS max_d
+      FROM base GROUP BY file_id
+    ),
+    m AS (
+      SELECT file_id,
+             SUM(CASE WHEN l_orderkey BETWEEN 4000 AND 6000 THEN 1 ELSE 0 END) AS n_match_key,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS n_match_date
+      FROM base GROUP BY file_id
+    )
+    SELECT z.file_id, CAST(z.n_rows AS BIGINT) AS n_rows,
+           CAST(z.min_k AS BIGINT) AS min_k, CAST(z.max_k AS BIGINT) AS max_k,
+           CAST(CASE WHEN z.max_k < 4000 OR z.min_k > 6000 THEN 0
+                     WHEN z.min_k >= 4000 AND z.max_k <= 6000 THEN 1
+                     ELSE 2 END AS INT) AS verdict_key,
+           CAST(CASE WHEN z.max_d < TIMESTAMP '2000-01-01' THEN 0
+                     WHEN z.min_d >= TIMESTAMP '2000-01-01' THEN 1
+                     ELSE 2 END AS INT) AS verdict_date,
+           CAST(m.n_match_key AS BIGINT) AS n_match_key,
+           CAST(m.n_match_date AS BIGINT) AS n_match_date
+    FROM zm z JOIN m ON m.file_id = z.file_id
+    """,
+    tags=("lakehouse", "zonemap", "scan-planning", "round7"),
+)
+def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zonemap (min/max statistics) pruning audit: rows live
+    in orderkey-clustered "files"; for each file the audit emits its
+    zonemap verdict under two predicates — an orderkey range (aligned
+    with the clustering, so zonemaps prune) and a shipdate cutoff
+    (uncorrelated with layout, so almost every file is PARTIAL) —
+    alongside the true matching-row counts that certify each verdict
+    (a PRUNED file must show 0 matches, a FULL file all-matches; the
+    invariant is pinned in pytest). This quantifies exactly what
+    clustering buys a predicate — the decision input for
+    q_zorder_cells-style re-layout and the reason PushedFilters work
+    at all on sorted data.
+
+    Scale shape: two groupBys on file_id (in a real table the zonemap
+    side is free — footer statistics — and only the verification scan
+    costs anything); verdict logic is pure per-row codegen."""
+    li = tables(spark, sf_dir)["lineitem"]
+    base = li.select(
+        F.expr("l_orderkey DIV 1024").alias("file_id"), "l_orderkey", "l_shipdate"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    zm = base.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_k"),
+        F.max("l_orderkey").cast("bigint").alias("max_k"),
+        F.min("l_shipdate").alias("min_d"),
+        F.max("l_shipdate").alias("max_d"),
+    )
+    m = base.groupBy("file_id").agg(
+        F.sum(F.when(F.col("l_orderkey").between(4000, 6000), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match_key"),
+        F.sum(F.when(F.col("l_shipdate") >= cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match_date"),
+    )
+    verdict_key = (
+        F.when((F.col("max_k") < 4000) | (F.col("min_k") > 6000), 0)
+        .when((F.col("min_k") >= 4000) & (F.col("max_k") <= 6000), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    verdict_date = (
+        F.when(F.col("max_d") < cutoff, 0)
+        .when(F.col("min_d") >= cutoff, 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    return zm.join(m, "file_id").select(
+        "file_id",
+        "n_rows",
+        "min_k",
+        "max_k",
+        verdict_key.alias("verdict_key"),
+        verdict_date.alias("verdict_date"),
+        "n_match_key",
+        "n_match_date",
+    )
+
+
+@query(
+    "q_containment_join",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {SHINGLES_SQL} AS shingles
+      FROM documents WHERE doc_id < 300
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), pair_common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(len(sa.shingles) AS BIGINT) AS n_a,
+           CAST(len(sb.shingles) AS BIGINT) AS n_b,
+           CAST(n_common * 1000000 // len(sa.shingles) AS BIGINT) AS cont_ab_q,
+           CAST(n_common * 1000000 // len(sb.shingles) AS BIGINT) AS cont_ba_q
+    FROM pair_common
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE GREATEST(n_common * 1000000 // len(sa.shingles),
+                   n_common * 1000000 // len(sb.shingles)) >= 500000
+    """,
+    tags=("dedup", "containment", "llm-data", "round7"),
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment |A∩B|/|A| over word-3-gram shingles —
+    the doc-inside-doc detector symmetric Jaccard misses: a short
+    document fully quoted inside a long one scores near-zero Jaccard
+    but containment 1.0 from the short side. Both directions are
+    emitted as exact integer millionths (integer division, no floats);
+    a pair surfaces when either direction >= 0.5. Same bounded
+    candidate block and shared-shingle equi-join plan as
+    q_dedup_ngram_jaccard; at 100 TB the block is an LSH bucket."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = t.select("doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1000000 DIV n_a").cast("bigint").alias("cont_ab_q"),
+            F.expr("n_common * 1000000 DIV n_b").cast("bigint").alias("cont_ba_q"),
+        )
+    )
+    return out.filter(F.greatest(F.col("cont_ab_q"), F.col("cont_ba_q")) >= 500000)
+
+
+@query(
+    "q_audio_zero_crossing",
+    oracle=_SAMPLE_CTE.format(modulus=17)
+    + """,
+    lagged AS (
+      SELECT doc_id, CAST(j % c AS INT) AS channel, v,
+             LAG(v) OVER (PARTITION BY doc_id, j % c ORDER BY j) AS pv
+      FROM smp
+    )
+    SELECT doc_id, channel,
+           CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_ch
+    FROM lagged GROUP BY doc_id, channel
+    """,
+    tags=("multimodal", "audio", "features", "round7"),
+)
+def q_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel zero-crossing rate over REAL decoded WAVs — the
+    classic voiced/unvoiced + noisiness feature next to
+    q_audio_frame_energy's energy axis. A crossing is a strict sign
+    flip between consecutive frames of one channel (zeros break runs,
+    stated identically in both engines). The oracle recomputes the
+    exact int16 samples from the synthesis formula and counts via a
+    per-(doc, channel) LAG window, so a decoder stride/deinterleave bug
+    shifts channels and flips the hash.
+
+    Scale shape: decode is Arrow-batched mapInPandas fanned across
+    executors; ZCR is a per-document numpy pass (no shuffle at all —
+    the output is one row per channel)."""
+    wavs = wav_files_df(spark, sf_dir, modulus=17)
+
+    def zcr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {k: [] for k in ("doc_id", "channel", "n_crossings", "n_frames_ch")}
+            for did, wav in zip(pdf["doc_id"], pdf["wav"]):
+                samples, _rate = decode_wav(bytes(wav))
+                s = samples.astype(np.int64)
+                for ch in range(s.shape[1]):
+                    col = s[:, ch]
+                    out["doc_id"].append(int(did))
+                    out["channel"].append(ch)
+                    out["n_crossings"].append(int(np.sum(col[:-1] * col[1:] < 0)))
+                    out["n_frames_ch"].append(int(col.size))
+            yield pd.DataFrame(out)
+
+    return wavs.mapInPandas(
+        zcr_batches,
+        schema="doc_id long, channel int, n_crossings long, n_frames_ch long",
+    )
+
+
+@query(
+    "q_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS d,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(FLOOR(1000000.0 * ((CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+                                     / (CAST(b.d AS DOUBLE) - CAST(a.d AS DOUBLE))))
+               AS BIGINT) AS slope_q
+      FROM daily a JOIN daily b ON b.d > a.d
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_q) AS BIGINT)
+             AS median_slope_q
+    FROM slopes
+    """,
+    tags=("stats", "robust-regression", "round7"),
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of daily revenue: the median of
+    all pairwise slopes (y_j - y_i)/(d_j - d_i), the 29%-breakdown
+    alternative to q_groupwise_regression's least squares (one wild
+    day cannot move it). Slopes are exact double quotients of integers
+    floored at x1e6 into integers, so the median element is
+    engine-exact.
+
+    Scale shape: the pair space is quadratic in DAYS, not rows — the
+    day-grain rollup happens first, so a 100 TB fact table still
+    yields only ~O(10^3..10^4) series points and the slope join stays
+    broadcastable. The median over the ~n²/2 slopes is the distributed
+    two-phase rank machinery (operators/ranks.py), NOT percentile_disc:
+    the broadcast pair join emits one partition, and a single-reduce
+    percentile over 3M+ rows measured 10x slower than the range-
+    partitioned rank pick. For century-long series, sample pairs or
+    use the repeated-median variant per bounded window."""
+    from ..operators.ranks import RANK_COL, with_global_ranks
+
+    li = tables(spark, sf_dir)["lineitem"]
+    daily = li.groupBy(
+        F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1995-01-01"))).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("bigint").alias("y")
+    )
+    n_days = daily.count()  # bounded scalar pull (day-grain series)
+    # AQE coalesces the tiny day-grain frame to one partition, which
+    # would serialize the O(n^2/2) pair generation through a single
+    # nested-loop task — spread the probe side explicitly.
+    a, b = daily.repartition(16).alias("a"), daily.alias("b")
+    slope = F.floor(
+        F.lit(1000000.0)
+        * (
+            (F.col("b.y").cast("double") - F.col("a.y").cast("double"))
+            / (F.col("b.d").cast("double") - F.col("a.d").cast("double"))
+        )
+    ).cast("bigint")
+    slopes = (
+        a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))
+        .select(slope.alias("slope_q"))
+        # unique tiebreak for the total order; equal slope_q values sit on
+        # consecutive ranks, so the VALUE at the median rank is invariant
+        # to the (nondeterministic) id assignment
+        .withColumn("tb", F.monotonically_increasing_id())
+    )
+    ranked = with_global_ranks(slopes, "slope_q", "tb", num_partitions=16)
+    n_pairs = ranked.count()  # post-checkpoint, cheap
+    target = (n_pairs + 1) // 2  # percentile_disc(0.5): rank ceil(n/2)
+    return ranked.filter(F.col(RANK_COL) == target).select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.col("slope_q").alias("median_slope_q"),
+    )
