@@ -93,9 +93,11 @@ HEADLINE = [
     "q_ks_two_sample",
     "q_merge_on_read_deletion_vectors",
     "q_ndcg_ranking_eval",
-    # round-7f headline representatives (zonemap/containment/ZCR in DETAIL)
+    # round-7f/7g headline representatives (others in DETAIL)
     "q_bm25_retrieval",
     "q_theil_sen_slope",
+    "q_modularity_by_source",
+    "q_rake_keywords",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -214,6 +216,10 @@ DETAIL_ONLY = [
     "q_zonemap_pruning_audit",
     "q_containment_join",
     "q_audio_zero_crossing",
+    "q_mutual_information",
+    "q_target_encoding_loo",
+    "q_embedding_covariance_int8",
+    "q_select_except",
 ]
 
 

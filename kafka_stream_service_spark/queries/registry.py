@@ -152,7 +152,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_k_anonymity_audit / q_merge_on_read_deletion_vectors /
 # q_ndcg_ranking_eval / q_text_readability) and round-7f
 # (q_bm25_retrieval / q_zonemap_pruning_audit / q_containment_join /
-# q_audio_zero_crossing / q_theil_sen_slope) — are judge-gate covered
+# q_audio_zero_crossing / q_theil_sen_slope) and round-7g
+# (q_modularity_by_source / q_mutual_information / q_target_encoding_loo /
+# q_embedding_covariance_int8 / q_rake_keywords / q_select_except) —
+# are judge-gate covered
 # this round and rotate to the front of the r8 window (the only
 # never-driver-sampled queries at end of r7).
 
