@@ -220,6 +220,11 @@ DETAIL_ONLY = [
     "q_target_encoding_loo",
     "q_embedding_covariance_int8",
     "q_select_except",
+    "q_qq_points",
+    "q_proto_roundtrip",
+    # corpus-wide portable-hash LSH + brute-force truth: an md5-bound
+    # AUDIT row (like the bloom/countmin audits), not a throughput op
+    "q_lsh_recall_audit",
 ]
 
 
