@@ -98,6 +98,7 @@ HEADLINE = [
     "q_theil_sen_slope",
     "q_modularity_by_source",
     "q_rake_keywords",
+    "q_bootstrap_ci",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -225,6 +226,8 @@ DETAIL_ONLY = [
     # corpus-wide portable-hash LSH + brute-force truth: an md5-bound
     # AUDIT row (like the bloom/countmin audits), not a throughput op
     "q_lsh_recall_audit",
+    "q_degree_distribution",
+    "q_event_trigram_patterns",
 ]
 
 

@@ -53,3 +53,4 @@ from . import round7e  # noqa: E402,F401
 from . import round7f  # noqa: E402,F401
 from . import round7g  # noqa: E402,F401
 from . import round7h  # noqa: E402,F401
+from . import round7i  # noqa: E402,F401
