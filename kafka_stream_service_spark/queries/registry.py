@@ -157,7 +157,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_embedding_covariance_int8 / q_rake_keywords / q_select_except) and
 # round-7h (q_proto_roundtrip / q_lsh_recall_audit / q_qq_points) and
 # round-7i (q_bootstrap_ci / q_event_trigram_patterns /
-# q_degree_distribution) — are judge-gate covered
+# q_degree_distribution) and round-7j
+# (q_stateful_timeout_sessions_replay) — are judge-gate covered
 # this round and rotate to the front of the r8 window (the only
 # never-driver-sampled queries at end of r7).
 

@@ -445,3 +445,46 @@ def test_distributed_quantiles_no_single_partition_window(spark):
     assert "rangepartitioning" in plan
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan and PARTITION_COL in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25's df/corpus-stats sides are broadcast (never a shuffle join
+    against the postings) and nothing degenerates into a cartesian."""
+    df = QUERIES["q_bm25_retrieval"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=2)  # df_ + stats
+    assert_no_cartesian(df)
+
+
+def test_merge_on_read_anti_join_shape(spark):
+    """Deletion-vector application is a real join (anti), not a filter
+    rewrite, and stays cartesian-free."""
+    df = QUERIES["q_merge_on_read_deletion_vectors"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert_no_cartesian(df)
+
+
+def test_scan_stats_have_no_single_partition_window(spark):
+    """The KS/MWU distributed scan must not fall back to a global-order
+    window: every windowspecdefinition in the plan is partitioned by the
+    scan pid (the only SinglePartition exchange allowed is the one-row
+    scalar-totals reduce, which is a bounded aggregate, not a window)."""
+    for name in ("q_ks_two_sample", "q_mannwhitney_u"):
+        df = QUERIES[name].spark_fn(spark, SF)
+        plan = physical_plan(df)
+        # the scan ran behind an eager localCheckpoint (pinned pids);
+        # the final job must contain NO runtime window at all — a
+        # windowspecdefinition here would mean the operator regressed
+        # to a live global-order window. The scan's own windows are
+        # per-partition by construction (equality-checked against the
+        # single-partition form in test_round7e_ops).
+        assert "windowspecdefinition" not in plan, f"{name} regressed:\n{plan}"
+        assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan, (
+            f"{name} lost its checkpoint boundary:\n{plan}"
+        )
+
+
+def test_modularity_broadcasts_the_dim(spark):
+    df = QUERIES["q_modularity_by_source"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=2)  # both endpoint label joins
+    assert_no_cartesian(df)
