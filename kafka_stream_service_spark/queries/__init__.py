@@ -55,3 +55,4 @@ from . import round7g  # noqa: E402,F401
 from . import round7h  # noqa: E402,F401
 from . import round7i  # noqa: E402,F401
 from . import round7j  # noqa: E402,F401
+from . import round7k  # noqa: E402,F401

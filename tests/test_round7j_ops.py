@@ -37,3 +37,22 @@ def test_open_final_sessions_are_withheld(spark):
     emitted_events = sum(r.n_events for r in out)
     total = tables(spark, SF)["events"].count()
     assert 0 < emitted_events < total
+
+
+def test_udtf_table_argument_first_last_respect_order(spark):
+    """The PTF's first/last come from the partition's ORDER BY stream,
+    so they must equal min/max doc_id per lang."""
+    from pyspark.sql import functions as F
+    from kafka_stream_service_spark.tables import tables
+
+    out = {r.lang: r for r in QUERIES["q_udtf_table_argument"].spark_fn(spark, SF).collect()}
+    want = {
+        r["lang"]: r
+        for r in tables(spark, SF)["documents"]
+        .groupBy("lang")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(want)
+    for lang, r in out.items():
+        assert (r.first_doc, r.last_doc, r.n_docs) == (want[lang]["lo"], want[lang]["hi"], want[lang]["n"])
