@@ -99,6 +99,7 @@ HEADLINE = [
     "q_modularity_by_source",
     "q_rake_keywords",
     "q_bootstrap_ci",
+    "q_interval_bucket_join",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -228,6 +229,9 @@ DETAIL_ONLY = [
     "q_lsh_recall_audit",
     "q_degree_distribution",
     "q_event_trigram_patterns",
+    "q_image_dhash",
+    "q_zipf_law_fit",
+    "q_temporal_split_embargo",
 ]
 
 

@@ -56,3 +56,5 @@ from . import round7h  # noqa: E402,F401
 from . import round7i  # noqa: E402,F401
 from . import round7j  # noqa: E402,F401
 from . import round7k  # noqa: E402,F401
+from . import round7l  # noqa: E402,F401
+from . import round7m  # noqa: E402,F401
