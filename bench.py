@@ -232,6 +232,8 @@ DETAIL_ONLY = [
     "q_image_dhash",
     "q_zipf_law_fit",
     "q_temporal_split_embargo",
+    "q_xml_roundtrip",
+    "q_try_arithmetic",
 ]
 
 

@@ -58,3 +58,4 @@ from . import round7j  # noqa: E402,F401
 from . import round7k  # noqa: E402,F401
 from . import round7l  # noqa: E402,F401
 from . import round7m  # noqa: E402,F401
+from . import round7n  # noqa: E402,F401

@@ -117,3 +117,28 @@ def test_temporal_split_partitions_and_orders(spark):
     # embargo is a thin 24h slice of a ~1-month span
     assert out["embargo"].n_events < out["train"].n_events
     assert out["embargo"].n_events < out["test"].n_events
+
+
+def test_try_arithmetic_overflow_and_divzero_accounting(spark):
+    out = QUERIES["q_try_arithmetic"].spark_fn(spark, SF).collect()
+    assert sum(r.n_div_zero for r in out) > 0  # every 10th order
+    for r in out:
+        assert 0 <= r.n_div_zero <= r.n
+        assert 0 <= r.n_overflow <= r.n
+
+
+def test_xml_roundtrip_matches_parquet_aggregate(spark):
+    from pyspark.sql import functions as F
+    from kafka_stream_service_spark.tables import tables
+
+    got = {r.event_type: r for r in QUERIES["q_xml_roundtrip"].spark_fn(spark, SF).collect()}
+    want = {
+        r["event_type"]: r
+        for r in tables(spark, SF)["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for et, r in got.items():
+        assert (r.n, r.n_users) == (want[et]["n"], want[et]["u"])
