@@ -59,3 +59,19 @@ def test_priority_window_is_exactly_50():
     assert len(PRIORITY_ORDER) == len(set(PRIORITY_ORDER)), "duplicate names"
     unknown = [n for n in PRIORITY_ORDER if n not in QUERIES]
     assert not unknown, f"PRIORITY_ORDER names not registered: {unknown}"
+
+
+def test_bench_tiers_reference_registered_queries():
+    """Every bench HEADLINE/DETAIL_ONLY name resolves in the registry,
+    no name appears in both tiers, and no tier has duplicates — a typo
+    here would crash bench.py mid-run and void the round's BENCH line."""
+    import bench
+
+    from kafka_stream_service_spark.queries import QUERIES
+
+    for tier_name, tier in (("HEADLINE", bench.HEADLINE), ("DETAIL_ONLY", bench.DETAIL_ONLY)):
+        unknown = [n for n in tier if n not in QUERIES]
+        assert not unknown, f"{tier_name} has unregistered names: {unknown}"
+        assert len(tier) == len(set(tier)), f"{tier_name} has duplicates"
+    overlap = set(bench.HEADLINE) & set(bench.DETAIL_ONLY)
+    assert not overlap, f"names in both tiers: {sorted(overlap)}"
