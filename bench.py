@@ -100,6 +100,14 @@ HEADLINE = [
     "q_rake_keywords",
     "q_bootstrap_ci",
     "q_interval_bucket_join",
+    # round-8 headline representatives: survival curve (join+window),
+    # LPA community detection (iterative graph), cross-snapshot dedup
+    # (LSH probe join), centroid silhouette (broadcast gemm shape);
+    # the other eight r8 rows are DETAIL_ONLY
+    "q_kaplan_meier",
+    "q_label_propagation",
+    "q_dedup_incremental_snapshot",
+    "q_silhouette_simplified",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -234,6 +242,15 @@ DETAIL_ONLY = [
     "q_temporal_split_embargo",
     "q_xml_roundtrip",
     "q_try_arithmetic",
+    # round-8 additions not in HEADLINE
+    "q_cusum_changepoint",
+    "q_holt_linear_smoothing",
+    "q_isotonic_calibration",
+    "q_cuped_adjustment",
+    "q_logreg_score_text",
+    "q_basket_triples_apriori",
+    "q_compaction_bin_packing",
+    "q_bottomk_coordinated_sample",
 ]
 
 

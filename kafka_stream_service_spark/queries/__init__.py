@@ -59,3 +59,5 @@ from . import round7k  # noqa: E402,F401
 from . import round7l  # noqa: E402,F401
 from . import round7m  # noqa: E402,F401
 from . import round7n  # noqa: E402,F401
+from . import round8  # noqa: E402,F401
+from . import round8b  # noqa: E402,F401

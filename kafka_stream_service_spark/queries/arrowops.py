@@ -70,7 +70,7 @@ def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, so the Arrow transfer is exact.
     """
 
-    @F.pandas_udf(T.LongType(), F.PandasUDFType.GROUPED_AGG)
+    @F.pandas_udf(T.LongType())
     def wmean_micro(v_cents: pd.Series, w: pd.Series) -> int:
         num = int((v_cents.astype(object) * w.astype(object)).sum())
         den = int(w.sum())
@@ -80,7 +80,7 @@ def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
     # count is a second UDAF — the documented all-or-nothing trade of
     # the pandas-aggregate path.
-    @F.pandas_udf(T.LongType(), F.PandasUDFType.GROUPED_AGG)
+    @F.pandas_udf(T.LongType())
     def n_rows(v_cents: pd.Series) -> int:
         return len(v_cents)
 

@@ -157,6 +157,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_lsh",
     oracle=None,  # xxhash64 has no DuckDB equivalent — driver rows-only check
     tags=("dedup", "lsh", "llm-data"),
+    portable_twin="q_minhash_lsh_portable",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
@@ -197,6 +198,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_simhash",
     oracle=None,  # xxhash64-based — driver rows-only check
     tags=("dedup", "simhash", "llm-data"),
+    portable_twin="q_simhash_portable",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document + a 16-bit blocking bucket.

@@ -59,6 +59,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_clusters",
     oracle=None,  # built on xxhash64/blake2b minhash pairs — rows-only
     tags=("dedup", "graph", "llm-data"),
+    portable_twin="q_dedup_clusters_portable",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH pairs -> connected components
@@ -100,6 +101,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_ivf",
     oracle=None,  # approximate (recall < 1 by construction) — rows-only
     tags=("similarity", "ivf", "ann", "llm-data"),
+    portable_twin="q_ivf_probe_portable",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 neighbors for 8 queries: deterministic

@@ -31,6 +31,12 @@ class QuerySpec:
     oracle: str | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # For rows-only queries (oracle=None): the name of the hash-verified
+    # portable twin that certifies the same pipeline under portable
+    # (md5-derived) hashing. Machine-readable so CORRECTNESS readers can
+    # resolve a `no_oracle` row to its green certificate
+    # (tests/test_coverage_doc.py enforces the invariant).
+    portable_twin: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -52,7 +58,13 @@ def _pin_session_confs(spark: SparkSession) -> None:
     # never a correctness, difference).
 
 
-def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    portable_twin: str | None = None,
+):
     """Decorator registering a catalog query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -66,101 +78,85 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         wrapped.__wrapped__ = fn
-        QUERIES[name] = QuerySpec(name, wrapped, oracle, tags, doc or (fn.__doc__ or ""))
+        QUERIES[name] = QuerySpec(
+            name, wrapped, oracle, tags, doc or (fn.__doc__ or ""), portable_twin
+        )
         return fn
 
     return deco
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-7 rotation (VERDICT r6 next-steps #1):
-# (a) the 24 round-6-overflow queries the driver has NEVER sampled lead
-# the window — by end of r7 every catalog query has earned a driver-green
-# verdict at least once (all 24 were green in the judge's full-catalog
-# verify_local run in r6 and stay green in tools/verify_local.py);
-# (b) queries round 7 ADDS are inserted after them as they land (new
-# operators get driver verdicts in their birth round);
+# ``queries()``. Round-8 rotation (VERDICT r7 next-steps #1):
+# (a) the 36 never-driver-sampled round-7 queries lead the window —
+# computed as union(CORRECTNESS_r01..r07 keys) vs the 322-name registry
+# (NOT from the stale r7 overflow comment; the set below is the computed
+# one and includes the 7k-7n batch the old comment omitted). All 36 are
+# judge-green in the r7 full-catalog verify_local sweep; by end of r8
+# every catalog query has earned a driver-green verdict at least once.
+# (b) queries round 8 ADDS are inserted after them as they land (new
+# operators get driver verdicts in their birth round) up to the 50-slot
+# budget; r8 additions past the budget are enumerated at the bottom for
+# the r9 rotation.
 # (c) q_dedup_minhash_lsh stays as the rows-only sentinel and
 # q01_pricing_summary as the flagship drift canary.
 # Everything displaced past slot 50 carries a green driver verdict from
-# r1-r6 plus the judge's full-catalog gate.
+# r1-r7 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 24 never-driver-sampled round-6 overflow queries
-    "q_seasonal_weekday_deviation",
-    "q_mom_growth",
-    "q_basket_part_pairs",
-    "q_order_cycle_time",
-    "q_dedup_keep_best",
-    "q_stream_wiredump_sink_replay",
-    "q_feature_hashing",
-    "q_stream_hll_merge_replay",
-    "q_source_quota",
-    "q_token_budget_allocation",
-    "q_event_paths_topk",
-    "q_rfm_segmentation",
-    "q_kcore_decomposition",
-    "q_rank_normalize_embeddings",
-    "q_benford_digit_audit",
-    "q_order_total_reconciliation",
-    "q_time_weighted_average",
-    "q_source_overlap_matrix",
-    "q_join_hints",
-    "q_weighted_median",
-    "q_lorenz_curve",
-    "q_udaf_grouped_agg",
-    "q_arrow_map_batches",
-    "q_arrow_grouped_stats",
-    # (b) changed by the round-7 adversarial-fixture tier (dirty-data
-    # contracts pinned: NULL-custkey orders kept by GDPR cascade, NULL
-    # doc_id excluded from keep-first dedup, NULL doc_id framed+try_cast
-    # in the text round trip)
-    "q_gdpr_delete_propagation",
-    "q_dedup_keep_first",
-    "q_text_roundtrip",
-    # (b) new in round 7 — event-sequence analytics + ML-data prep
-    "q_markov_transitions",
-    "q_activity_bitmap",
-    "q_run_length_islands",
-    "q_window_count_distinct",
-    "q_decile_lift",
-    "q_calendar_gap_fill",
-    "q_target_encoding",
-    "q_minmax_scaling",
-    "q_systematic_sample",
-    "q_histogram_2d",
-    # (b) new in round 7 — modern SQL surface + fuzzy/upsert/similarity
-    "q_group_by_all",
-    "q_sql_udf",
-    "q_parameterized_sql",
-    "q_percent_rank_cume",
-    "q_fuzzy_match_levenshtein",
-    "q_scd1_upsert",
-    "q_ngram_novelty",
-    # (b) new in round 7 — graph link prediction + perceptual image hash
-    "q_jaccard_neighbors",
-    "q_image_ahash",
-    # (c) sentinel + flagship + drift canary (oldest green verdicts)
+    # (a) the 36 never-driver-sampled round-7 queries (computed set)
+    "q_pipe_syntax",
+    "q_sql_scripting",
+    "q_execute_immediate",
+    "q_identifier_clause",
+    "q_ks_two_sample",
+    "q_mannwhitney_u",
+    "q_crosscorr_lag",
+    "q_k_anonymity_audit",
+    "q_merge_on_read_deletion_vectors",
+    "q_ndcg_ranking_eval",
+    "q_text_readability",
+    "q_bm25_retrieval",
+    "q_zonemap_pruning_audit",
+    "q_containment_join",
+    "q_audio_zero_crossing",
+    "q_theil_sen_slope",
+    "q_modularity_by_source",
+    "q_mutual_information",
+    "q_target_encoding_loo",
+    "q_embedding_covariance_int8",
+    "q_rake_keywords",
+    "q_select_except",
+    "q_proto_roundtrip",
+    "q_lsh_recall_audit",
+    "q_qq_points",
+    "q_bootstrap_ci",
+    "q_event_trigram_patterns",
+    "q_degree_distribution",
+    "q_stateful_timeout_sessions_replay",
+    "q_udtf_table_argument",
+    "q_image_dhash",
+    "q_interval_bucket_join",
+    "q_zipf_law_fit",
+    "q_temporal_split_embargo",
+    "q_xml_roundtrip",
+    "q_try_arithmetic",
+    # (b) new in round 8 — inserted as they land (12-slot budget)
+    "q_kaplan_meier",
+    "q_cusum_changepoint",
+    "q_holt_linear_smoothing",
+    "q_isotonic_calibration",
+    "q_cuped_adjustment",
+    "q_label_propagation",
+    "q_logreg_score_text",
+    "q_basket_triples_apriori",
+    "q_dedup_incremental_snapshot",
+    "q_compaction_bin_packing",
+    "q_bottomk_coordinated_sample",
+    "q_silhouette_simplified",
+    # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
-    "q_knn_cosine_bruteforce",
-    "q02_revenue_by_nation",
 )
-# Round-7 overflow (window already at its 50 pinned slots): the late
-# batches — SQL-language (q_pipe_syntax / q_sql_scripting /
-# q_execute_immediate / q_identifier_clause) and round-7e
-# (q_ks_two_sample / q_mannwhitney_u / q_crosscorr_lag /
-# q_k_anonymity_audit / q_merge_on_read_deletion_vectors /
-# q_ndcg_ranking_eval / q_text_readability) and round-7f
-# (q_bm25_retrieval / q_zonemap_pruning_audit / q_containment_join /
-# q_audio_zero_crossing / q_theil_sen_slope) and round-7g
-# (q_modularity_by_source / q_mutual_information / q_target_encoding_loo /
-# q_embedding_covariance_int8 / q_rake_keywords / q_select_except) and
-# round-7h (q_proto_roundtrip / q_lsh_recall_audit / q_qq_points) and
-# round-7i (q_bootstrap_ci / q_event_trigram_patterns /
-# q_degree_distribution) and round-7j
-# (q_stateful_timeout_sessions_replay) — are judge-gate covered
-# this round and rotate to the front of the r8 window (the only
-# never-driver-sampled queries at end of r7).
 
 
 def _ordered_specs() -> list[QuerySpec]:

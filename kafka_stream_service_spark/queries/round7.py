@@ -120,6 +120,11 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AND = co-activity, OR = either-active) is one bitwise op instead
     of a join. n_active_days doubles as the mask's popcount.
 
+    Fixture-span guard: Spark's shiftleft silently wraps the shift
+    amount mod 64 while DuckDB's << does not, so a span change past day
+    62 (or an event before 2024-01-01) would silently diverge between
+    engines. The CASE below raises loudly instead of wrapping.
+
     Scale shape: distinct prunes duplicate (user, day) pairs map-side;
     one groupBy shuffle keyed by user. A year needs 366 bits = an array
     of 6 BIGINT words (chunk day_ix div 64) — same construction, no
@@ -132,7 +137,14 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).distinct()
     return days.groupBy("user_id").agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(day_ix AS INT))"))
+        F.sum(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CASE WHEN day_ix BETWEEN 0 AND 62 THEN CAST(day_ix AS INT) "
+                "ELSE CAST(raise_error(concat('q_activity_bitmap: day_ix outside "
+                "bitmap range [0,62]: ', CAST(day_ix AS STRING))) AS INT) END)"
+            )
+        )
         .cast("bigint")
         .alias("day_mask"),
         F.count(F.lit(1)).alias("n_active_days"),

@@ -53,9 +53,9 @@ _BM25_TERMS_SQL = "('dup', 'vector', 'scan')"
              CAST(FLOOR(1000000.0 * (
                LN((CAST(s.n_docs AS DOUBLE) - CAST(df_.df AS DOUBLE) + 0.5)
                   / (CAST(df_.df AS DOUBLE) + 0.5) + 1.0)
-               * (CAST(tf.tf AS DOUBLE) * 2.2)
-                 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-                    (CAST(dl.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
              )) AS BIGINT) AS term_q
       FROM tf JOIN df_ ON df_.token = tf.token
       JOIN dl ON dl.doc_id = tf.doc_id

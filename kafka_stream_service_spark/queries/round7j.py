@@ -81,11 +81,6 @@ def q_stateful_timeout_sessions_replay(spark: SparkSession, sf_dir: str) -> Data
     Scale shape: state is one open session per active user (stream-
     length independent); timeouts are the mechanism that bounds state
     under churn — exactly what this query certifies."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "ts")
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2  # time-range midpoint
@@ -93,8 +88,29 @@ def q_stateful_timeout_sessions_replay(spark: SparkSession, sf_dir: str) -> Data
     flat = _write_chunks(
         [ev.filter(F.col("ts") < F.lit(mid)), ev.filter(F.col("ts") >= F.lit(mid))], base
     )
+    sessions = build_timeout_sessions_stream(spark, ev.schema, flat)
+    out = _run_to_memory(spark, sessions, base, shuffle_partitions=8, output_mode="update")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+def build_timeout_sessions_stream(spark: SparkSession, ev_schema, flat: str) -> DataFrame:
+    """The sessionizer's streaming plan, factored out so the chaos tier
+    (tests/test_chaos_restart.py) can drive a kill-between-epochs +
+    checkpoint-resume over the SAME plan: event-time timeout timers must
+    re-arm from recovered state after a restart — the most
+    restart-sensitive state shape in the catalog (VERDICT r7 #5)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
     stream = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(ev_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -153,13 +169,6 @@ def q_stateful_timeout_sessions_replay(spark: SparkSession, sf_dir: str) -> Data
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms epoch
         return
 
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         sessionize, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
-    )
-    out = _run_to_memory(spark, sessions, base, shuffle_partitions=8, output_mode="update")
-    return out.select(
-        "user_id",
-        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
-        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
-        "n_events",
     )

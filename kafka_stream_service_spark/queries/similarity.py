@@ -180,6 +180,7 @@ def hyperplane_bucket(emb: F.Column) -> F.Column:
     "q_knn_lsh_buckets",
     oracle=None,  # approximate (recall<1) — driver rows-only check
     tags=("similarity", "lsh", "llm-data"),
+    portable_twin="q_knn_lsh_buckets_portable",
 )
 def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 sign bits -> 256 buckets; then exact cosine

@@ -46,6 +46,20 @@ from .registry import query
 
 WM_MIN = 30  # watermark delay for the late-drop query, minutes
 
+# Fixture-scale state-store provider for the two heaviest stream-stream
+# replays (VERDICT r7 next-steps #4): the session default is RocksDB —
+# the right provider when state outgrows executor memory at 100 TB —
+# but its per-store-per-batch snapshot/upload overhead dominates these
+# replays' tiny bounded state (two-side join state / two chained agg
+# operators over <=4 micro-batches). Measured at sf0.1 (3-run medians,
+# identical output fingerprints): full-outer 7.2 s -> 4.4 s, two-level
+# agg 5.2 s -> 3.3 s with the in-memory HDFSBacked provider + single
+# sentinel chunk. Scoped per query exactly like shuffle_partitions; the
+# chaos-restart tier still covers checkpoint resume on both providers.
+HDFS_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
 # Timing side-channel for bench attribution (VERDICT r5 next-steps #4):
 # each replay query's wall time is mostly fixture harness (chunk
 # materialization) plus the checkpointed streaming run. ``_write_chunks``
@@ -143,10 +157,13 @@ def _run_foreach_batch(stream_df: DataFrame, sink_fn, ckpt: str) -> None:
 
     try:
         run(chaotic)
-    except Exception:
+    except Exception as exc:
         # the planned crash surfaces as a StreamingQueryException wrapping
-        # the Python error; anything else would fail the restarted run too
-        pass
+        # the Python error (class name + message flattened into the text);
+        # swallow ONLY that — an unrelated first-run failure must not be
+        # masked behind a clean second run (ADVICE r7)
+        if "_PlannedChaosCrash" not in f"{type(exc).__name__}: {exc}":
+            raise
     run(sink_fn)
 
 
@@ -156,6 +173,7 @@ def _run_to_memory(
     base: str,
     shuffle_partitions: int | None = None,
     output_mode: str = "append",
+    state_provider: str | None = None,
 ) -> DataFrame:
     """Run the stream to completion into a memory sink.
 
@@ -169,8 +187,12 @@ def _run_to_memory(
     t0 = time.time()
     name = f"replay_{uuid.uuid4().hex[:10]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if state_provider is not None:
+        spark.conf.set(prov_key, state_provider)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -185,6 +207,7 @@ def _run_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(prov_key, prev_prov)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     return spark.table(name)
 
@@ -523,8 +546,12 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ev.filter(F.col("ts") <= F.lit(half)),
             ev.filter(F.col("ts") > F.lit(half)),
+            # ONE sentinel chunk: it advances the watermark to
+            # max ts - 2h, and the trailing no-data micro-batch applies
+            # that watermark for the final eviction/emission — a second
+            # sentinel batch added a full stateful-join round for zero
+            # output change (A/B-verified identical fingerprints, r8)
             sentinels(-1, -2),
-            sentinels(-3, -4),
         ],
         base,
     )
@@ -928,8 +955,9 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
     watermark proves its partner can no longer arrive.
 
     Same sentinel-deterministic replay as q_stream_outer_join_replay
-    (time-ordered halves, 2h watermarks, two sentinel chunks at the
-    global max ts so eviction runs during real data batches). The new
+    (time-ordered halves, 2h watermarks, one sentinel chunk at the
+    global max ts; the trailing no-data batch applies the final
+    watermark for eviction). The new
     algebra is the RIGHT side: a click's reachable purchases satisfy
     p_ts <= c_ts + 1h, so an unmatched click emits null-extended only
     once wm passes c_ts + 1h — the oracle states both eviction horizons
@@ -960,8 +988,12 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
         [
             ev.filter(F.col("ts") <= F.lit(half)),
             ev.filter(F.col("ts") > F.lit(half)),
+            # ONE sentinel chunk: it advances the watermark to
+            # max ts - 2h, and the trailing no-data micro-batch applies
+            # that watermark for the final eviction/emission — a second
+            # sentinel batch added a full stateful-join round for zero
+            # output change (A/B-verified identical fingerprints, r8)
             sentinels(-1, -2),
-            sentinels(-3, -4),
         ],
         base,
     )
@@ -997,8 +1029,11 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
         "click_id",
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
     )
-    # 2 state partitions — see q_stream_outer_join_replay's note
-    return _run_to_memory(spark, joined, base, shuffle_partitions=2)
+    # 2 state partitions — see q_stream_outer_join_replay's note;
+    # in-memory state provider — bounded fixture state (HDFS_STATE_PROVIDER note)
+    return _run_to_memory(
+        spark, joined, base, shuffle_partitions=2, state_provider=HDFS_STATE_PROVIDER
+    )
 
 
 @query(
@@ -1029,9 +1064,9 @@ def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     propagation through the first operator is what makes level-1 output
     NOT late for level 2.
 
-    Replay: two time-ordered halves + two sentinel chunks at the global
-    max ts (zero-value rows in a sentinel event_type whose final hour
-    never closes, so they add no output). Final table = hourly
+    Replay: two time-ordered halves + one sentinel chunk at the global
+    max ts (a zero-value row in a sentinel event_type whose final hour
+    never closes, so it adds no output). Final table = hourly
     counts/decimal-exact sums for every hour with hour_end <= final
     watermark — stated verbatim by the oracle, hash-checked.
 
@@ -1055,8 +1090,10 @@ def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         [
             ev.filter(F.col("ts") <= F.lit(half)),
             ev.filter(F.col("ts") > F.lit(half)),
+            # ONE sentinel chunk (see the full-outer replay note): the
+            # no-data batch applies the final watermark through both
+            # stateful operators
             sentinel(1),
-            sentinel(2),
         ],
         base,
     )
@@ -1086,8 +1123,10 @@ def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # 2 state partitions: two chained stateful operators double the
     # per-partition store count; same fixture-scale measurement as the
-    # outer-join replays
-    return _run_to_memory(spark, hourly, base, shuffle_partitions=2)
+    # outer-join replays. In-memory state provider (HDFS_STATE_PROVIDER note).
+    return _run_to_memory(
+        spark, hourly, base, shuffle_partitions=2, state_provider=HDFS_STATE_PROVIDER
+    )
 
 
 @query(
@@ -1271,6 +1310,7 @@ def q_stream_topk_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(prov_key, prev_prov)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     return spark.read.parquet(out_dir)
 
@@ -1496,6 +1536,7 @@ def q_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(prov_key, prev_prov)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
