@@ -251,6 +251,11 @@ DETAIL_ONLY = [
     "q_basket_triples_apriori",
     "q_compaction_bin_packing",
     "q_bottomk_coordinated_sample",
+    "q_kendall_tau",
+    "q_spearman_rho",
+    "q_anova_oneway",
+    "q_seasonal_decompose",
+    "q_ann_rerank_two_stage",
 ]
 
 

@@ -1310,7 +1310,6 @@ def q_stream_topk_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set(prov_key, prev_prov)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     return spark.read.parquet(out_dir)
 
@@ -1536,7 +1535,6 @@ def q_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set(prov_key, prev_prov)
     LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     state = spark.read.format("statestore").load(ckpt)
     return state.select(

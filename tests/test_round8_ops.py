@@ -1,0 +1,182 @@
+"""Property tests for the round-8 operator batches (round8*.py).
+
+The driver/oracle gate already hash-verifies exact values at sf0.01;
+these tests pin the ALGEBRAIC contracts that a hash can't explain when
+it breaks: monotonicity of the isotonic fit, survival-curve shape,
+CUSUM telescoping to zero, Apriori antimonotonicity, silhouette range,
+decomposition reconstruction, and the two-stage retriever's ordering
+invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_service_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(name, spark):
+    return QUERIES[name].spark_fn(spark, SF).toPandas()
+
+
+def test_kaplan_meier_curve_shape(spark):
+    df = run("q_kaplan_meier", spark).sort_values("t_days").reset_index(drop=True)
+    # risk set starts at the full population and never grows
+    assert (df["n_risk"].diff().dropna() <= 0).all()
+    assert df["n_risk"].iloc[0] == df["n_events"].sum() + df["n_censored"].sum()
+    # log-survival is non-increasing where defined
+    ls = df["ln_surv_q6"].dropna()
+    assert (ls.diff().dropna() <= 0).all()
+    assert (ls <= 0).all()
+
+
+def test_cusum_telescopes_to_zero_and_flags_peak(spark):
+    df = run("q_cusum_changepoint", spark).sort_values("day_idx")
+    # C_N * N = N*T - N*T = 0: the deviations telescope away
+    assert df["cusum_scaled"].iloc[-1] == 0
+    assert df["is_peak"].sum() >= 1
+    peak_abs = df.loc[df["is_peak"] == 1, "cusum_scaled"].abs().unique()
+    assert (df["cusum_scaled"].abs() <= peak_abs.max()).all()
+
+
+def test_holt_anchors_and_forecast_identity(spark):
+    df = run("q_holt_linear_smoothing", spark).sort_values("day_ix")
+    r0 = df.iloc[0]
+    # anchor: level = x, trend = 0, forecast = level
+    assert r0["level_q6"] == r0["x_cents"] * 1_000_000
+    assert r0["trend_q6"] == 0
+    assert r0["forecast_next_q6"] == r0["level_q6"]
+    assert len(df) == 30
+
+
+def test_isotonic_fit_is_monotone(spark):
+    df = run("q_isotonic_calibration", spark).sort_values("bin")
+    assert (df["iso_q6"].diff().dropna() >= 0).all()
+    # the fit stays inside the observed rate range
+    assert df["iso_q6"].max() <= df["rate_q6"].max()
+    assert df["iso_q6"].min() >= df["rate_q6"].min()
+
+
+def test_cuped_is_a_consistent_two_arm_readout(spark):
+    df = run("q_cuped_adjustment", spark)
+    assert sorted(df["arm"]) == [0, 1]
+    assert df["theta_q6"].nunique() == 1  # pooled theta
+    assert (df["var_y_q6"] >= 0).all() and (df["var_y_adj_q6"] >= 0).all()
+    # CUPED reduces pooled variance; allow per-arm slack of 5%
+    assert (df["var_y_adj_q6"] <= 1.05 * df["var_y_q6"]).all()
+
+
+def test_label_propagation_partitions_the_vertices(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.graph_q import _candidate_edges
+
+    df = run("q_label_propagation", spark)
+    edges = _candidate_edges(spark, SF)
+    n_vertices = (
+        edges.select(F.col("u").alias("v"))
+        .unionAll(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    assert df["n_members"].sum() == n_vertices
+    assert (df["min_member"] <= df["max_member"]).all()
+    # a community's label is one of the vertex ids (mode of initial ids)
+    assert (df["community"] >= 0).all()
+
+
+def test_logreg_scores_are_probabilities(spark):
+    df = run("q_logreg_score_text", spark)
+    assert df["score_q6"].between(0, 1_000_000).all()
+    assert ((df["pred"] == 1) == (df["score_q6"] >= 500_000)).all()
+    assert df["ttr_q6"].between(0, 1_000_000).all()
+
+
+def test_apriori_antimonotonicity(spark):
+    df = run("q_basket_triples_apriori", spark)
+    if len(df) == 0:
+        pytest.skip("no frequent triples at this SF")
+    for c in ("sup_ab", "sup_ac", "sup_bc"):
+        assert (df[c] >= df["support"]).all(), f"{c} violates antimonotonicity"
+    assert (df["brand_a"] < df["brand_b"]).all()
+    assert (df["brand_b"] < df["brand_c"]).all()
+
+
+def test_incremental_dedup_verdicts(spark):
+    df = run("q_dedup_incremental_snapshot", spark)
+    assert (df["doc_id"] % 2 == 1).all()  # incoming snapshot only
+    dups = df[df["is_dup"] == 1]
+    assert (dups["best_match"] % 2 == 0).all()  # matches live in the corpus
+    # every reported match passed the exact-Jaccard >= 0.5 verify
+    assert (2 * dups["j_num"] >= dups["j_den"]).all()
+    assert df.loc[df["is_dup"] == 0, "best_match"].isna().all()
+
+
+def test_compaction_bins_cover_all_rows(spark):
+    import duckdb
+
+    df = run("q_compaction_bin_packing", spark)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    con.close()
+    assert df["total_rows"].sum() == n
+    assert (df["first_file"] <= df["last_file"]).all()
+    assert ((df["needs_compaction"] == 1) == (df["n_files"] > 1)).all()
+
+
+def test_bottomk_estimator_bounds(spark):
+    df = run("q_bottomk_coordinated_sample", spark)
+    assert (df["est_num"] <= df["k_used"]).all()
+    assert (df["j_num"] <= df["j_den"]).all()
+    assert df["est_q6"].between(0, 1_000_000).all()
+    assert df["true_q6"].between(0, 1_000_000).all()
+
+
+def test_silhouette_range_and_nearest_other(spark):
+    df = run("q_silhouette_simplified", spark)
+    assert df["s_q6"].between(-1_000_000, 1_000_000).all()
+    assert (df["nearest_other"] != df["label"]).all()
+
+
+def test_rank_correlations_in_range(spark):
+    kt = run("q_kendall_tau", spark)
+    assert kt["tau_b_q6"].between(-1_000_000, 1_000_000).all()
+    assert (
+        kt["n_concordant"] + kt["n_discordant"] <= kt["n_days"] * (kt["n_days"] - 1) // 2
+    ).all()
+    sr = run("q_spearman_rho", spark)
+    assert sr["rho_q6"].between(-1_000_000, 1_000_000).all()
+    # the synthetic fixture draws price independently of quantity (unlike
+    # real TPC-H), so rho is ~0 — pin the independence, not a correlation
+    assert abs(sr["rho_q6"].iloc[0]) < 100_000
+    assert sr["nx_distinct"].iloc[0] == 50  # quantity histogram grain
+
+
+def test_anova_f_nonnegative(spark):
+    df = run("q_anova_oneway", spark)
+    assert (df["f_stat_q6"] >= 0).all()
+    assert (df["ssb_floor"] >= 0).all() and (df["ssw_floor"] >= 0).all()
+    assert df["k"].iloc[0] == 5
+
+
+def test_seasonal_decomposition_reconstructs(spark):
+    df = run("q_seasonal_decompose", spark)
+    # x*1e6 == trend + seasonal + residual up to the three floors
+    err = (
+        df["x_cents"] * 1_000_000
+        - (df["trend_q6"] + df["seasonal_q6"] + df["residual_q6"])
+    ).abs()
+    assert (err <= 3).all()
+    # full-window contract: edge days are excluded
+    assert df["day_ix"].min() == 3 and df["day_ix"].max() == 26
+
+
+def test_two_stage_rerank_ordering(spark):
+    df = run("q_ann_rerank_two_stage", spark)
+    assert set(df["rank"]) <= {1, 2, 3}
+    for _, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert (g["cos_q6"].diff().dropna() <= 0).all()
+    assert (df["neighbor_id"] != df["query_id"]).all()
