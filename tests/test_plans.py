@@ -488,3 +488,90 @@ def test_modularity_broadcasts_the_dim(spark):
     df = QUERIES["q_modularity_by_source"].spark_fn(spark, SF)
     assert_broadcast_join(df, at_least=2)  # both endpoint label joins
     assert_no_cartesian(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    """Centroid table is k*dim rows — it must broadcast into the
+    exploded-points join (the q_kmeans_assign envelope), never shuffle
+    the corpus against it. The final plan hides that join behind the
+    dd localCheckpoint (3 consumers), so the broadcast is asserted on
+    the pre-checkpoint distance subplan rebuilt from the same pieces."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.corpus_ops import _quantized
+    from kafka_stream_service_spark.tables import tables
+
+    e = _quantized(tables(spark, SF)["embeddings"])
+    pts = e.select("vec_id", "label", F.posexplode(F.col("qv")).alias("pos", "val"))
+    cent = pts.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum("val").alias("s")
+    )
+    dist = pts.join(F.broadcast(cent), "pos")
+    assert_broadcast_join(dist, at_least=1)
+    # and the full query never degenerates into a cartesian
+    assert_no_cartesian(QUERIES["q_silhouette_simplified"].spark_fn(spark, SF))
+
+
+def test_rerank_shortlist_is_broadcast_probe(spark):
+    """Stage-1 shortlisting joins the broadcast query set against the
+    corpus buckets; the corpus itself must not shuffle or cross-join."""
+    df = QUERIES["q_ann_rerank_two_stage"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_apriori_candidates_broadcast_into_support_count(spark):
+    """Candidate triples live on the item grain and must broadcast into
+    the orderkey-partitioned three-way support count."""
+    df = QUERIES["q_basket_triples_apriori"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_incremental_dedup_is_bucket_equi_join(spark):
+    """Incoming x corpus must happen ONLY through the (band, bucket)
+    equi-join — a cartesian here is the all-pairs scale-killer the LSH
+    index exists to avoid."""
+    df = QUERIES["q_dedup_incremental_snapshot"].spark_fn(spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_cusum_pushes_year_filter_to_scan(spark):
+    df = QUERIES["q_cusum_changepoint"].spark_fn(spark, SF)
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_logreg_scoring_is_shuffle_free(spark):
+    """Batch inference is a pure map — any exchange in this plan is a
+    regression."""
+    import re
+
+    plan = physical_plan(QUERIES["q_logreg_score_text"].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n == 0, f"logreg scoring plans {n} exchanges:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_kaplan_meier", 5),
+        ("q_cusum_changepoint", 5),
+        ("q_isotonic_calibration", 6),
+        ("q_cuped_adjustment", 5),
+        ("q_kendall_tau", 6),
+        ("q_anova_oneway", 4),
+        ("q_seasonal_decompose", 6),
+        ("q_compaction_bin_packing", 4),
+    ],
+)
+def test_round8_ops_shuffle_budget(spark, name, max_exchanges):
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
