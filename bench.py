@@ -256,6 +256,11 @@ DETAIL_ONLY = [
     "q_anova_oneway",
     "q_seasonal_decompose",
     "q_ann_rerank_two_stage",
+    "q_psi_drift",
+    "q_ece_calibration",
+    "q_woe_binning",
+    "q_decision_tree_score",
+    "q_clustering_coefficient",
 ]
 
 

@@ -62,3 +62,4 @@ from . import round7n  # noqa: E402,F401
 from . import round8  # noqa: E402,F401
 from . import round8b  # noqa: E402,F401
 from . import round8c  # noqa: E402,F401
+from . import round8d  # noqa: E402,F401

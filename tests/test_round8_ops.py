@@ -180,3 +180,45 @@ def test_two_stage_rerank_ordering(spark):
         g = g.sort_values("rank")
         assert (g["cos_q6"].diff().dropna() <= 0).all()
     assert (df["neighbor_id"] != df["query_id"]).all()
+
+
+def test_psi_terms_nonnegative_and_bins_cover(spark):
+    df = run("q_psi_drift", spark)
+    # every PSI term is >= 0 up to quantization: (p-q) and ln(p/q) share sign
+    assert (df["psi_term_q6"] >= -1).all()
+    assert len(df) <= 10
+
+
+def test_ece_terms_bounded_by_bin_mass(spark):
+    df = run("q_ece_calibration", spark)
+    n = df["n_b"].sum()
+    # |acc - conf| <= 1, so each term <= bin mass (in millionths)
+    assert (df["ece_term_q6"] * n <= df["n_b"] * 1_000_000 + n).all()
+    assert (df["n_pos"] <= df["n_b"]).all()
+
+
+def test_woe_iv_terms_nonnegative(spark):
+    df = run("q_woe_binning", spark)
+    # IV terms are (a-b)ln(a/b) >= 0 up to quantization
+    assert (df["iv_term_q6"] >= -1).all()
+    assert (df["n_good"] >= 0).all() and (df["n_bad"] >= 0).all()
+
+
+def test_tree_leaves_partition_orders(spark):
+    import duckdb
+
+    df = run("q_decision_tree_score", spark)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    con.close()
+    assert df["n"].sum() == n
+    assert df["actual_rate_q6"].between(0, 1_000_000).all()
+    assert df["leaf_id"].between(0, 7).all()
+
+
+def test_clustering_coefficient_range(spark):
+    df = run("q_clustering_coefficient", spark)
+    assert df["coeff_q6"].between(0, 1_000_000).all()
+    assert (df["degree"] >= 2).all()
+    # T(v) can never exceed the wedge count d(d-1)/2
+    assert (2 * df["n_triangles"] <= df["degree"] * (df["degree"] - 1)).all()
