@@ -261,6 +261,9 @@ DETAIL_ONLY = [
     "q_woe_binning",
     "q_decision_tree_score",
     "q_clustering_coefficient",
+    "q_bpe_apply_merges",
+    "q_skipgram_negative_sampling",
+    "q_temperature_mixing",
 ]
 
 

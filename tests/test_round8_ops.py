@@ -222,3 +222,33 @@ def test_clustering_coefficient_range(spark):
     assert (df["degree"] >= 2).all()
     # T(v) can never exceed the wedge count d(d-1)/2
     assert (2 * df["n_triangles"] <= df["degree"] * (df["degree"] - 1)).all()
+
+
+def test_bpe_apply_compresses_known_words(spark):
+    df = run("q_bpe_apply_merges", spark).set_index("word")
+    assert df.loc["table", "n_tokens"] == 1  # full merge chain t-able
+    assert df.loc["hash", "n_tokens"] == 2  # h + as merge
+    assert (df["n_tokens"] <= df["n_chars"]).all()
+    assert (df["n_tokens"] >= 1).all()
+
+
+def test_skipgram_pairs_symmetric_and_negatives_in_vocab(spark):
+    df = run("q_skipgram_negative_sampling", spark)
+    v = df["center"].nunique()
+    assert (df["neg1_idx"] < v).all() and (df["neg2_idx"] < v).all()
+    assert (df["center_idx"] < v).all()
+    # the +-w window is symmetric: pair counts match transposed
+    m = df.set_index(["center", "context"])["n_pairs"]
+    t = df.set_index(["context", "center"])["n_pairs"]
+    common = m.index.intersection(t.index)
+    assert len(common) == len(m)  # every pair has its transpose
+    assert (m.loc[common] == t.loc[common]).all()
+
+
+def test_temperature_mixing_upsamples_small_sources(spark):
+    df = run("q_temperature_mixing", spark)
+    assert abs(df["weight_q6"].sum() - 1_000_000) <= len(df)  # weights sum to 1
+    # alpha < 1 compresses: smallest source gets the largest repeat factor
+    smallest = df.loc[df["n_docs"].idxmin()]
+    largest = df.loc[df["n_docs"].idxmax()]
+    assert smallest["exp_epochs_q6"] >= largest["exp_epochs_q6"]
