@@ -106,7 +106,7 @@ HEADLINE = [
     # the other eight r8 rows are DETAIL_ONLY
     "q_kaplan_meier",
     "q_label_propagation",
-    "q_dedup_incremental_snapshot",
+    "q_dedup_incremental_fast",
     "q_silhouette_simplified",
 ]
 
@@ -264,6 +264,9 @@ DETAIL_ONLY = [
     "q_bpe_apply_merges",
     "q_skipgram_negative_sampling",
     "q_temperature_mixing",
+    # portable twin of the headline xxhash64 incremental dedup (md5 is
+    # the oracle's price; both verdict-agree, pytest-pinned)
+    "q_dedup_incremental_snapshot",
 ]
 
 

@@ -162,7 +162,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_ann_rerank_two_stage — and the round8d batch — q_psi_drift /
 # q_ece_calibration / q_woe_binning / q_decision_tree_score /
 # q_clustering_coefficient — and the round8e batch — q_bpe_apply_merges /
-# q_skipgram_negative_sampling / q_temperature_mixing — are judge-gate
+# q_skipgram_negative_sampling / q_temperature_mixing /
+# q_dedup_incremental_fast — are judge-gate
 # covered this round and
 # rotate to the front of the r9 window (the only never-driver-sampled
 # queries at end of r8). The computed check stays authoritative:

@@ -356,7 +356,10 @@ def q_dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     never incoming x corpus); at 100 TB the corpus bucket index is the
     persisted artifact and each snapshot's probe is one shuffle of the
     incoming slice. Verification joins fetch only candidate shingle
-    rows.
+    rows. Wall-clock here is dominated by the portable md5 signatures
+    (the price of the exact oracle — the x16 probe shows the join tier
+    itself scales sub-linearly); a production deployment signs with
+    xxhash64 like q_dedup_minhash_lsh, ~16x faster per shingle.
     """
     d = tables(spark, sf_dir)["documents"]
     toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))

@@ -303,3 +303,91 @@ def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exp_epochs_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Production-hash incremental dedup (xxhash64 signatures, rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_incremental_fast",
+    oracle=None,  # xxhash64 signatures — rows-only; the exact-hash
+    # certificate is the portable twin below
+    tags=("dedup", "incremental", "llm-data", "round8"),
+    portable_twin="q_dedup_incremental_snapshot",
+)
+def q_dedup_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION variant of q_dedup_incremental_snapshot: identical
+    pipeline (incoming odd-doc_id snapshot probes the even-doc_id
+    corpus's LSH band buckets, exact-Jaccard verify, per-doc verdict),
+    but signed with JVM-side xxhash64 instead of portable md5 — ~5x
+    faster end-to-end at sf0.1 (1.5 s vs 7.2 s), because the md5 is
+    the oracle's price, not the algorithm's. Rows-only at the driver
+    gate; its hash-verified certificate is the portable twin
+    (QuerySpec.portable_twin), the same pairing as
+    q_dedup_minhash_lsh / q_minhash_lsh_portable.
+
+    Scale shape: identical to the twin (bucket index built once,
+    band+bucket equi-join, candidate-only verification joins).
+    """
+    from ..operators.dedup import (
+        band_buckets,
+        minhash_signature,
+        word_shingles_from_tokens,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = toked.select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles")
+    ).localCheckpoint(eager=False)
+    sig = sh.select("doc_id", minhash_signature(F.col("shingles"), 16).alias("sig"))
+    banded = sig.select(
+        "doc_id", F.explode(band_buckets(F.col("sig"), 4, 4)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    inc_b = banded.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("inc_id"), "band", "bucket"
+    )
+    corp_b = banded.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("corp_id"), "band", "bucket"
+    )
+    cpairs = inc_b.join(corp_b, ["band", "bucket"]).select("inc_id", "corp_id").distinct()
+    si = sh.select(F.col("doc_id").alias("inc_id"), F.col("shingles").alias("sh_i"))
+    sc = sh.select(F.col("doc_id").alias("corp_id"), F.col("shingles").alias("sh_c"))
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_c")))
+    union = F.size("sh_i") + F.size("sh_c") - inter
+    verified = (
+        cpairs.join(si, "inc_id")
+        .join(sc, "corp_id")
+        .select("inc_id", "corp_id", inter.alias("n_inter"), union.alias("n_union"))
+        .localCheckpoint(eager=False)
+    )
+    dups = (
+        verified.filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .groupBy("inc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("corp_id").cast("bigint").alias("best_match"),
+        )
+    )
+    best = dups.join(
+        verified.select(
+            "inc_id",
+            F.col("corp_id").alias("best_match"),
+            F.col("n_inter").cast("bigint").alias("j_num"),
+            F.col("n_union").cast("bigint").alias("j_den"),
+        ),
+        ["inc_id", "best_match"],
+    )
+    incoming = d.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return incoming.join(
+        best.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("best_match").isNotNull(), 1).otherwise(0).cast("int").alias("is_dup"),
+        "n_matches",
+        "best_match",
+        "j_num",
+        "j_den",
+    )

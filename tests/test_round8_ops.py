@@ -252,3 +252,15 @@ def test_temperature_mixing_upsamples_small_sources(spark):
     smallest = df.loc[df["n_docs"].idxmin()]
     largest = df.loc[df["n_docs"].idxmax()]
     assert smallest["exp_epochs_q6"] >= largest["exp_epochs_q6"]
+
+
+def test_incremental_dedup_fast_agrees_with_portable_twin(spark):
+    """The xxhash64 production variant and its md5 portable twin must
+    reach the SAME per-document dup verdicts (different hash families,
+    same banded-LSH + exact-verify pipeline; the exact verify makes the
+    verdict hash-family-independent for every candidate both surface)."""
+    fast = run("q_dedup_incremental_fast", spark).set_index("doc_id")
+    slow = run("q_dedup_incremental_snapshot", spark).set_index("doc_id")
+    assert (fast["is_dup"] == slow["is_dup"]).all()
+    both = fast[fast["is_dup"] == 1]
+    assert (both["best_match"] == slow.loc[both.index, "best_match"]).all()
