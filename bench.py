@@ -267,6 +267,10 @@ DETAIL_ONLY = [
     # portable twin of the headline xxhash64 incremental dedup (md5 is
     # the oracle's price; both verdict-agree, pytest-pinned)
     "q_dedup_incremental_snapshot",
+    "q_preference_pairs",
+    "q_tokenizer_fertility",
+    "q_bleu_ngram_precision",
+    "q_hll_set_algebra",
 ]
 
 

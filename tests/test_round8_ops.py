@@ -264,3 +264,40 @@ def test_incremental_dedup_fast_agrees_with_portable_twin(spark):
     assert (fast["is_dup"] == slow["is_dup"]).all()
     both = fast[fast["is_dup"] == 1]
     assert (both["best_match"] == slow.loc[both.index, "best_match"]).all()
+
+
+def test_preference_pairs_have_positive_margin(spark):
+    df = run("q_preference_pairs", spark)
+    assert (df["margin_q6"] >= 0).all()
+    assert (df["chosen_doc"] != df["rejected_doc"]).all()
+    assert df["source"].is_unique
+
+
+def test_tokenizer_fertility_bounds(spark):
+    df = run("q_tokenizer_fertility", spark)
+    # merges only ever shrink: 1 <= fertility <= chars-per-word
+    assert (df["n_tokens"] <= df["n_chars"]).all()
+    assert (df["n_tokens"] >= df["n_words"]).all()
+    assert (df["fertility_q6"] >= 1_000_000).all()
+
+
+def test_bleu_precision_range_and_dup_pairs_score_high(spark):
+    df = run("q_bleu_ngram_precision", spark)
+    assert df["p1_q6"].between(0, 1_000_000).all()
+    assert df["p2_q6"].between(0, 1_000_000).all()
+    # bigram precision never exceeds unigram precision on these pairs
+    # (any matched bigram implies both unigrams matched)
+    assert (df["p2_q6"] <= df["p1_q6"] + 1).all()
+    # verified near-dups (J >= 0.5) share most unigrams
+    assert (df["p1_q6"] > 500_000).all()
+
+
+def test_hll_estimates_within_error_bounds(spark):
+    df = run("q_hll_set_algebra", spark)
+    # standard error for m=256 is ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    rel = (df["est_union"] - df["exact_union"]).abs() / df["exact_union"]
+    assert (rel < 0.26).all(), rel.max()
+    # intersection via inclusion-exclusion inherits both errors; check
+    # the additive-error version against the union magnitude
+    abs_err = (df["est_inter"] - df["exact_inter"]).abs()
+    assert (abs_err < 0.5 * df["exact_union"]).all()
