@@ -575,3 +575,43 @@ def test_round8_ops_shuffle_budget(spark, name, max_exchanges):
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_fertility_broadcasts_vocab_token_counts(spark):
+    """Vocabulary-grain token counts must broadcast into the (lang,
+    word) frequency join — the corpus is never re-tokenized per row."""
+    df = QUERIES["q_tokenizer_fertility"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_bleu_scoring_joins_pairs_only(spark):
+    """The clipped-count joins key on (pair, token) — no cartesian and
+    no corpus^2 leg anywhere in the scoring plan."""
+    assert_no_cartesian(QUERIES["q_bleu_ngram_precision"].spark_fn(spark, SF))
+
+
+def test_preference_pairs_windows_partition_by_source(spark):
+    """Both rank windows must partition by source — a global window
+    here would be the single-partition scale-killer."""
+    plan = physical_plan(QUERIES["q_preference_pairs"].spark_fn(spark, SF))
+    assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_bpe_apply_merges", 3),
+        ("q_temperature_mixing", 3),
+        ("q_psi_drift", 4),
+        ("q_woe_binning", 4),
+        ("q_ece_calibration", 4),
+        ("q_decision_tree_score", 3),
+    ],
+)
+def test_round8_late_ops_shuffle_budget(spark, name, max_exchanges):
+    import re
+
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
