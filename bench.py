@@ -271,6 +271,7 @@ DETAIL_ONLY = [
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",
+    "q_forecast_backtest",
 ]
 
 

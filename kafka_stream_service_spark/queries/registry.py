@@ -164,8 +164,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_clustering_coefficient — and the round8e batch — q_bpe_apply_merges /
 # q_skipgram_negative_sampling / q_temperature_mixing /
 # q_dedup_incremental_fast — and the round8f batch — q_preference_pairs /
-# q_tokenizer_fertility / q_bleu_ngram_precision / q_hll_set_algebra —
-# are judge-gate covered this round and rotate to the front of the r9
+# q_tokenizer_fertility / q_bleu_ngram_precision / q_hll_set_algebra /
+# q_forecast_backtest — are judge-gate covered this round and rotate to the front of the r9
 # window (the only never-driver-sampled queries at end of r8). The
 # computed check stays authoritative:
 # union(CORRECTNESS_r01..r08 keys) vs the registry.

@@ -248,7 +248,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alpha = beta = 0.5 and IEEE doubles make each step's result
 # bit-identical. Only the daily-aggregate CTE differs per engine
 # (datediff dialects).
-_HOLT_RECURSION = """
+# split into the recursive CTE and its quantized projection so the
+# forecast-backtest query (round8g) can reuse the identical recursion
+# and wrap the projection as its own CTE
+_HOLT_CTE = """
     s AS (
       SELECT day_ix, x, x AS lvl, CAST(0.0 AS DOUBLE) AS trend
       FROM holt_daily WHERE day_ix = 0
@@ -259,12 +262,15 @@ _HOLT_RECURSION = """
                + 0.5 * s.trend AS trend
       FROM s JOIN holt_daily d ON d.day_ix = s.day_ix + 1
     )
+"""
+_HOLT_SELECT = """
     SELECT day_ix, CAST(x AS BIGINT) AS x_cents,
            CAST(FLOOR(1000000.0 * lvl) AS BIGINT) AS level_q6,
            CAST(FLOOR(1000000.0 * trend) AS BIGINT) AS trend_q6,
            CAST(FLOOR(1000000.0 * (lvl + trend)) AS BIGINT) AS forecast_next_q6
     FROM s
 """
+_HOLT_RECURSION = _HOLT_CTE + _HOLT_SELECT
 
 _HOLT_DAILY_DUCK = """
     SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01',

@@ -301,3 +301,15 @@ def test_hll_estimates_within_error_bounds(spark):
     # the additive-error version against the union magnitude
     abs_err = (df["est_inter"] - df["exact_inter"]).abs()
     assert (abs_err < 0.5 * df["exact_union"]).all()
+
+
+def test_forecast_backtest_consistency(spark):
+    df = run("q_forecast_backtest", spark)
+    assert (df["ape_q6"] >= 0).all() and (df["ape_naive_q6"] >= 0).all()
+    # the verdict column must agree with the two APE columns (up to the
+    # independent floors, strict inequality on the unfloored ratios can
+    # only flip at exact ties)
+    disagree = df[(df["model_beats_naive"] == 1) & (df["ape_q6"] > df["ape_naive_q6"])]
+    assert len(disagree) == 0
+    # first forecastable day is day 1 (day 0 has no prior forecast)
+    assert df["day_ix"].min() == 1
