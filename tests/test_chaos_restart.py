@@ -148,3 +148,129 @@ def test_timeout_sessionizer_survives_between_epoch_restart(spark, duck, tmp_pat
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"timeout state lost across restart: {problems}"
+
+
+def test_stream_stream_join_survives_between_epoch_restart(spark, duck, tmp_path):
+    """Kill-between-epochs restart for the FULL OUTER stream-stream
+    interval join under the round-8 in-memory state provider: epoch 0
+    (first half) runs to completion and the query stops; the resumed run
+    must recover BOTH sides' join state from the checkpoint (buffered
+    unmatched rows + watermarks) so that matches spanning the restart
+    boundary, and null-extended rows evicted after it, still reproduce
+    the replay oracle hash exactly. Guards the provider swap
+    (HDFSBackedStateStoreProvider) under recovery, not just warm runs.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries import streaming_replay as sr
+    from kafka_stream_service_spark.queries.registry import QUERIES
+    from kafka_stream_service_spark.tables import tables
+
+    ev = tables(spark, SF)["events"].select("event_id", "ts", "user_id", "event_type")
+    stats = ev.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m"), F.max("ts").alias("mx")
+    ).collect()[0]
+    half, maxts = stats.m, stats.mx
+
+    def sentinels(pid, cid):
+        return sr._literal_rows(
+            spark, [(pid, maxts, -1, "purchase"), (cid, maxts, -2, "click")], ev.schema
+        )
+
+    chunks = [
+        ev.filter(F.col("ts") <= F.lit(half)),
+        ev.filter(F.col("ts") > F.lit(half)),
+        sentinels(-1, -2),
+    ]
+    staged = []
+    for i, chunk in enumerate(chunks):
+        d = tmp_path / f"stage_{i}"
+        chunk.coalesce(1).write.parquet(str(d))
+        (part,) = glob.glob(str(d / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def joined_stream():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        return purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "full_outer",
+        ).select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        )
+
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        collected.append(batch_df.toPandas())
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(prov_key, sr.HDFS_STATE_PROVIDER)
+    try:
+        # reveal chunk 0+1 for run 1, the sentinel chunk for run 2: the
+        # restart boundary sits between real-data epochs and eviction
+        for i, parts in enumerate([staged[:2], staged[2:]]):
+            for j, part in enumerate(parts):
+                k = (0 if i == 0 else 2) + j
+                shutil.copy(part, str(flat / f"{k:02d}.parquet"))
+                os.utime(str(flat / f"{k:02d}.parquet"))
+            q = (
+                joined_stream()
+                .writeStream.foreachBatch(collect_batch)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set(prov_key, prev_prov)
+
+    merged = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    spec = QUERIES["q_stream_full_outer_join_replay"]
+    problems = compare(
+        "q_stream_full_outer_join_replay(restart)",
+        merged,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"join state lost across restart: {problems}"
