@@ -272,6 +272,8 @@ DETAIL_ONLY = [
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",
     "q_forecast_backtest",
+    "q_span_corruption_masking",
+    "q_dataset_shard_manifest",
 ]
 
 

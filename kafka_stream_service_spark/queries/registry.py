@@ -165,7 +165,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # q_skipgram_negative_sampling / q_temperature_mixing /
 # q_dedup_incremental_fast — and the round8f batch — q_preference_pairs /
 # q_tokenizer_fertility / q_bleu_ngram_precision / q_hll_set_algebra /
-# q_forecast_backtest — are judge-gate covered this round and rotate to the front of the r9
+# q_forecast_backtest — and the round8h batch — q_span_corruption_masking /
+# q_dataset_shard_manifest — are judge-gate covered this round and
+# rotate to the front of the r9
 # window (the only never-driver-sampled queries at end of r8). The
 # computed check stays authoritative:
 # union(CORRECTNESS_r01..r08 keys) vs the registry.

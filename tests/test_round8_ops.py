@@ -313,3 +313,29 @@ def test_forecast_backtest_consistency(spark):
     assert len(disagree) == 0
     # first forecastable day is day 1 (day 0 has no prior forecast)
     assert df["day_ix"].min() == 1
+
+
+def test_span_corruption_layout(spark):
+    df = run("q_span_corruption_masking", spark)
+    assert (df["n_masked"] <= df["n_tokens"]).all()
+    # every sentinel span covers at least one masked token (chained
+    # overlapping starts can make one island arbitrarily long, so there
+    # is no upper bound per span)
+    assert (df["n_masked"] >= df["n_spans"]).all()
+    assert ((df["n_spans"] == 0) == (df["n_masked"] == 0)).all()
+    # corpus-level realized corruption lands near the designed 15%
+    ratio = df["n_masked"].sum() / df["n_tokens"].sum()
+    assert 0.08 < ratio < 0.25, ratio
+
+
+def test_shard_manifest_covers_corpus_and_balances(spark):
+    import duckdb
+
+    df = run("q_dataset_shard_manifest", spark)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    con.close()
+    assert df["n_docs"].sum() == n
+    assert len(df) == 16
+    # hash sharding balances within a loose factor at fixture scale
+    assert df["bytes_balance_q6"].between(300_000, 3_000_000).all()
