@@ -87,60 +87,48 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-8 rotation (VERDICT r7 next-steps #1):
-# (a) the 36 never-driver-sampled round-7 queries lead the window —
-# computed as union(CORRECTNESS_r01..r07 keys) vs the 322-name registry
-# (NOT from the stale r7 overflow comment; the set below is the computed
-# one and includes the 7k-7n batch the old comment omitted). All 36 are
-# judge-green in the r7 full-catalog verify_local sweep; by end of r8
-# every catalog query has earned a driver-green verdict at least once.
-# (b) queries round 8 ADDS are inserted after them as they land (new
+# ``queries()``. Round-9 rotation (VERDICT r8 next-steps #1):
+# (a) the 21 never-driver-sampled round-8 queries lead the window —
+# computed as union(CORRECTNESS_r01..r08 keys) vs the 355-name registry
+# (matches the r8 tail comment exactly). All 21 are judge-green in the
+# r8 full-catalog sweep; once CORRECTNESS_r09 lands green, EVERY catalog
+# query has earned a driver verdict at least once.
+# (b) queries round 9 ADDS are inserted after them as they land (new
 # operators get driver verdicts in their birth round) up to the 50-slot
-# budget; r8 additions past the budget are enumerated at the bottom for
-# the r9 rotation.
+# budget.
 # (c) q_dedup_minhash_lsh stays as the rows-only sentinel and
 # q01_pricing_summary as the flagship drift canary.
 # Everything displaced past slot 50 carries a green driver verdict from
-# r1-r7 plus the judge's full-catalog gate.
+# r1-r8 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 36 never-driver-sampled round-7 queries (computed set)
-    "q_pipe_syntax",
-    "q_sql_scripting",
-    "q_execute_immediate",
-    "q_identifier_clause",
-    "q_ks_two_sample",
-    "q_mannwhitney_u",
-    "q_crosscorr_lag",
-    "q_k_anonymity_audit",
-    "q_merge_on_read_deletion_vectors",
-    "q_ndcg_ranking_eval",
-    "q_text_readability",
-    "q_bm25_retrieval",
-    "q_zonemap_pruning_audit",
-    "q_containment_join",
-    "q_audio_zero_crossing",
-    "q_theil_sen_slope",
-    "q_modularity_by_source",
-    "q_mutual_information",
-    "q_target_encoding_loo",
-    "q_embedding_covariance_int8",
-    "q_rake_keywords",
-    "q_select_except",
-    "q_proto_roundtrip",
-    "q_lsh_recall_audit",
-    "q_qq_points",
-    "q_bootstrap_ci",
-    "q_event_trigram_patterns",
-    "q_degree_distribution",
-    "q_stateful_timeout_sessions_replay",
-    "q_udtf_table_argument",
-    "q_image_dhash",
-    "q_interval_bucket_join",
-    "q_zipf_law_fit",
-    "q_temporal_split_embargo",
-    "q_xml_roundtrip",
-    "q_try_arithmetic",
-    # (b) new in round 8 — inserted as they land (12-slot budget)
+    # (a) the 21 never-driver-sampled round-8 queries (computed set)
+    "q_kendall_tau",
+    "q_spearman_rho",
+    "q_anova_oneway",
+    "q_seasonal_decompose",
+    "q_ann_rerank_two_stage",
+    "q_psi_drift",
+    "q_ece_calibration",
+    "q_woe_binning",
+    "q_decision_tree_score",
+    "q_clustering_coefficient",
+    "q_bpe_apply_merges",
+    "q_skipgram_negative_sampling",
+    "q_temperature_mixing",
+    "q_dedup_incremental_fast",
+    "q_preference_pairs",
+    "q_tokenizer_fertility",
+    "q_bleu_ngram_precision",
+    "q_hll_set_algebra",
+    "q_forecast_backtest",
+    "q_span_corruption_masking",
+    "q_dataset_shard_manifest",
+    # (b) new in round 9 — inserted as they land (27-slot budget).
+    # Until round-9 queries land, the slots hold provisional re-certs:
+    # the 12 round-8-new queries (single driver verdict each) plus the
+    # ADVICE-touched round-8 stats pair's neighbours. Each new r9 query
+    # REPLACES one provisional slot (newest-first) so the window stays
+    # exactly 50.
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -153,24 +141,30 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_compaction_bin_packing",
     "q_bottomk_coordinated_sample",
     "q_silhouette_simplified",
+    "q_lsh_recall_audit",
+    "q_theil_sen_slope",
+    "q_stateful_timeout_sessions_replay",
+    "q_interval_bucket_join",
+    "q_proto_roundtrip",
+    "q_udtf_table_argument",
+    "q_k_anonymity_audit",
+    "q_bm25_retrieval",
+    "q_mutual_information",
+    "q_target_encoding_loo",
+    "q_zipf_law_fit",
+    "q_image_dhash",
+    "q_audio_zero_crossing",
+    "q_bootstrap_ci",
+    "q_qq_points",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# Round-8 overflow (window at its 50 pinned slots): the round8c batch —
-# q_kendall_tau / q_spearman_rho / q_anova_oneway / q_seasonal_decompose /
-# q_ann_rerank_two_stage — and the round8d batch — q_psi_drift /
-# q_ece_calibration / q_woe_binning / q_decision_tree_score /
-# q_clustering_coefficient — and the round8e batch — q_bpe_apply_merges /
-# q_skipgram_negative_sampling / q_temperature_mixing /
-# q_dedup_incremental_fast — and the round8f batch — q_preference_pairs /
-# q_tokenizer_fertility / q_bleu_ngram_precision / q_hll_set_algebra /
-# q_forecast_backtest — and the round8h batch — q_span_corruption_masking /
-# q_dataset_shard_manifest — are judge-gate covered this round and
-# rotate to the front of the r9
-# window (the only never-driver-sampled queries at end of r8). The
-# computed check stays authoritative:
-# union(CORRECTNESS_r01..r08 keys) vs the registry.
+# After the r9 rotation every r1-r8 query carries a driver-green verdict
+# from its birth or rotation round; only round-9 additions past the
+# 50-slot budget (none yet) would need an r10 rotation. The computed
+# check stays authoritative:
+# union(CORRECTNESS_r01..r09 keys) vs the registry.
 
 
 def _ordered_specs() -> list[QuerySpec]:

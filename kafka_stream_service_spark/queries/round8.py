@@ -24,6 +24,8 @@ tie-breaking.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -279,6 +281,36 @@ _HOLT_DAILY_DUCK = """
     FROM events GROUP BY 1
 """
 
+_HOLT_VIEW_SEQ = itertools.count()
+
+
+def _register_holt_daily(spark: SparkSession, sf_dir: str) -> str:
+    """Build + materialize the Holt day-grain frame and register it
+    under a PER-INVOCATION view name (holt_daily_<n>): two catalog
+    queries share the recursion text, and a session-global name would be
+    cross-contaminated by any caller that interleaves their builders
+    (ADVICE r8). Returns the view name; callers substitute it into the
+    shared recursion text (a relation-name-only rewrite, so the IEEE
+    expression tree stays identical to the DuckDB oracle's)."""
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("day_ix")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(10,2)") * 100).cast("bigint"))
+        .cast("double")
+        .alias("x")
+    )
+    # MATERIALIZE the day grain before the recursion: each recursive
+    # step re-reads the view, and over a lazy view that re-runs the
+    # events groupBy from parquet per step (measured 9.5 s -> 3.9 s warm
+    # at sf0.1 with the eager checkpoint)
+    daily = daily.localCheckpoint(eager=True)
+    view = f"holt_daily_{next(_HOLT_VIEW_SEQ)}"
+    daily.createOrReplaceTempView(view)
+    return view
+
 
 @query(
     "q_holt_linear_smoothing",
@@ -302,23 +334,8 @@ def q_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion walks consecutive days from day 0 (the fixture has no
     gaps; a gap would end the curve identically on both engines).
     """
-    ev = tables(spark, sf_dir)["events"]
-    daily = ev.groupBy(
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
-        .cast("int")
-        .alias("day_ix")
-    ).agg(
-        F.sum((F.col("value").cast("decimal(10,2)") * 100).cast("bigint"))
-        .cast("double")
-        .alias("x")
-    )
-    # MATERIALIZE the day grain before the recursion: each of the 30
-    # recursive steps re-reads `holt_daily`, and over a lazy view that
-    # re-runs the events groupBy from parquet per step (measured 9.5 s
-    # -> 3.9 s warm at sf0.1 with the eager checkpoint)
-    daily = daily.localCheckpoint(eager=True)
-    daily.createOrReplaceTempView("holt_daily")
-    return spark.sql(f"WITH RECURSIVE {_HOLT_RECURSION}")
+    view = _register_holt_daily(spark, sf_dir)
+    return spark.sql(f"WITH RECURSIVE {_HOLT_RECURSION.replace('holt_daily', view)}")
 
 
 # ---------------------------------------------------------------------------

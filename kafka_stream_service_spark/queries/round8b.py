@@ -703,7 +703,8 @@ def q_bottomk_coordinated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
       SELECT p.vec_id, p.label, c.clabel, n.n_l,
-             CAST(SUM((p.val * n.n_l - c.s) * (p.val * n.n_l - c.s)) AS BIGINT) AS num
+             SUM(CAST(p.val * n.n_l - c.s AS HUGEINT)
+                 * CAST(p.val * n.n_l - c.s AS HUGEINT)) AS num
       FROM pts p
       JOIN cent c ON c.pos = p.pos
       JOIN nl n ON n.label = c.clabel
@@ -768,17 +769,17 @@ def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val").cast("bigint").alias("s"))
         .join(nl, "clabel")
     )
+    # The squared-distance numerator accumulates in DECIMAL(38,0), not
+    # BIGINT: the diff (val*n_l - s) is bounded by 254*n_l (int8 values),
+    # so its BIGINT square overflows once a cluster passes ~1.9e6 points —
+    # where Spark (non-ANSI) wraps silently while DuckDB errors. DECIMAL
+    # keeps the integer square exact to 1e38 (clusters to ~4e16 points);
+    # the DuckDB oracle mirrors with HUGEINT (ADVICE r8).
+    diff = (F.col("val") * F.col("n_l") - F.col("s")).cast("decimal(38,0)")
     dist = (
         pts.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label", "clabel", "n_l")
-        .agg(
-            F.sum(
-                (F.col("val") * F.col("n_l") - F.col("s"))
-                * (F.col("val") * F.col("n_l") - F.col("s"))
-            )
-            .cast("bigint")
-            .alias("num")
-        )
+        .agg(F.sum(diff * diff).cast("decimal(38,0)").alias("num"))
     )
     dd = dist.select(
         "vec_id",

@@ -43,8 +43,8 @@ from .registry import query
       GROUP BY 1
     ),
     p AS (
-      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
-             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+      SELECT CASE WHEN SIGN(a.x - b.x) * SIGN(a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN SIGN(a.x - b.x) * SIGN(a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
              CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
              CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
       FROM daily a JOIN daily b ON a.day < b.day
@@ -74,6 +74,10 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-corrected tau-b = (C - D)/sqrt((n0 - Tx)(n0 - Ty)) as one fixed
     double expression (IEEE sqrt is correctly rounded, so it is
     bit-identical across engines given identical integer inputs).
+    Concordance compares SIGN(dx)*SIGN(dy), never the raw product
+    dx*dy: revenue-cents deltas at large SF would push the product past
+    int64, where Spark (non-ANSI) wraps silently while DuckDB raises —
+    the sign product is overflow-free at any magnitude (ADVICE r8).
 
     Scale shape: the O(days^2) pair frame exists only AFTER the groupBy
     collapses data-scale rows to <=366 day rows (same bounded-pair
@@ -96,11 +100,14 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds both sides of the pair join
     )
     a, b = daily.alias("a"), daily.alias("b")
-    dx = F.col("a.x") - F.col("b.x")
-    dy = F.col("a.y") - F.col("b.y")
+    # SIGN(dx)*SIGN(dy), not dx*dy: the raw product overflows int64 at
+    # large SF (Spark wraps, DuckDB raises); the sign product never can.
+    sgn = F.signum((F.col("a.x") - F.col("b.x")).cast("double")) * F.signum(
+        (F.col("a.y") - F.col("b.y")).cast("double")
+    )
     p = a.join(b, F.col("a.day") < F.col("b.day")).select(
-        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
-        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
         F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tie_x"),
         F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("tie_y"),
     )

@@ -292,12 +292,25 @@ def q_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pair discovery is the existing banded-LSH plan; the
     scoring joins touch only candidate-pair n-gram rows (pair count *
-    doc length, never corpus^2). N-gram counts are per-doc groupBys.
+    doc length, never corpus^2). N-gram counts are per-doc groupBys —
+    computed ONLY for pair-endpoint docs: the tokenized frame is
+    broadcast-semi-joined against the (tiny) endpoint set before any
+    explode, so at 100 TB the n-gram shuffles are candidate-scale, not
+    corpus-scale (VERDICT r8 #4; the oracle's corpus-wide CTEs are
+    unaffected because the clipped sums only ever read pair rows).
     """
     _, fpairs = _verified_pairs(spark, sf_dir)
+    pairs = fpairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    endpoints = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     d = tables(spark, sf_dir)["documents"]
-    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).localCheckpoint(
-        eager=False
+    t = (
+        d.join(F.broadcast(endpoints), "doc_id", "left_semi")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .localCheckpoint(eager=False)
     )
     uni = t.select("doc_id", F.explode("toks").alias("tok")).groupBy(
         "doc_id", "tok"
@@ -320,7 +333,6 @@ def q_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_uni"),
         (F.size("toks") - 1).cast("bigint").alias("n_bi"),
     )
-    pairs = fpairs.select("id_a", "id_b")
 
     def clipped(counts: DataFrame, out: str) -> DataFrame:
         b = counts.select(F.col("doc_id").alias("id_b"), "tok", F.col("c").alias("c_b"))

@@ -7,11 +7,9 @@ what actually happened, next to a naive baseline).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..tables import tables
 from .registry import query
-from .round8 import _HOLT_CTE, _HOLT_DAILY_DUCK, _HOLT_SELECT
+from .round8 import _HOLT_CTE, _HOLT_DAILY_DUCK, _HOLT_SELECT, _register_holt_daily
 
 # The backtest projection is SHARED SQL text (like the Holt recursion
 # itself): one-step-ahead forecast for day t is the forecast_next_q6 the
@@ -67,18 +65,9 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_holt_linear_smoothing); the backtest adds two LAG windows over
     <=366 aggregated rows. SF-invariant after the first groupBy.
     """
-    ev = tables(spark, sf_dir)["events"]
-    daily = ev.groupBy(
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
-        .cast("int")
-        .alias("day_ix")
-    ).agg(
-        F.sum((F.col("value").cast("decimal(10,2)") * 100).cast("bigint"))
-        .cast("double")
-        .alias("x")
-    )
-    daily = daily.localCheckpoint(eager=True)  # recursion re-reads per step
-    daily.createOrReplaceTempView("holt_daily")
+    view = _register_holt_daily(spark, sf_dir)
     return spark.sql(
-        f"WITH RECURSIVE {_HOLT_CTE}, hq AS ({_HOLT_SELECT}) {_BACKTEST_SELECT}"
+        f"WITH RECURSIVE {_HOLT_CTE}, hq AS ({_HOLT_SELECT}) {_BACKTEST_SELECT}".replace(
+            "holt_daily", view
+        )
     )

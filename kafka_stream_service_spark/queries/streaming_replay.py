@@ -901,6 +901,46 @@ def q_stream_semi_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, joined, base, shuffle_partitions=4)
 
 
+def build_full_outer_join_stream(spark: SparkSession, flat: str, schema) -> DataFrame:
+    """The FULL OUTER stream-stream interval-join plan, factored so the
+    product query (q_stream_full_outer_join_replay) and the chaos
+    restart test exercise the SAME plan object — a test-side copy would
+    silently go stale on the next edit (ADVICE r8). ``flat`` is the
+    staged-chunk directory; ``schema`` the events projection schema."""
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+    )
+
+
 @query(
     "q_stream_full_outer_join_replay",
     oracle="""
@@ -997,38 +1037,7 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         base,
     )
-    stream = (
-        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "full_outer",
-    ).select(
-        "purchase_id",
-        "click_id",
-        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
-    )
+    joined = build_full_outer_join_stream(spark, flat, ev.schema)
     # 2 state partitions — see q_stream_outer_join_replay's note;
     # in-memory state provider — bounded fixture state (HDFS_STATE_PROVIDER note)
     return _run_to_memory(
@@ -1356,7 +1365,11 @@ def q_stream_wiredump_source_replay(spark: SparkSession, sf_dir: str) -> DataFra
     base = work_dir("swiredump", sf_dir)
     seg_dir = os.path.join(base, "seg")
     t0 = time.time()
-    frames.filter(F.col("half") == 0).drop("half").coalesce(1).write.format(
+    # repartition(4): four segment files per stage — the scan+encode
+    # parallelizes across tasks (coalesce(1) serialized the whole
+    # upstream into one task) and the streaming side gets four
+    # InputPartitions per micro-batch to fan out over executors
+    frames.filter(F.col("half") == 0).drop("half").repartition(4).write.format(
         "wiredump"
     ).mode("append").save(seg_dir)
     LAST_TIMINGS["write_chunks_sec"] = time.time() - t0
@@ -1392,7 +1405,7 @@ def q_stream_wiredump_source_replay(spark: SparkSession, sf_dir: str) -> DataFra
             # stage 2: the second half arrives while the query runs —
             # a genuine new micro-batch over the connector's offset
             t2 = time.time()
-            frames.filter(F.col("half") == 1).drop("half").coalesce(1).write.format(
+            frames.filter(F.col("half") == 1).drop("half").repartition(4).write.format(
                 "wiredump"
             ).mode("append").save(seg_dir)
             LAST_TIMINGS["write_chunks_sec"] += time.time() - t2

@@ -198,40 +198,9 @@ def test_stream_stream_join_survives_between_epoch_restart(spark, duck, tmp_path
     ckpt = str(tmp_path / "ckpt")
 
     def joined_stream():
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(flat))
-        ).withColumn("ts", F.col("ts").cast("timestamp"))
-        purchases = (
-            stream.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "2 hours")
-        )
-        clicks = (
-            stream.filter(F.col("event_type") == "click")
-            .select(
-                F.col("event_id").alias("click_id"),
-                F.col("user_id").alias("c_user"),
-                F.col("ts").alias("c_ts"),
-            )
-            .withWatermark("c_ts", "2 hours")
-        )
-        return purchases.join(
-            clicks,
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("c_ts") <= F.col("p_ts")),
-            "full_outer",
-        ).select(
-            "purchase_id",
-            "click_id",
-            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
-        )
+        # the SAME plan the product query builds (factored per ADVICE r8
+        # so this test can never exercise a stale copy)
+        return sr.build_full_outer_join_stream(spark, str(flat), ev.schema)
 
     collected: list = []
 
