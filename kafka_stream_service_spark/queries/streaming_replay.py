@@ -1045,6 +1045,38 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def build_two_level_agg_stream(spark: SparkSession, flat: str, schema) -> DataFrame:
+    """The chained two-level rollup plan (10-minute tumbling pre-agg
+    feeding an hourly re-aggregation), factored so the product query
+    (q_stream_two_level_agg_replay) and the between-epoch chaos restart
+    test exercise the SAME plan object (the build_full_outer_join_stream
+    pattern)."""
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ten_min = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+    )
+    return (
+        ten_min.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("v").alias("v_sum"))
+        .filter(~F.col("event_type").startswith("___wm"))
+        .select(
+            F.col("wh.start").alias("hour_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("v_sum").cast("double").alias("sum_value"),
+        )
+    )
+
+
 @query(
     "q_stream_two_level_agg_replay",
     oracle="""
@@ -1106,30 +1138,7 @@ def q_stream_two_level_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         base,
     )
-    stream = (
-        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    ten_min = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
-        )
-    )
-    hourly = (
-        ten_min.groupBy(
-            F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type"
-        )
-        .agg(F.sum("n").alias("n_events"), F.sum("v").alias("v_sum"))
-        .filter(~F.col("event_type").startswith("___wm"))
-        .select(
-            F.col("wh.start").alias("hour_start"),
-            "event_type",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.col("v_sum").cast("double").alias("sum_value"),
-        )
-    )
+    hourly = build_two_level_agg_stream(spark, flat, ev.schema)
     # 2 state partitions: two chained stateful operators double the
     # per-partition store count; same fixture-scale measurement as the
     # outer-join replays. In-memory state provider (HDFS_STATE_PROVIDER note).

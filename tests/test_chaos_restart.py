@@ -243,3 +243,91 @@ def test_stream_stream_join_survives_between_epoch_restart(spark, duck, tmp_path
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"join state lost across restart: {problems}"
+
+
+def test_two_level_agg_survives_between_epoch_restart(spark, duck, tmp_path):
+    """Kill-between-epochs restart for the CHAINED two-level rollup
+    (VERDICT r8 next-steps #5): the remaining multi-stateful-operator
+    shape — a restart must rehydrate BOTH state stores (the 10-minute
+    pre-agg partials AND the hourly re-agg partials) coherently from one
+    checkpoint, with the watermark propagating through the recovered
+    first operator so recovered level-1 output is not late for level 2.
+    Run 1 processes both real-data halves and stops; run 2 reveals the
+    sentinel chunk, whose no-data batch applies the final watermark —
+    every hour closed before OR after the boundary must land exactly
+    once, so union(run1, run2) equals the replay oracle hash.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries import streaming_replay as sr
+    from kafka_stream_service_spark.queries.registry import QUERIES
+    from kafka_stream_service_spark.tables import tables
+
+    ev = tables(spark, SF)["events"].select("ts", "event_type", "value")
+    stats = ev.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m"), F.max("ts").alias("mx")
+    ).collect()[0]
+    half, maxts = stats.m, stats.mx
+
+    chunks = [
+        ev.filter(F.col("ts") <= F.lit(half)),
+        ev.filter(F.col("ts") > F.lit(half)),
+        sr._literal_rows(spark, [(maxts, "___wm1", 0.0)], ev.schema),
+    ]
+    staged = []
+    for i, chunk in enumerate(chunks):
+        d = tmp_path / f"stage_{i}"
+        chunk.coalesce(1).write.parquet(str(d))
+        (part,) = glob.glob(str(d / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        collected.append(batch_df.toPandas())
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(prov_key, sr.HDFS_STATE_PROVIDER)
+    try:
+        for i, parts in enumerate([staged[:2], staged[2:]]):
+            for j, part in enumerate(parts):
+                k = (0 if i == 0 else 2) + j
+                shutil.copy(part, str(flat / f"{k:02d}.parquet"))
+                os.utime(str(flat / f"{k:02d}.parquet"))
+            q = (
+                # the SAME plan the product query builds (factored like
+                # build_full_outer_join_stream)
+                sr.build_two_level_agg_stream(spark, str(flat), ev.schema)
+                .writeStream.foreachBatch(collect_batch)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # the between-epochs "kill": checkpoint keeps state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set(prov_key, prev_prov)
+
+    merged = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    merged["hour_start"] = merged["hour_start"].dt.tz_localize(None)
+    spec = QUERIES["q_stream_two_level_agg_replay"]
+    problems = compare(
+        "q_stream_two_level_agg_replay(restart)",
+        merged,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"chained rollup state lost across restart: {problems}"
