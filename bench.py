@@ -108,6 +108,9 @@ HEADLINE = [
     "q_label_propagation",
     "q_dedup_incremental_fast",
     "q_silhouette_simplified",
+    # round-9 headline representative: CCNet perplexity filter (LM train
+    # + broadcast score + distributed rank); other r9 rows DETAIL_ONLY
+    "q_ccnet_perplexity_buckets",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -268,6 +271,8 @@ DETAIL_ONLY = [
     # the oracle's price; both verdict-agree, pytest-pinned)
     "q_dedup_incremental_snapshot",
     "q_preference_pairs",
+    # round-9 additions not in HEADLINE
+    "q_gopher_quality_rules",
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",

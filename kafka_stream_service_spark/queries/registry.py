@@ -129,6 +129,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # ADVICE-touched round-8 stats pair's neighbours. Each new r9 query
     # REPLACES one provisional slot (newest-first) so the window stays
     # exactly 50.
+    "q_ccnet_perplexity_buckets",
+    "q_gopher_quality_rules",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -154,8 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_zipf_law_fit",
     "q_image_dhash",
     "q_audio_zero_crossing",
-    "q_bootstrap_ci",
-    "q_qq_points",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
