@@ -273,6 +273,11 @@ DETAIL_ONLY = [
     "q_preference_pairs",
     # round-9 additions not in HEADLINE
     "q_gopher_quality_rules",
+    "q_dsir_importance_weights",
+    "q_chrf_pair_fscore",
+    "q_runs_test_daily",
+    "q_stream_quality_gate_replay",
+    "q_stream_sliding_window_replay",
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",

@@ -131,6 +131,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # exactly 50.
     "q_ccnet_perplexity_buckets",
     "q_gopher_quality_rules",
+    "q_dsir_importance_weights",
+    "q_chrf_pair_fscore",
+    "q_runs_test_daily",
+    "q_stream_quality_gate_replay",
+    "q_stream_sliding_window_replay",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -151,11 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_udtf_table_argument",
     "q_k_anonymity_audit",
     "q_bm25_retrieval",
-    "q_mutual_information",
-    "q_target_encoding_loo",
-    "q_zipf_law_fit",
-    "q_image_dhash",
-    "q_audio_zero_crossing",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
