@@ -50,6 +50,30 @@ def portable_minhash_signature(shingles: Column, k: int = K) -> Column:
     )
 
 
+def typed_minhash_signatures(sh: DataFrame, k: int = K) -> DataFrame:
+    """(doc_id, sig) with signatures BIT-IDENTICAL to
+    portable_minhash_signature over the same shingle frame, but the md5s
+    run once per DISTINCT shingle TYPE instead of once per (doc,
+    shingle) instance: explode -> hash the type dictionary -> join back
+    -> per-doc mins. The fixture has ~10x more instances than types
+    (260k vs 27k at sf0.1), and a real crawl repeats shingles far more —
+    portable-md5 signing was ~70% of every LSH query's wall (SCALE.md
+    r8 note), so this is the shared fix rather than per-query
+    block-scoping. At 100 TB the type dictionary joins back by
+    shuffle-hash join instead of broadcast; signature values (and every
+    downstream bucket, candidate, and verified pair) are unchanged."""
+    inst = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = inst.select("s").distinct().select(
+        "s", *[portable_hash64(F.col("s"), i).alias(f"__h{i}") for i in range(k)]
+    )
+    mins = inst.join(hashed, "s").groupBy("doc_id").agg(
+        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(k)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"__h{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def _h_sql(s: str, seed: str) -> str:
     return f"CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || {s}), 1, 15)) AS BIGINT)"
 
@@ -114,9 +138,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     sh = toked.select(
         "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
     ).localCheckpoint(eager=False)
-    sig = sh.select(
-        "doc_id", portable_minhash_signature(F.col("shingles"), K).alias("sig")
-    )
+    sig = typed_minhash_signatures(sh, K)
     cand = lsh_candidate_pairs(sig, sig_col="sig", k=K, bands=BANDS)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
