@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.proto_codec import decode_order, encode_order
 from ..operators.dedup import lsh_candidate_pairs, word_shingles_from_tokens
 from ..tables import tables
-from .dedup2 import BANDS, K, SHINGLE_N, _PAIRS_CTE, portable_minhash_signature
+from .dedup2 import BANDS, K, SHINGLE_N, _PAIRS_CTE, typed_minhash_signatures
 from .registry import query
 
 # varint byte length for 0 <= x < 2^35, as the same CASE in both engines
@@ -170,7 +170,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toked.select(
         "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
     ).localCheckpoint(eager=False)
-    sig = sh.select("doc_id", portable_minhash_signature(F.col("shingles"), K).alias("sig"))
+    sig = typed_minhash_signatures(sh, K)  # md5 per shingle TYPE (SCALE.md r9)
     cand = (
         lsh_candidate_pairs(sig, sig_col="sig", k=K, bands=BANDS)
         .filter((F.col("id_a") % 4 == 1) | (F.col("id_b") % 4 == 1))

@@ -30,7 +30,7 @@ from .dedup2 import (
     SHINGLE_N,
     _h_sql,
     portable_hash64,
-    portable_minhash_signature,
+    typed_minhash_signatures,
 )
 from ..operators.dedup import word_shingles_from_tokens
 from .registry import query
@@ -366,7 +366,7 @@ def q_dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toked.select(
         "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
     ).localCheckpoint(eager=False)
-    sig = sh.select("doc_id", portable_minhash_signature(F.col("shingles"), K).alias("sig"))
+    sig = typed_minhash_signatures(sh, K)  # md5 per shingle TYPE (SCALE.md r9)
     banded = sig.select(
         "doc_id",
         F.explode(
