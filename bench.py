@@ -273,6 +273,9 @@ DETAIL_ONLY = [
     "q_preference_pairs",
     # round-9 additions not in HEADLINE
     "q_gopher_quality_rules",
+    "q_welch_ttest",
+    "q_hits_two_iterations",
+    "q_bpe_train_iterations",
     "q_dsir_importance_weights",
     "q_chrf_pair_fscore",
     "q_runs_test_daily",

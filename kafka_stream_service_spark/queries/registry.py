@@ -136,6 +136,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_runs_test_daily",
     "q_stream_quality_gate_replay",
     "q_stream_sliding_window_replay",
+    "q_welch_ttest",
+    "q_hits_two_iterations",
+    "q_bpe_train_iterations",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -153,9 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stateful_timeout_sessions_replay",
     "q_interval_bucket_join",
     "q_proto_roundtrip",
-    "q_udtf_table_argument",
-    "q_k_anonymity_audit",
-    "q_bm25_retrieval",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
