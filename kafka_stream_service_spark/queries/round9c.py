@@ -33,24 +33,28 @@ from .registry import query
              CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
       FROM orders WHERE o_orderstatus IN ('F', 'O')
     ),
-    m AS (
-      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(v) AS HUGEINT) AS s,
-             SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
-      FROM x GROUP BY grp
+    m AS (  -- ONE conditional aggregation: both groups' moments in one scan
+      SELECT CAST(SUM(CASE WHEN grp = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             SUM(CASE WHEN grp = 'F' THEN CAST(v AS HUGEINT) END) AS s1,
+             SUM(CASE WHEN grp = 'O' THEN CAST(v AS HUGEINT) END) AS s2,
+             SUM(CASE WHEN grp = 'F'
+                 THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END) AS q1,
+             SUM(CASE WHEN grp = 'O'
+                 THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END) AS q2
+      FROM x
     ),
     w AS (
-      SELECT a.n AS n1, b.n AS n2,
-             CAST(a.s AS DOUBLE) / a.n AS m1,
-             CAST(b.s AS DOUBLE) / b.n AS m2,
-             (CAST(a.n AS DOUBLE) * CAST(a.q AS DOUBLE)
-              - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
-               / (CAST(a.n AS DOUBLE) * (a.n - 1.0)) AS v1,
-             (CAST(b.n AS DOUBLE) * CAST(b.q AS DOUBLE)
-              - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
-               / (CAST(b.n AS DOUBLE) * (b.n - 1.0)) AS v2
-      FROM (SELECT * FROM m WHERE grp = 'F') a,
-           (SELECT * FROM m WHERE grp = 'O') b
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * (n1 - 1.0)) AS v1,
+             (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * (n2 - 1.0)) AS v2
+      FROM m
     )
     SELECT n1, n2,
            CAST(FLOOR(m1 * 100.0) AS BIGINT) AS mean1_q2,
@@ -87,9 +91,10 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     to double round identically on both engines (correctly-rounded
     nearest), the same contract q_spearman_rho ships under.
 
-    Scale shape: one map-side-combinable groupBy produces two moment
-    rows; everything after is driver-free scalar algebra on a 1-row
-    frame. The statistic costs one scan at any SF.
+    Scale shape: ONE conditional aggregation produces all six moments in
+    a single scan (no per-group branch, no join, no second scan);
+    everything after is scalar algebra on a 1-row frame. The statistic
+    costs one map-side-combined pass at any SF.
     """
     o = tables(spark, sf_dir)["orders"]
     x = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
@@ -98,20 +103,17 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v"),
     )
-    m = x.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("v").cast("decimal(38,0)").alias("s"),
-        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("q"),
+    vd = F.col("v").cast("decimal(38,0)")
+    is_f, is_o = F.col("grp") == "F", F.col("grp") == "O"
+    m = x.agg(
+        F.sum(F.when(is_f, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is_o, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is_f, vd)).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(is_o, vd)).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.when(is_f, vd * vd)).cast("decimal(38,0)").alias("q1"),
+        F.sum(F.when(is_o, vd * vd)).cast("decimal(38,0)").alias("q2"),
     )
-    a = m.filter(F.col("grp") == "F").select(
-        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
-    )
-    b = m.filter(F.col("grp") == "O").select(
-        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("q").alias("q2")
-    )
-    w = a.crossJoin(F.broadcast(b)).select(
+    w = m.select(
         "n1",
         "n2",
         (F.col("s1").cast("double") / F.col("n1")).alias("m1"),

@@ -1,0 +1,200 @@
+"""Round-9 operator semantics + plan assertions.
+
+Oracle hashes certify value equality; these tests pin the PROPERTIES
+each operator exists for (bucket thirds, streaming/batch rule
+agreement, greedy monotonicity, statistic sanity) and the plan shapes
+that make them scale (shuffle budgets, broadcast models, no cartesian).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_stream_service_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    physical_plan,
+)
+from kafka_stream_service_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# semantics
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_are_exact_thirds_and_ordered(spark):
+    rows = QUERIES["q_ccnet_perplexity_buckets"].spark_fn(spark, SF).collect()
+    n = len(rows)
+    sizes = {b: sum(1 for r in rows if r.bucket == b) for b in ("head", "middle", "tail")}
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    # ordering: every head score <= every tail score (ties broken by
+    # doc_id inside the rank, so overlap is only possible at equal score)
+    max_head = max(r.ppl_proxy_q6 for r in rows if r.bucket == "head")
+    min_tail = min(r.ppl_proxy_q6 for r in rows if r.bucket == "tail")
+    assert max_head <= min_tail
+
+
+def test_streaming_gate_agrees_with_batch_census(spark):
+    """The in-flight rule census must match the batch q_gopher_quality_rules
+    on (source, n_docs, n_pass) — the two forms state the same rules
+    through different plans (array higher-order vs explode+groupBy)."""
+    stream = {
+        r.source: (r.n_docs, r.n_pass)
+        for r in QUERIES["q_stream_quality_gate_replay"].spark_fn(spark, SF).collect()
+    }
+    batch = {
+        r.source: (r.n_docs, r.n_pass)
+        for r in QUERIES["q_gopher_quality_rules"].spark_fn(spark, SF).collect()
+    }
+    assert stream == batch
+
+
+def test_welch_t_sign_and_df_bounds(spark):
+    r = QUERIES["q_welch_ttest"].spark_fn(spark, SF).collect()[0]
+    # t sign follows the mean difference
+    assert (r.t_q6 > 0) == (r.mean1_q2 > r.mean2_q2)
+    # Welch df lies in [min(n1,n2)-1, n1+n2-2]
+    df = r.df_q6 / 1e6
+    assert min(r.n1, r.n2) - 1 <= df <= r.n1 + r.n2 - 2
+    # Cohen's d and t agree in sign
+    assert (r.cohens_d_q6 > 0) == (r.t_q6 > 0)
+
+
+def test_bpe_training_is_greedy_and_compresses(spark):
+    rows = sorted(
+        QUERIES["q_bpe_train_iterations"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    # greedy: each round's winning count never exceeds the previous
+    # round's (merging cannot create a more frequent ORIGINAL pair; new
+    # merged symbols only shrink counts of old pairs)
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    # every merge strictly shrinks the corpus token count
+    toks = [r.corpus_tokens_after for r in rows]
+    assert toks == sorted(toks, reverse=True) and len(set(toks)) == 3, toks
+
+
+def test_hits_roles_and_ranks(spark):
+    rows = QUERIES["q_hits_two_iterations"].spark_fn(spark, SF).collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    assert set(by_role) == {"authority", "hub"}
+    for role, rs in by_role.items():
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # rank order follows (score2 desc, entity_id)
+        ordered = sorted(rs, key=lambda r: (-r.score2, r.entity_id))
+        assert [r.rnk for r in ordered] == ranks
+
+
+def test_runs_test_statistic_sane(spark):
+    r = QUERIES["q_runs_test_daily"].spark_fn(spark, SF).collect()[0]
+    assert 1 <= r.runs <= r.n1 + r.n2 <= 365
+    # mu in [1, n+1]
+    assert 1_000_000 <= r.mu_q6 <= (r.n1 + r.n2 + 1) * 1_000_000
+
+
+def test_chrf_scores_bounded_and_consistent(spark):
+    rows = QUERIES["q_chrf_pair_fscore"].spark_fn(spark, SF).collect()
+    assert rows, "verified pairs exist at sf0.001"
+    for r in rows:
+        assert 0 <= r.o_clip <= min(r.n_a, r.n_b)
+        for q in (r.p_q6, r.r_q6, r.f_q6):
+            assert 0 <= q <= 1_000_000
+        # F1 lies between min and max of P and R (harmonic mean), with
+        # 1-ulp slack for the independent floor quantizations
+        assert min(r.p_q6, r.r_q6) - 1 <= r.f_q6 <= max(r.p_q6, r.r_q6) + 1
+
+
+def test_dsir_scores_every_document_once(spark):
+    rows = QUERIES["q_dsir_importance_weights"].spark_fn(spark, SF).collect()
+    n_docs = QUERIES["q_gopher_quality_rules"].spark_fn(spark, SF).agg(
+        {"n_docs": "sum"}
+    ).collect()[0][0]
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        assert r.n_tokens > 0
+        # avg is the floored mean of the total
+        assert r.avg_logw_q6 * r.n_tokens <= r.logw_micro < (r.avg_logw_q6 + 1) * r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_gopher_quality_rules", 3),
+        ("q_dsir_importance_weights", 5),
+        ("q_welch_ttest", 3),
+        ("q_hits_two_iterations", 8),
+    ],
+)
+def test_round9_ops_shuffle_budget(spark, name, max_exchanges):
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_ccnet_model_attaches_by_broadcast(spark):
+    """The bigram-TYPE-grain model must broadcast into the per-doc tf
+    join — corpus rows never shuffle against the model."""
+    df = QUERIES["q_ccnet_perplexity_buckets"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=2)  # scored model + n_total scalar
+    assert_no_cartesian(df)
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    df = QUERIES["q_dsir_importance_weights"].spark_fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_chrf_counts_only_endpoint_docs(spark):
+    """The trigram counting must touch only pair-endpoint docs —
+    candidate-scale, never corpus-scale. (The LeftSemi node itself hides
+    behind the lineage-truncating localCheckpoint, so assert the effect:
+    scored pairs reference exactly the endpoint universe, which is a
+    strict subset of the corpus.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.dedup2 import _verified_pairs
+    from kafka_stream_service_spark.tables import tables
+
+    rows = QUERIES["q_chrf_pair_fscore"].spark_fn(spark, SF).collect()
+    _, fpairs = _verified_pairs(spark, SF)
+    endpoints = {
+        r[0]
+        for r in fpairs.select(F.col("id_a").alias("d"))
+        .union(fpairs.select("id_b"))
+        .distinct()
+        .collect()
+    }
+    n_docs = tables(spark, SF)["documents"].count()
+    assert len(endpoints) < n_docs  # the prune actually prunes
+    for r in rows:
+        assert r.id_a in endpoints and r.id_b in endpoints
+    assert_no_cartesian(QUERIES["q_chrf_pair_fscore"].spark_fn(spark, SF))
+
+
+def test_welch_is_one_scan_partial_agg(spark):
+    plan = physical_plan(QUERIES["q_welch_ttest"].spark_fn(spark, SF))
+    # exactly one scan NODE (formatted explain prints each node twice:
+    # once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial" in plan  # map-side moment combine
