@@ -108,9 +108,11 @@ HEADLINE = [
     "q_label_propagation",
     "q_dedup_incremental_fast",
     "q_silhouette_simplified",
-    # round-9 headline representative: CCNet perplexity filter (LM train
-    # + broadcast score + distributed rank); other r9 rows DETAIL_ONLY
+    # round-9 headline representatives: CCNet perplexity filter (LM
+    # train + broadcast score + distributed rank) and the curation
+    # capstone (census x buckets -> mixture); other r9 rows DETAIL_ONLY
     "q_ccnet_perplexity_buckets",
+    "q_curation_mixture",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in

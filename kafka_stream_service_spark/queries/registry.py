@@ -139,6 +139,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_welch_ttest",
     "q_hits_two_iterations",
     "q_bpe_train_iterations",
+    "q_curation_mixture",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -155,7 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_theil_sen_slope",
     "q_stateful_timeout_sessions_replay",
     "q_interval_bucket_join",
-    "q_proto_roundtrip",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",

@@ -28,10 +28,9 @@ from .registry import query
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_ccnet_perplexity_buckets",
-    oracle="""
-    WITH tok AS (
+# CTE prefix shared with the capstone mixture query (q_curation_mixture
+# in round9d.py): clean-slice bigram LM -> per-doc scores -> global rank.
+_CCNET_CTES = """tok AS (
       SELECT doc_id, source, pos, w FROM (
         SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
                generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -80,7 +79,13 @@ from .registry import query
       SELECT d.*, ROW_NUMBER() OVER (ORDER BY ppl_proxy_q6, doc_id) AS rnk,
              (SELECT COUNT(*) FROM docs) AS n_total
       FROM docs d
-    )
+    )"""
+
+
+@query(
+    "q_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_CCNET_CTES}
     SELECT doc_id, n_bigrams, ll_micro, ppl_proxy_q6,
            CASE WHEN rnk * 3 <= n_total THEN 'head'
                 WHEN rnk * 3 <= 2 * n_total THEN 'middle'
@@ -115,6 +120,11 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — at 100 TB every stage is either a hash-partitioned
     aggregation or a bounded broadcast.
     """
+    return _ccnet_bucketed(spark, sf_dir)
+
+
+def _ccnet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet plan body, shared with q_curation_mixture (round9d)."""
     d = tables(spark, sf_dir)["documents"]
     tok = d.select(
         "doc_id",
@@ -204,10 +214,8 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and", "to")
 
 
-@query(
-    "q_gopher_quality_rules",
-    oracle=f"""
-    WITH per_doc AS (
+# CTE text shared with the capstone mixture query (round9d.py).
+_GOPHER_CTES = f"""per_doc AS (
       SELECT doc_id, source,
              CAST(len(w) AS BIGINT) AS wc,
              CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
@@ -230,7 +238,13 @@ _STOPWORDS = ("the", "a", "of", "and", "to")
              CASE WHEN 2 * n_distinct >= wc THEN 1 ELSE 0 END AS r_diversity,
              CASE WHEN 5 * max_tok <= wc THEN 1 ELSE 0 END AS r_domination
       FROM per_doc
-    )
+    )"""
+
+
+@query(
+    "q_gopher_quality_rules",
+    oracle=f"""
+    WITH {_GOPHER_CTES}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(1 - r_wordcount) AS BIGINT) AS fail_wordcount,
@@ -271,6 +285,31 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, word) groupBy (map-side combinable, doc-grain keys — no
     skew); the rollup is a 20-key aggregation. No joins, no windows.
     """
+    flags = _gopher_flags(spark, sf_dir)
+    all_pass = (
+        F.col("r_wordcount")
+        * F.col("r_meanwordlen")
+        * F.col("r_stopwords")
+        * F.col("r_diversity")
+        * F.col("r_domination")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(1 - F.col("r_wordcount")).cast("bigint").alias("fail_wordcount"),
+        F.sum(1 - F.col("r_meanwordlen")).cast("bigint").alias("fail_meanwordlen"),
+        F.sum(1 - F.col("r_stopwords")).cast("bigint").alias("fail_stopwords"),
+        F.sum(1 - F.col("r_diversity")).cast("bigint").alias("fail_diversity"),
+        F.sum(1 - F.col("r_domination")).cast("bigint").alias("fail_domination"),
+        F.sum(all_pass).cast("bigint").alias("n_pass"),
+        F.floor(F.lit(1000000.0) * F.sum(all_pass) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("pass_rate_q6"),
+    )
+
+
+def _gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rule flags (source + five 0/1 columns), shared with
+    q_curation_mixture (round9d)."""
     d = tables(spark, sf_dir)["documents"]
     w = F.split("text", " ")
     base = d.select(
@@ -314,22 +353,4 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("r_domination"),
     )
-    all_pass = (
-        F.col("r_wordcount")
-        * F.col("r_meanwordlen")
-        * F.col("r_stopwords")
-        * F.col("r_diversity")
-        * F.col("r_domination")
-    )
-    return flags.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(1 - F.col("r_wordcount")).cast("bigint").alias("fail_wordcount"),
-        F.sum(1 - F.col("r_meanwordlen")).cast("bigint").alias("fail_meanwordlen"),
-        F.sum(1 - F.col("r_stopwords")).cast("bigint").alias("fail_stopwords"),
-        F.sum(1 - F.col("r_diversity")).cast("bigint").alias("fail_diversity"),
-        F.sum(1 - F.col("r_domination")).cast("bigint").alias("fail_domination"),
-        F.sum(all_pass).cast("bigint").alias("n_pass"),
-        F.floor(F.lit(1000000.0) * F.sum(all_pass) / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("pass_rate_q6"),
-    )
+    return flags
