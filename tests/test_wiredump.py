@@ -187,3 +187,28 @@ def test_stream_sink_epoch_replay_is_idempotent(spark, seg_dir):
     assert len(third) == len(second) + 2
     assert third == sorted(third)  # epoch names keep append-only order
     assert not glob.glob(os.path.join(seg_dir, "_tmp_*"))
+
+
+def test_arrow_reader_chunks_large_segments(spark, seg_dir):
+    """The Arrow reader must split one segment into MULTIPLE record
+    batches past the chunk boundary, and the chunking must be invisible:
+    every frame present exactly once with positions contiguous per file.
+    (Pins the flush path of _decode_segment_batches — an off-by-one at
+    the chunk seam would drop or duplicate a frame silently.)"""
+    from kafka_stream_service_spark.sources import wiredump as wd
+
+    # shrink the chunk size so the fixture crosses several boundaries
+    orig = wd._ARROW_CHUNK_ROWS
+    frames = _frames(spark, n=25)
+    frames.coalesce(1).write.format("wiredump").mode("append").save(seg_dir)
+    (seg,) = glob.glob(os.path.join(seg_dir, "*.wiredump"))
+    try:
+        wd._ARROW_CHUNK_ROWS = 7  # 25 frames -> batches of 7,7,7,4
+        batches = list(wd._decode_segment_batches(seg, chunk_rows=7))
+    finally:
+        wd._ARROW_CHUNK_ROWS = orig
+    assert [b.num_rows for b in batches] == [7, 7, 7, 4]
+    poss = [p for b in batches for p in b.column(3).to_pylist()]
+    assert poss == list(range(25))  # contiguous, no gap or repeat at seams
+    # and the full read through Spark agrees with the source frame count
+    assert spark.read.format("wiredump").load(seg_dir).count() == 25
