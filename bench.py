@@ -283,6 +283,8 @@ DETAIL_ONLY = [
     "q_runs_test_daily",
     "q_stream_quality_gate_replay",
     "q_stream_sliding_window_replay",
+    "q_permutation_test_hashed",
+    "q_holt_winters_additive",
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",

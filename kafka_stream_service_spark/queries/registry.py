@@ -140,6 +140,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_hits_two_iterations",
     "q_bpe_train_iterations",
     "q_curation_mixture",
+    "q_permutation_test_hashed",
+    "q_holt_winters_additive",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -154,8 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_silhouette_simplified",
     "q_lsh_recall_audit",
     "q_theil_sen_slope",
-    "q_stateful_timeout_sessions_replay",
-    "q_interval_bucket_join",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
