@@ -285,6 +285,8 @@ DETAIL_ONLY = [
     "q_stream_sliding_window_replay",
     "q_permutation_test_hashed",
     "q_holt_winters_additive",
+    "q_sql_session_variables",
+    "q_quantile_normalization",
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",

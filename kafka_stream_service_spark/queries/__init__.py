@@ -72,3 +72,4 @@ from . import round9b  # noqa: E402,F401
 from . import round9c  # noqa: E402,F401
 from . import round9d  # noqa: E402,F401
 from . import round9e  # noqa: E402,F401
+from . import round9f  # noqa: E402,F401

@@ -142,6 +142,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_curation_mixture",
     "q_permutation_test_hashed",
     "q_holt_winters_additive",
+    "q_sql_session_variables",
+    "q_quantile_normalization",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -154,8 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_compaction_bin_packing",
     "q_bottomk_coordinated_sample",
     "q_silhouette_simplified",
-    "q_lsh_recall_audit",
-    "q_theil_sen_slope",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",

@@ -1,0 +1,148 @@
+"""Round-9 operator batch 6: SQL session variables (Spark 4 surface)
+and quantile normalization.
+
+Family placement: session variables join the round-7 modern-SQL tier
+(EXECUTE IMMEDIATE, IDENTIFIER(:p), pipe syntax, SQL scripting) as the
+remaining parameterization surface Spark 4 ships. Quantile
+normalization is the classic cross-source distribution alignment
+(microarray lineage, now the standard feature-prep step for pooling
+heterogeneous sources) — the rank-based sibling of q_minmax_scaling and
+q_rank_normalize_embeddings.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# SQL session variables (DECLARE / SET VAR), per-invocation names
+# ---------------------------------------------------------------------------
+
+_VAR_SEQ = itertools.count()
+
+
+@query(
+    "q_sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "modern-sql", "variables", "round9"),
+)
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables: DECLARE VARIABLE + SET VAR
+    parameterize a revenue rollup (price floor and date cutoff live in
+    typed variables, referenced by name in the query text) — the
+    parameterization surface completing the modern-SQL tier next to
+    EXECUTE IMMEDIATE and IDENTIFIER(:p). The oracle states the same
+    query with the variable values folded (classic SQL — the same
+    equivalence contract q_execute_immediate ships under: the driver
+    certifies the RESULT; the Spark surface is what is under test).
+
+    Variable names are PER-INVOCATION (suffix counter) — session
+    variables are session-global state, so a shared name would be the
+    holt_daily cross-contamination hazard (ADVICE r8) in new clothes.
+
+    Scale shape: variables are driver-side constants folded into the
+    plan at analysis; the query itself is one pushed-filter scan + a
+    5-key aggregation.
+    """
+    tables(spark, sf_dir)["orders"].createOrReplaceTempView(
+        orders_view := f"orders_vars_{next(_VAR_SEQ)}"
+    )
+    floor_v = f"min_price_{next(_VAR_SEQ)}"
+    cutoff_v = f"date_cutoff_{next(_VAR_SEQ)}"
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {floor_v} DOUBLE")
+    spark.sql(f"SET VAR {floor_v} = 150000.0")
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {cutoff_v} TIMESTAMP")
+    spark.sql(f"SET VAR {cutoff_v} = TIMESTAMP '1996-01-01'")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM {orders_view}
+        WHERE o_totalprice >= {floor_v}
+          AND o_orderdate >= {cutoff_v}
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk
+      FROM documents
+    ),
+    ref AS (  -- reference distribution: cross-source mean at each rank
+      SELECT rnk, CAST(SUM(n_chars) AS BIGINT) AS ref_sum,
+             CAST(COUNT(*) AS BIGINT) AS ref_cnt
+      FROM ranked GROUP BY rnk
+    )
+    SELECT r.doc_id, r.source, r.n_chars, CAST(r.rnk AS BIGINT) AS rnk,
+           f.ref_sum, f.ref_cnt,
+           CAST(f.ref_sum * 1000000 // f.ref_cnt AS BIGINT) AS norm_q6
+    FROM ranked r JOIN ref f ON f.rnk = r.rnk
+    """,
+    tags=("mlops", "feature-prep", "normalization", "round9"),
+)
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources (the
+    microarray-lineage recipe, standard for pooling heterogeneous
+    corpus sources): rank each doc within its source by (n_chars,
+    doc_id), build the reference distribution as the cross-source mean
+    at each rank, and map every doc onto its rank's reference value —
+    after which every source has the identical value distribution.
+
+    Exactness: ranks are integers over a total order; the reference
+    value is kept as an exact (sum, count) pair with the normalized
+    value one integer floor division — no float means.
+
+    Scale shape: the within-source rank is a window PARTITIONED BY
+    source (parallel across sources; a skewed mega-source would switch
+    to operators/ranks.py's range-partition rank per group — documented
+    replan); the reference build is a rank-grain groupBy (rows/sources
+    keys) and joins back by rank, broadcastable when rank cardinality
+    is modest.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).cast("bigint").alias("rnk"),
+    )
+    ref = ranked.groupBy("rnk").agg(
+        F.sum("n_chars").cast("bigint").alias("ref_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("ref_cnt"),
+    )
+    return ranked.join(F.broadcast(ref), "rnk").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "rnk",
+        "ref_sum",
+        "ref_cnt",
+        F.expr("CAST(ref_sum * 1000000 DIV ref_cnt AS BIGINT)").alias("norm_q6"),
+    )
