@@ -331,3 +331,99 @@ def test_two_level_agg_survives_between_epoch_restart(spark, duck, tmp_path):
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"chained rollup state lost across restart: {problems}"
+
+
+def test_sliding_window_survives_between_epoch_restart(spark, duck, tmp_path):
+    """Kill-between-epochs restart for the round-9 SLIDING-window replay:
+    overlapping windows double the state rows, and a restart must
+    rehydrate every in-flight (window, type) cell so that each of the
+    two windows covering a given event still emits exactly once. Run 1
+    processes both real-data halves; run 2 reveals the sentinel chunk
+    whose no-data batch applies the final watermark."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries import streaming_replay as sr
+    from kafka_stream_service_spark.queries.registry import QUERIES
+    from kafka_stream_service_spark.tables import tables
+
+    ev = tables(spark, SF)["events"].select("ts", "event_type", "value")
+    maxts = ev.agg(F.max("ts").alias("mx")).collect()[0].mx
+    cut = F.lit(maxts) - F.expr("INTERVAL 12 HOURS")
+    chunks = [
+        ev.filter(F.col("ts") <= cut),
+        ev.filter(F.col("ts") > cut),
+        sr._literal_rows(spark, [(maxts, "___wm1", 0.0)], ev.schema),
+    ]
+    staged = []
+    for i, chunk in enumerate(chunks):
+        d = tmp_path / f"stage_{i}"
+        chunk.coalesce(1).write.parquet(str(d))
+        (part,) = glob.glob(str(d / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def sliding_stream():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+            )
+            .filter(~F.col("event_type").startswith("___wm"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                F.col("v").cast("double").alias("sum_value"),
+            )
+        )
+
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        collected.append(batch_df.toPandas())
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for i, parts in enumerate([staged[:2], staged[2:]]):
+            for j, part in enumerate(parts):
+                k = (0 if i == 0 else 2) + j
+                shutil.copy(part, str(flat / f"{k:02d}.parquet"))
+                os.utime(str(flat / f"{k:02d}.parquet"))
+            q = (
+                sliding_stream()
+                .writeStream.foreachBatch(collect_batch)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # the between-epochs "kill": checkpoint keeps state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    merged = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    merged["window_start"] = merged["window_start"].dt.tz_localize(None)
+    spec = QUERIES["q_stream_sliding_window_replay"]
+    problems = compare(
+        "q_stream_sliding_window_replay(restart)",
+        merged,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"sliding-window state lost across restart: {problems}"
