@@ -287,6 +287,8 @@ DETAIL_ONLY = [
     "q_holt_winters_additive",
     "q_sql_session_variables",
     "q_quantile_normalization",
+    "q_ols_normal_equations",
+    "q_hash_uniformity_audit",
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",

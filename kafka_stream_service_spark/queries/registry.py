@@ -144,6 +144,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_holt_winters_additive",
     "q_sql_session_variables",
     "q_quantile_normalization",
+    "q_ols_normal_equations",
+    "q_hash_uniformity_audit",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -154,8 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_basket_triples_apriori",
     "q_dedup_incremental_snapshot",
     "q_compaction_bin_packing",
-    "q_bottomk_coordinated_sample",
-    "q_silhouette_simplified",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
