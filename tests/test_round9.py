@@ -198,3 +198,68 @@ def test_welch_is_one_scan_partial_agg(spark):
     # once in the tree, once in the detail section)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial" in plan  # map-side moment combine
+
+
+def test_permutation_test_pvalue_bounds(spark):
+    r = QUERIES["q_permutation_test_hashed"].spark_fn(spark, SF).collect()[0]
+    assert 0 <= r.n_exceed <= r.n_perms == 32
+    # p = (1 + exceed)/(K+1) in (0, 1]
+    assert 0 < r.p_value_q6 <= 1_000_000
+    assert r.p_value_q6 == (1 + r.n_exceed) * 1_000_000 // 33
+
+
+def test_holt_winters_initialization_and_shape(spark):
+    rows = sorted(
+        QUERIES["q_holt_winters_additive"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.day_ix,
+    )
+    assert rows[0].day_ix == 0
+    # cold start: level = x_0, zero trend and zero active seasonal
+    assert rows[0].level_q6 == rows[0].x_cents * 1_000_000
+    assert rows[0].trend_q6 == 0 and rows[0].seasonal_q6 == 0
+    # consecutive-day recursion: day indexes are contiguous from 0
+    assert [r.day_ix for r in rows] == list(range(len(rows)))
+
+
+def test_quantile_normalization_aligns_distributions(spark):
+    """The defining property: after normalization every source carries
+    the IDENTICAL multiset of values (the reference distribution)."""
+    rows = QUERIES["q_quantile_normalization"].spark_fn(spark, SF).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.norm_q6)
+    dists = {s: tuple(sorted(v)) for s, v in by_source.items()}
+    assert len(set(dists.values())) == 1, "sources differ after normalization"
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """The moment-based Cramer solve must agree with numpy's dense
+    lstsq on the same rows (the fixture's l_quantity is independent of
+    l_extendedprice by construction, so R^2 ~ 0 — the check is
+    COEFFICIENT agreement, not fit quality)."""
+    import duckdb
+    import numpy as np
+
+    r = QUERIES["q_ols_normal_equations"].spark_fn(spark, SF).collect()[0]
+    assert 0 <= r.r2_q6 <= 1_000_000
+    raw = duckdb.sql(
+        f"""SELECT CAST(l_quantity AS DOUBLE) AS x1,
+                   CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS DOUBLE) AS x2,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DOUBLE) AS y
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).fetchnumpy()
+    X = np.column_stack([np.ones_like(raw["x1"]), raw["x1"], raw["x2"]])
+    beta, *_ = np.linalg.lstsq(X, raw["y"], rcond=None)
+    got = np.array([r.b0_q6, r.b1_q6, r.b2_q6]) / 1e6
+    assert np.allclose(got, beta, rtol=1e-6, atol=1e-3), (got, beta)
+
+
+def test_portable_hash_passes_ks_uniformity(spark):
+    """The hash the whole portable tier rests on must be statistically
+    uniform: sqrt(n)-scaled KS below the alpha=0.001 critical value
+    (1.95) — a biased hash would skew minhash, LSH, sampling, and the
+    permutation test silently."""
+    r = QUERIES["q_hash_uniformity_audit"].spark_fn(spark, SF).collect()[0]
+    assert r.n > 1000
+    assert 0 <= r.d_plus_q9 and 0 <= r.d_minus_q9
+    assert r.ks_sqrt_n_q6 < 1_950_000, f"hash fails uniformity: {r}"
