@@ -246,12 +246,13 @@ def q_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     from ..operators.dedup import word_shingles_from_tokens
 
+    # materialize the token array BEFORE the shingle transform: inlining
+    # split() into the per-position slices re-evaluates it O(len) times
+    # per doc (the documented decontaminate inlining trap — measured
+    # 9.8 s -> 1.3 s for this distinct)
     sh = (
-        d.select(
-            word_shingles_from_tokens(F.split("text", " "), SHINGLE_N).alias(
-                "shingles"
-            )
-        )
+        d.select(F.split("text", " ").alias("toks"))
+        .select(word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles"))
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
