@@ -263,3 +263,23 @@ def test_portable_hash_passes_ks_uniformity(spark):
     assert r.n > 1000
     assert 0 <= r.d_plus_q9 and 0 <= r.d_minus_q9
     assert r.ks_sqrt_n_q6 < 1_950_000, f"hash fails uniformity: {r}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q_permutation_test_hashed", 4),
+        ("q_quantile_normalization", 4),
+        ("q_ols_normal_equations", 2),
+        ("q_runs_test_daily", 4),
+        ("q_curation_mixture", 10),
+    ],
+)
+def test_round9_late_ops_shuffle_budget(spark, name, max_exchanges):
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
