@@ -289,6 +289,8 @@ DETAIL_ONLY = [
     "q_quantile_normalization",
     "q_ols_normal_equations",
     "q_hash_uniformity_audit",
+    "q_trigram_like_index",
+    "q_table_fingerprint",
     "q_tokenizer_fertility",
     "q_bleu_ngram_precision",
     "q_hll_set_algebra",

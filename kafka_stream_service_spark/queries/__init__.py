@@ -74,3 +74,4 @@ from . import round9d  # noqa: E402,F401
 from . import round9e  # noqa: E402,F401
 from . import round9f  # noqa: E402,F401
 from . import round9g  # noqa: E402,F401
+from . import round9h  # noqa: E402,F401

@@ -146,6 +146,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_quantile_normalization",
     "q_ols_normal_equations",
     "q_hash_uniformity_audit",
+    "q_trigram_like_index",
+    "q_table_fingerprint",
     "q_kaplan_meier",
     "q_cusum_changepoint",
     "q_holt_linear_smoothing",
@@ -154,8 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_label_propagation",
     "q_logreg_score_text",
     "q_basket_triples_apriori",
-    "q_dedup_incremental_snapshot",
-    "q_compaction_bin_packing",
     # (c) sentinel + flagship drift canary (oldest green verdicts)
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
