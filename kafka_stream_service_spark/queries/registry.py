@@ -123,12 +123,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_forecast_backtest",
     "q_span_corruption_masking",
     "q_dataset_shard_manifest",
-    # (b) new in round 9 — inserted as they land (27-slot budget).
-    # Until round-9 queries land, the slots hold provisional re-certs:
-    # the 12 round-8-new queries (single driver verdict each) plus the
-    # ADVICE-touched round-8 stats pair's neighbours. Each new r9 query
-    # REPLACES one provisional slot (newest-first) so the window stays
-    # exactly 50.
+    # (b) the 19 round-9-new queries (driver verdicts in their birth
+    # round), followed by 8 re-cert slots (round-8-new queries with a
+    # single driver verdict each) filling the window to exactly 50.
     "q_ccnet_perplexity_buckets",
     "q_gopher_quality_rules",
     "q_dsir_importance_weights",
