@@ -335,7 +335,12 @@ def q_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps; a gap would end the curve identically on both engines).
     """
     view = _register_holt_daily(spark, sf_dir)
-    return spark.sql(f"WITH RECURSIVE {_HOLT_RECURSION.replace('holt_daily', view)}")
+    out = spark.sql(f"WITH RECURSIVE {_HOLT_RECURSION.replace('holt_daily', view)}")
+    # View resolution happened at analysis (spark.sql above); drop the
+    # per-invocation name so session catalog state stays flat across the
+    # driver window and repeated bench passes (ADVICE r9).
+    spark.catalog.dropTempView(view)
+    return out
 
 
 # ---------------------------------------------------------------------------

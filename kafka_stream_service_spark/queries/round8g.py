@@ -66,8 +66,11 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=366 aggregated rows. SF-invariant after the first groupBy.
     """
     view = _register_holt_daily(spark, sf_dir)
-    return spark.sql(
+    out = spark.sql(
         f"WITH RECURSIVE {_HOLT_CTE}, hq AS ({_HOLT_SELECT}) {_BACKTEST_SELECT}".replace(
             "holt_daily", view
         )
     )
+    # Resolved at analysis — drop the per-invocation view (ADVICE r9).
+    spark.catalog.dropTempView(view)
+    return out

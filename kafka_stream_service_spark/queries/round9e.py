@@ -246,4 +246,7 @@ def q_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     view = _register_holt_daily(spark, sf_dir)
     sql = f"WITH RECURSIVE {_hw_cte()} {_HW_SELECT}".replace("holt_daily", view)
-    return spark.sql(sql)
+    out = spark.sql(sql)
+    # Resolved at analysis — drop the per-invocation view (ADVICE r9).
+    spark.catalog.dropTempView(view)
+    return out

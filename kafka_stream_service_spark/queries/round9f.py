@@ -52,7 +52,12 @@ def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Variable names are PER-INVOCATION (suffix counter) — session
     variables are session-global state, so a shared name would be the
-    holt_daily cross-contamination hazard (ADVICE r8) in new clothes.
+    holt_daily cross-contamination hazard (ADVICE r8) in new clothes —
+    and BOTH the view and the variables are dropped as soon as
+    spark.sql() has analyzed the query (resolution happens at analysis,
+    so the returned DataFrame is unaffected; verified by test), keeping
+    session state flat across the 50-query driver window and repeated
+    bench passes (ADVICE r9).
 
     Scale shape: variables are driver-side constants folded into the
     plan at analysis; the query itself is one pushed-filter scan + a
@@ -67,7 +72,7 @@ def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"SET VAR {floor_v} = 150000.0")
     spark.sql(f"DECLARE OR REPLACE VARIABLE {cutoff_v} TIMESTAMP")
     spark.sql(f"SET VAR {cutoff_v} = TIMESTAMP '1996-01-01'")
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -78,6 +83,10 @@ def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+    spark.catalog.dropTempView(orders_view)
+    spark.sql(f"DROP TEMPORARY VARIABLE {floor_v}")
+    spark.sql(f"DROP TEMPORARY VARIABLE {cutoff_v}")
+    return out
 
 
 # ---------------------------------------------------------------------------

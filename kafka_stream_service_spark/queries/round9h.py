@@ -98,7 +98,14 @@ def q_trigram_like_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+                # Guard length >= 3: Spark's sequence(1, 0) counts DOWN
+                # (emitting spurious sub-3-char grams) where DuckDB's
+                # range() is empty — same trap round9b/round9c CASE-guard.
+                F.expr(
+                    "CASE WHEN length(t) >= 3 THEN "
+                    "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+                    "ELSE array() END"
+                )
             ).alias("g"),
         )
         .distinct()

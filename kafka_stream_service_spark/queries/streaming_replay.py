@@ -1344,7 +1344,7 @@ def q_stream_topk_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_wiredump_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest through the CUSTOM Python DataSource
-    (sources/wiredump.py simpleStreamReader): events are framed with
+    (sources/wiredump.py DataSourceStreamReader): events are framed with
     the wire codec into dump segments, the segment directory is tailed
     as a STREAM in two stages (half the corpus, processAllAvailable,
     then the second half — two real micro-batches over the connector's
@@ -1355,12 +1355,19 @@ def q_stream_wiredump_source_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
     This closes the connector triangle: batch read + committing write
     (q_wiredump_roundtrip) and now resumable streaming consumption —
-    offset checkpointing and crash-replay (readBetweenOffsets) are
-    pytest-driven in tests/test_wiredump.py.
+    the stream reader advertises latestOffset() from the sorted segment
+    listing, hands one InputPartition per segment in the offset range to
+    EXECUTORS, and each task decodes its segment into Arrow
+    RecordBatches; offset checkpointing and crash-replay (re-planning
+    the partitions of an uncommitted range) are pytest-driven in
+    tests/test_wiredump.py.
 
-    Scale note: the simple-reader streams segments driver-side — the
-    tailing shape for an ingest directory; bulk history loads use the
-    partition-parallel batch reader.
+    Scale note: the stream reader is partition-parallel — each
+    micro-batch fans its segments out across executors (the r9 upgrade
+    from the driver-side simple reader), so ingest throughput scales
+    with the cluster, which is the 100-TB-relevant property; segments
+    are append-only with commit-time monotonic names, so an offset range
+    is a stable file list.
     """
     from ..sources.wiredump import register
 

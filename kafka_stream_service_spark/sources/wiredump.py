@@ -174,7 +174,17 @@ def _write_segment_arrow(path: str, iterator) -> _SegmentCommit:
                     hd = {k: list(v) for k, v in h.items()}
                 else:  # Arrow map scalar -> list of (key, value) tuples
                     hd = {k: list(v) for k, v in h}
-                frame = encode_py(hd, b"" if p is None else bytes(p))
+                if p is None:
+                    # Fail loud on NULL payloads (matching the pre-Arrow
+                    # row writer): the wire format has no null marker, so
+                    # a silent b"" coercion would make NULL round-trip as
+                    # empty binary and corrupt downstream equality checks.
+                    raise ValueError(
+                        "wiredump: NULL payload is not encodable (the wire "
+                        "format has no null marker); filter or coalesce "
+                        "payloads before writing"
+                    )
+                frame = encode_py(hd, bytes(p))
                 f.write(struct.pack(">I", len(frame)))
                 f.write(frame)
     return _SegmentCommit(tmp_path=tmp, final_path="")

@@ -108,3 +108,22 @@ def test_coverage_doc_lists_portable_twin_map():
             assert f"{name} -> {spec.portable_twin}" in text, (
                 f"COVERAGE.md missing twin-map row '{name} -> {spec.portable_twin}'"
             )
+
+
+def test_readme_catalog_counts_match_registry():
+    """README.md's headline catalog counts ('N queries, M with exact
+    DuckDB oracles') must equal the live registry — a late-round
+    operator commit stranded the README in r9 (ADVICE); deriving the
+    assertion makes that drift a CI failure (VERDICT r9 #7)."""
+    from kafka_stream_service_spark.queries.registry import QUERIES
+
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) queries, (\d+) with exact DuckDB", text)
+    assert m, "README.md no longer states the 'N queries, M with exact DuckDB' line"
+    n_total, n_oracled = int(m.group(1)), int(m.group(2))
+    live_total = len(QUERIES)
+    live_oracled = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    assert (n_total, n_oracled) == (live_total, live_oracled), (
+        f"README says {n_total}/{n_oracled} but registry has "
+        f"{live_total}/{live_oracled} — refresh README.md:44"
+    )

@@ -212,3 +212,14 @@ def test_arrow_reader_chunks_large_segments(spark, seg_dir):
     assert poss == list(range(25))  # contiguous, no gap or repeat at seams
     # and the full read through Spark agrees with the source frame count
     assert spark.read.format("wiredump").load(seg_dir).count() == 25
+
+
+def test_null_payload_fails_loud(spark, seg_dir):
+    """The wire format has no null marker — a NULL payload must raise at
+    write time (ADVICE r9: the Arrow writer briefly coerced None to b'',
+    silently round-tripping NULL as empty binary)."""
+    bad = _frames(spark, n=4).withColumn(
+        "payload", F.when(F.rand(seed=7) < 2.0, F.lit(None).cast("binary"))
+    )
+    with pytest.raises(Exception, match="NULL payload"):
+        bad.coalesce(1).write.format("wiredump").mode("append").save(seg_dir)
