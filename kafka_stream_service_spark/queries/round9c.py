@@ -189,17 +189,17 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
-    a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY s),
+    a1 AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS a1 FROM e GROUP BY s),
     h1 AS (
-      SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+      SELECT e.c, CAST(SUM(a1.a1) AS HUGEINT) AS h1
       FROM e JOIN a1 ON a1.s = e.s GROUP BY e.c
     ),
     a2 AS (
-      SELECT e.s, CAST(SUM(h1.h1) AS BIGINT) AS a2
+      SELECT e.s, CAST(SUM(h1.h1) AS HUGEINT) AS a2
       FROM e JOIN h1 ON h1.c = e.c GROUP BY e.s
     ),
     h2 AS (
-      SELECT e.c, CAST(SUM(a2.a2) AS BIGINT) AS h2
+      SELECT e.c, CAST(SUM(a2.a2) AS HUGEINT) AS h2
       FROM e JOIN a2 ON a2.s = e.s GROUP BY e.c
     ),
     tops AS (
@@ -212,7 +212,10 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY h2.h2 DESC, h1.c)
       FROM h1 JOIN h2 ON h2.c = h1.c
     )
-    SELECT role, entity_id, score1, score2, CAST(rnk AS BIGINT) AS rnk
+    SELECT role, entity_id,
+           CAST(score1 AS VARCHAR) AS score1_str,
+           CAST(score2 AS VARCHAR) AS score2_str,
+           CAST(rnk AS BIGINT) AS rnk
     FROM tops WHERE rnk <= 15
     """,
     tags=("graph", "centrality", "round9"),
@@ -226,6 +229,18 @@ def q_hits_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (normalization only rescales; ranking is invariant, stated in the
     contract) — with the top 15 of each role by the second-iteration
     score.
+
+    Overflow envelope (ADVICE r9): unnormalized scores grow
+    multiplicatively per half-iteration — with max degree D, h2 is
+    bounded by D^4 — so BIGINT accumulation wraps silently (Spark,
+    non-ANSI) vs raises (DuckDB) once D passes ~55k, a realistic hub
+    degree on power-law graphs. Scores therefore accumulate in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to 1e38, i.e.
+    D < ~1.8e9, beyond any real graph — and are EMITTED as canonical
+    integer strings (score1_str/score2_str): pandas renders HUGEINT and
+    wide DECIMAL as lossy float64, so strings are the only exact
+    cross-engine carrier past 2^63. Ranking happens on the numeric
+    values before stringification.
 
     Scale shape: each half-iteration is one edge-table join against the
     previous score vector plus a key-partitioned groupBy —
@@ -242,21 +257,23 @@ def q_hits_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # feeds all four half-iterations
     )
-    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    a1 = e.groupBy("s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("a1")
+    )
     h1 = (
         e.join(a1, "s")
         .groupBy("c")
-        .agg(F.sum("a1").cast("bigint").alias("h1"))
+        .agg(F.sum("a1").cast("decimal(38,0)").alias("h1"))
     )
     a2 = (
         e.join(h1, "c")
         .groupBy("s")
-        .agg(F.sum("h1").cast("bigint").alias("a2"))
+        .agg(F.sum("h1").cast("decimal(38,0)").alias("a2"))
     )
     h2 = (
         e.join(a2, "s")
         .groupBy("c")
-        .agg(F.sum("a2").cast("bigint").alias("h2"))
+        .agg(F.sum("a2").cast("decimal(38,0)").alias("h2"))
     )
     auth = (
         a1.join(a2, "s")
@@ -281,6 +298,13 @@ def q_hits_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         auth.unionAll(hubs)
         .withColumn("rnk", F.row_number().over(wrole).cast("bigint"))
         .filter(F.col("rnk") <= 15)
+        .select(
+            "role",
+            "entity_id",
+            F.col("score1").cast("string").alias("score1_str"),
+            F.col("score2").cast("string").alias("score2_str"),
+            "rnk",
+        )
     )
 
 

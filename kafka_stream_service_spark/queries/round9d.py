@@ -77,6 +77,16 @@ def q_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization (the q_temperature_mixing transcendental contract);
     shares are integer floor divisions of quantized weights.
 
+    Overflow envelope (documented-envelope standard, ADVICE r8/r9):
+    quality_q6's numerator n_pass*n_head*1e6 is bounded by n_docs^2*1e6
+    — BIGINT-safe while any single source holds < ~3e6 docs; and the
+    share numerator w_q6*1e6 with w_q6 ~ 1e6*(n_docs*1e6)^0.3 is
+    BIGINT-safe to ~4e13 docs/source. Past the first bound, widen
+    quality_q6's numerator to DECIMAL(38,0)/HUGEINT (both engines
+    support integer DIV there) — at which point the exp/ln weight leg,
+    already double-based, is the binding precision term, not the
+    integer legs.
+
     Scale shape: everything rides the component plans (one scan + bounded
     broadcasts + the distributed rank); the composition itself touches
     only source-grain rows (tens), joined by broadcast.
