@@ -279,6 +279,10 @@ DETAIL_ONLY = [
     "q_hits_two_iterations",
     "q_bpe_train_iterations",
     "q_dsir_importance_weights",
+    # round-10: the materialized pair-index build (VERDICT r9 #1) is its
+    # own timed row and runs BEFORE its consumers (chrf/bleu/cluster
+    # audit) in list order, so consumer rows measure snapshot-read plans
+    "q_pair_index_snapshot",
     "q_chrf_pair_fscore",
     "q_runs_test_daily",
     "q_stream_quality_gate_replay",

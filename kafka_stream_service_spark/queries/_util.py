@@ -76,3 +76,33 @@ def work_dir(tag: str, sf_dir: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def snapshot_dir(tag: str, sf_dir: str) -> str:
+    """Like :func:`work_dir` (same per-user 0700 scratch root, same
+    squatting/symlink checks) but PERSISTENT: the per-(tag, sf) directory
+    is created if absent and NEVER wiped on entry — the lifetime contract
+    for materialized index artifacts (e.g. the verified-pair snapshot)
+    that one catalog query BUILDS and several others READ across
+    invocations in the same session or process group. Builders must
+    write atomically (parquet mode=overwrite + _SUCCESS marker) so
+    readers never observe partial state; cache invalidation is the
+    builder's job via a revision token in the artifact subpath."""
+    import hashlib
+    import os
+    import tempfile
+
+    uid = os.getuid()
+    root = os.path.join(tempfile.gettempdir(), f"kssp_work_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if st.st_uid != uid or not os.path.isdir(root) or os.path.islink(root):
+        raise RuntimeError(
+            f"scratch root {root} exists but is not a directory owned by uid {uid} "
+            "— refusing to use it (possible squatting/symlink attack)"
+        )
+    os.chmod(root, 0o700)
+    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(root, f"snap_{tag}_{sf_key}")
+    os.makedirs(path, exist_ok=True)
+    return path

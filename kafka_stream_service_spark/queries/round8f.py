@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import tables
-from .dedup2 import _PAIRS_CTE, _h_sql, _verified_pairs, portable_hash64
+from .dedup2 import _PAIRS_CTE, _h_sql, pair_index, portable_hash64
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -290,16 +290,19 @@ def q_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup tier a graded overlap QUALITY measure next to its binary
     keep/drop verdict.
 
-    Scale shape: pair discovery is the existing banded-LSH plan; the
-    scoring joins touch only candidate-pair n-gram rows (pair count *
-    doc length, never corpus^2). N-gram counts are per-doc groupBys —
+    Scale shape: pair discovery READS the materialized pair-index
+    snapshot (building it if absent — VERDICT r9 #1: index once per
+    corpus snapshot, consumers read; the ~5 s shared discovery floor is
+    paid by q_pair_index_snapshot's timed build, not re-derived here);
+    the scoring joins touch only candidate-pair n-gram rows (pair count
+    * doc length, never corpus^2). N-gram counts are per-doc groupBys —
     computed ONLY for pair-endpoint docs: the tokenized frame is
     broadcast-semi-joined against the (tiny) endpoint set before any
     explode, so at 100 TB the n-gram shuffles are candidate-scale, not
     corpus-scale (VERDICT r8 #4; the oracle's corpus-wide CTEs are
     unaffected because the clipped sums only ever read pair rows).
     """
-    _, fpairs = _verified_pairs(spark, sf_dir)
+    fpairs = pair_index(spark, sf_dir)
     pairs = fpairs.select("id_a", "id_b").localCheckpoint(eager=False)
     endpoints = (
         pairs.select(F.col("id_a").alias("doc_id"))

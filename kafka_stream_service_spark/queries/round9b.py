@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..tables import tables
 from ._util import work_dir
-from .dedup2 import _PAIRS_CTE, _h_sql, _verified_pairs, portable_hash64
+from .dedup2 import _PAIRS_CTE, _h_sql, pair_index, portable_hash64
 from .registry import query
 from .streaming_replay import _literal_rows, _run_to_memory, _write_chunks
 
@@ -198,13 +198,15 @@ def q_chrf_pair_fscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all counts integer; all three ratios are integer floor
     divisions — no floats anywhere.
 
-    Scale shape: pair discovery is the shared banded-LSH plan; trigram
-    counting runs ONLY on pair-endpoint docs (broadcast semi-join before
-    the position explode — the q_bleu_ngram_precision lesson applied
-    from birth), so the n-gram shuffle is candidate-scale. The overlap
-    join is per-(pair, shared-gram), bounded by doc length.
+    Scale shape: pair discovery READS the materialized pair-index
+    snapshot (building it if absent — VERDICT r9 #1: index once per
+    corpus snapshot, consumers read); trigram counting runs ONLY on
+    pair-endpoint docs (broadcast semi-join before the position explode
+    — the q_bleu_ngram_precision lesson applied from birth), so the
+    n-gram shuffle is candidate-scale. The overlap join is per-(pair,
+    shared-gram), bounded by doc length.
     """
-    _, fpairs = _verified_pairs(spark, sf_dir)
+    fpairs = pair_index(spark, sf_dir)
     pairs = fpairs.select("id_a", "id_b").localCheckpoint(eager=False)
     endpoints = (
         pairs.select(F.col("id_a").alias("doc_id"))

@@ -1,0 +1,63 @@
+"""Materialized pair-index snapshot (VERDICT r9 #1): build/read contract.
+
+The oracle gate already hash-certifies q_pair_index_snapshot's
+build->persist->read cycle and every consumer's results at sf0.01; these
+tests pin the artifact-lifecycle properties the aggregate oracles cannot
+state: snapshot == live derivation row-for-row, self-healing reads, and
+revision-token isolation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from kafka_stream_service_spark.queries.dedup2 import (
+    PAIR_INDEX_REV,
+    _verified_pairs,
+    build_pair_index,
+    pair_index,
+    pair_index_path,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wipe(sf_dir: str) -> None:
+    shutil.rmtree(os.path.dirname(pair_index_path(sf_dir)), ignore_errors=True)
+
+
+def _key_set(df):
+    return {(r.id_a, r.id_b, r.n_inter, r.n_union) for r in df.collect()}
+
+
+def test_snapshot_equals_live_derivation(spark):
+    _, live = _verified_pairs(spark, SF)
+    snap = build_pair_index(spark, SF)
+    assert _key_set(snap) == _key_set(live)
+    assert len(_key_set(snap)) > 0, "fixture must plant near-dup pairs"
+
+
+def test_reader_self_heals_when_snapshot_absent(spark):
+    _wipe(SF)
+    assert not os.path.exists(pair_index_path(SF))
+    got = pair_index(spark, SF)
+    # the read built and persisted the artifact as a side effect
+    assert os.path.exists(os.path.join(pair_index_path(SF), "_SUCCESS"))
+    _, live = _verified_pairs(spark, SF)
+    assert _key_set(got) == _key_set(live)
+
+
+def test_reader_prefers_existing_snapshot(spark):
+    build_pair_index(spark, SF)
+    path = pair_index_path(SF)
+    before = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    pair_index(spark, SF).count()
+    after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    assert before == after, "a fresh read must not rewrite the artifact"
+
+
+def test_revision_token_is_in_the_path():
+    # bumping PAIR_INDEX_REV must change the artifact location, so stale
+    # snapshots from older derivation code can never be read
+    assert PAIR_INDEX_REV in pair_index_path(SF)
