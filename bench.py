@@ -301,6 +301,9 @@ DETAIL_ONLY = [
     "q_forecast_backtest",
     "q_span_corruption_masking",
     "q_dataset_shard_manifest",
+    # round-10 additions not in HEADLINE
+    "q_exact_substr_spans",
+    "q_exact_substr_stats",
 ]
 
 

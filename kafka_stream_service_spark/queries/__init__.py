@@ -75,3 +75,4 @@ from . import round9e  # noqa: E402,F401
 from . import round9f  # noqa: E402,F401
 from . import round9g  # noqa: E402,F401
 from . import round9h  # noqa: E402,F401
+from . import round10  # noqa: E402,F401
