@@ -304,6 +304,7 @@ DETAIL_ONLY = [
     # round-10 additions not in HEADLINE
     "q_exact_substr_spans",
     "q_exact_substr_stats",
+    "q_semdedup_prune",
 ]
 
 

@@ -229,3 +229,214 @@ def q_exact_substr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac_q6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup in embedding space (Abbas et al. 2023),
+# composed from the certified k-means + int8-dot components (VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+# tau^2 in basis points: cos >= 0.40 <=> 10000*dot^2 >= 1600*na*nb (dot>0).
+# 0.40 matches the fixture's embedding-similarity structure (the existing
+# q_dedup_embedding_cosine tier uses 0.3; at 0.3 the threshold graph
+# connects 77% of vectors into giant components — 0.40 yields real
+# duplicate GROUPS: 46 members / 21 groups / max size 4 at sf0.01).
+_SEM_TAU2_BP = 1600
+
+from .clustering import _ASSIGN_SQL  # noqa: E402  (shared assignment contract)
+from .corpus_ops import _QUANT_SQL  # noqa: E402  (shared quantization contract)
+
+_SEMDEDUP_ORACLE = f"""
+    WITH RECURSIVE {_QUANT_SQL},
+    {_ASSIGN_SQL},
+    m AS (
+      SELECT s.vec_id, s.centroid_id, q.qv,
+             CAST(list_dot_product(q.qv, q.qv) AS BIGINT) AS nrm
+      FROM assign s JOIN q8 q USING (vec_id)
+    ),
+    spos AS (
+      SELECT centroid_id, u.i AS pos,
+             CAST(SUM(CAST(qv[CAST(u.i AS INT)] AS BIGINT)) AS BIGINT) AS s
+      FROM m, unnest(range(1, len(qv) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    sv AS (
+      SELECT centroid_id, list(s ORDER BY pos) AS sv,
+             CAST(SUM(s * s) AS BIGINT) AS ns
+      FROM spos GROUP BY centroid_id
+    ),
+    xv AS (
+      SELECT m.vec_id, CAST(list_dot_product(m.qv, v.sv) AS BIGINT) AS x, v.ns
+      FROM m JOIN sv v USING (centroid_id)
+    ),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM m a JOIN m b ON b.centroid_id = a.centroid_id AND b.vec_id > a.vec_id
+      WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+        AND 10000 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                  * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+            >= {_SEM_TAU2_BP} * a.nrm * b.nrm
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT a, a FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS grp0 FROM reach GROUP BY a),
+    scored AS (
+      SELECT m.vec_id, m.centroid_id,
+             CAST(COALESCE(c.grp0, m.vec_id) AS BIGINT) AS grp,
+             CAST(FLOOR(1000000.0 * (CAST(x.x AS DOUBLE)
+                  / sqrt(CAST(m.nrm AS DOUBLE) * CAST(x.ns AS DOUBLE))))
+                  AS BIGINT) AS cos_cent_q6
+      FROM m JOIN xv x USING (vec_id)
+      LEFT JOIN comp c ON c.vec_id = m.vec_id
+    )
+    SELECT vec_id, centroid_id, grp,
+           CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_group,
+           cos_cent_q6,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp
+                          ORDER BY cos_cent_q6, vec_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """
+
+
+@query(
+    "q_semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("similarity", "dedup", "semdedup", "clustering", "llm-data", "round10"),
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space,
+    composed from already-certified parts so the capstone cannot drift
+    from its components (the q_curation_mixture pattern): (1) the
+    q_kmeans_assign_int8 ASSIGNMENT plan body buckets vectors into K=8
+    clusters; (2) intra-cluster pairs above cosine 0.40 — the integer
+    cross-multiplied comparison 10000*dot^2 >= 1600*na*nb with dot > 0,
+    no float threshold — form the duplicate graph; (3) connected
+    components (the q_dedup_clusters_portable operator) give duplicate
+    GROUPS; (4) within each group the member with the LOWEST cosine to
+    the cluster centroid is kept (the paper's keep rule — it preserves
+    the most diverse representative), ties broken by vec_id. Emits one
+    row per vector: group id, group size, centroid cosine (micro
+    quantized), and the keep/drop verdict.
+
+    Exactness: assignment, dots, and norms are integers end to end; the
+    centroid cosine uses the cluster SUM vector (exact integer
+    positional sums — same direction as the mean, so the cosine is
+    identical) and one floor-quantized pure-double expression whose
+    integer inputs are < 2^53 — the IEEE-identical recipe every
+    stat-audit query uses.
+
+    Scale shape: assignment is broadcast-centroid, corpus never
+    shuffles; the pair stage is intra-cluster only — SemDeDup at
+    production scale picks k proportional to n precisely so cluster
+    populations stay bounded (the paper: 50k clusters for LAION-440M),
+    making the per-cluster pair block the same bounded-block shape as
+    q_cosine_pairs_blocked; components iterate on the (tiny) duplicate
+    graph; the keep rank is a per-group window at group grain.
+    """
+    from .clustering import _assignments
+    from .corpus_ops import _quantized
+
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    assign = _assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    idot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    m = (
+        assign.join(e.select("vec_id", "qv"), "vec_id")
+        .withColumn("nrm", idot(F.col("qv"), F.col("qv")))
+        .localCheckpoint(eager=False)  # feeds pairs, sums, and the output
+    )
+    # cluster SUM vector (positional) + its norm
+    pts = m.select(
+        "centroid_id", F.posexplode("qv").alias("pos", "val")
+    ).select("centroid_id", "pos", F.col("val").cast("bigint").alias("val"))
+    spos = pts.groupBy("centroid_id", "pos").agg(
+        F.sum("val").cast("bigint").alias("s")
+    )
+    ns = spos.groupBy("centroid_id").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ns")
+    )
+    # x_a = qv_a . S via positional join (vec grain x dim)
+    vec_pts = m.select(
+        "vec_id", "centroid_id", F.posexplode("qv").alias("pos", "val")
+    ).select(
+        "vec_id", "centroid_id", "pos", F.col("val").cast("bigint").alias("val")
+    )
+    xv = (
+        vec_pts.join(spos, ["centroid_id", "pos"])
+        .groupBy("vec_id", "centroid_id")
+        .agg(F.sum(F.col("val") * F.col("s")).cast("bigint").alias("x"))
+    )
+    # intra-cluster duplicate edges, integer threshold
+    a = m.select(
+        F.col("centroid_id").alias("c"),
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        F.col("centroid_id").alias("c"),
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = idot(F.col("qa"), F.col("qb"))
+    edges = (
+        a.join(b, "c")
+        .filter(F.col("id_b") > F.col("id_a"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10000) * F.col("dot") * F.col("dot")
+                >= F.lit(_SEM_TAU2_BP) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    from ..operators.graph import connected_components
+
+    cc = connected_components(edges, max_iter=30)
+    scored = (
+        m.select("vec_id", "centroid_id", "nrm")
+        .join(xv.select("vec_id", "x"), "vec_id")
+        .join(F.broadcast(ns), "centroid_id")
+        .join(
+            cc.select(F.col("node").alias("vec_id"), F.col("comp").alias("grp0")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("grp0", "vec_id").cast("bigint").alias("grp"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("x").cast("double")
+                    / F.sqrt(F.col("nrm").cast("double") * F.col("ns").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_cent_q6"),
+        )
+    )
+    wgrp = Window.partitionBy("grp").orderBy("cos_cent_q6", "vec_id")
+    return (
+        scored.withColumn("n_group", F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("bigint"))
+        .withColumn(
+            "keep",
+            F.when(F.row_number().over(wgrp) == 1, 1).otherwise(0).cast("int"),
+        )
+        .select("vec_id", "centroid_id", "grp", "n_group", "cos_cent_q6", "keep")
+    )

@@ -83,3 +83,24 @@ def test_exact_substr_stats_rolls_up_the_manifest(spark, tmp_path):
     assert by_src["sA"].dup_frac_q6 == 18 * 1000000 // 21
     assert by_src["sB"].docs_with_dups == 0
     assert by_src["sB"].dup_frac_q6 == 0
+
+
+def test_semdedup_keeps_exactly_one_per_group(spark):
+    """Structural invariants of the SemDeDup verdict at sf0.01: every
+    vector appears once, every group keeps EXACTLY one member, dup
+    groups exist (fixture has similar-embedding pairs at cos >= 0.40),
+    and the kept member has the group-minimal (cos_cent_q6, vec_id)."""
+    rows = QUERIES["q_semdedup_prune"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == len({r.vec_id for r in rows}) == 500
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert all(sum(m.keep for m in ms) == 1 for ms in by_grp.values())
+    multi = [ms for ms in by_grp.values() if len(ms) > 1]
+    assert multi, "fixture must yield non-trivial duplicate groups"
+    for ms in multi:
+        assert len(ms) == ms[0].n_group
+        kept = next(m for m in ms if m.keep == 1)
+        assert (kept.cos_cent_q6, kept.vec_id) == min(
+            (m.cos_cent_q6, m.vec_id) for m in ms
+        )

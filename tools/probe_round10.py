@@ -5,16 +5,15 @@ measures corpus size, not duplicate hot buckets). Slopes land in
 SCALE.md's round-10 section.
 
 Probed: q_exact_substr_spans (shingle census + doc-partitioned span
-merge), q_pair_index_snapshot (banded-LSH build + parquet write),
-q_semdedup_prune (cluster assignment + intra-cluster pair prune),
-q_exact_substr_stats (manifest rollup).
+merge), q_exact_substr_stats (manifest rollup), q_pair_index_snapshot
+(banded-LSH build + parquet write).
 
-Note the embeddings table is NOT sharded by build() (x16 copies rely on
-token-prefixed documents / key-offset orders+lineitem), so
-q_semdedup_prune's probe measures the unchanged-embeddings plan under a
-16x-busier host — treat its slope as an upper bound on fixed-input
-overhead, not data scaling; its data-scaling argument is the
-cluster-size bound documented in the docstring.
+q_semdedup_prune is NOT probed: build() does not shard the embeddings
+table (x16 copies rely on token-prefixed documents / key-offset
+orders+lineitem), so a probe would measure an unchanged input under a
+busier host. Its data-scaling argument is structural — intra-cluster
+pair blocks stay bounded because SemDeDup picks k proportional to n
+(documented in the query docstring).
 
 Usage: python tools/probe_round10.py
 """
