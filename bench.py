@@ -305,6 +305,11 @@ DETAIL_ONLY = [
     "q_exact_substr_spans",
     "q_exact_substr_stats",
     "q_semdedup_prune",
+    "q_semdedup_stats",
+    "q_pair_index_delta",
+    "q_power_iteration_top_eigvec",
+    "q_weighted_sample_es",
+    "q_mann_kendall_trend",
 ]
 
 

@@ -246,7 +246,7 @@ _SEM_TAU2_BP = 1600
 from .clustering import _ASSIGN_SQL  # noqa: E402  (shared assignment contract)
 from .corpus_ops import _QUANT_SQL  # noqa: E402  (shared quantization contract)
 
-_SEMDEDUP_ORACLE = f"""
+_SEMDEDUP_CTE = f"""
     WITH RECURSIVE {_QUANT_SQL},
     {_ASSIGN_SQL},
     m AS (
@@ -295,15 +295,23 @@ _SEMDEDUP_ORACLE = f"""
                   AS BIGINT) AS cos_cent_q6
       FROM m JOIN xv x USING (vec_id)
       LEFT JOIN comp c ON c.vec_id = m.vec_id
-    )
-    SELECT vec_id, centroid_id, grp,
-           CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_group,
-           cos_cent_q6,
-           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp
-                          ORDER BY cos_cent_q6, vec_id) = 1
-                THEN 1 ELSE 0 END AS INT) AS keep
-    FROM scored
+    ),
+    verdicts AS (
+      SELECT vec_id, centroid_id, grp,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_group,
+             cos_cent_q6,
+             CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY cos_cent_q6, vec_id) = 1
+                  THEN 1 ELSE 0 END AS INT) AS keep
+      FROM scored
+    )"""
+
+_SEMDEDUP_ORACLE = (
+    _SEMDEDUP_CTE
+    + """
+    SELECT vec_id, centroid_id, grp, n_group, cos_cent_q6, keep FROM verdicts
     """
+)
 
 
 @query(
@@ -439,4 +447,54 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.row_number().over(wgrp) == 1, 1).otherwise(0).cast("int"),
         )
         .select("vec_id", "centroid_id", "grp", "n_group", "cos_cent_q6", "keep")
+    )
+
+
+# The decorator returns the raw function, so the verdict plan body is
+# directly reusable (the shared-body pattern: the census below cannot
+# drift from the verdicts above).
+_semdedup_verdicts = q_semdedup_prune
+
+
+@query(
+    "q_semdedup_stats",
+    oracle=_SEMDEDUP_CTE
+    + """
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_group > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_members,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+           CAST(SUM(1 - keep) * 1000000 // COUNT(*) AS BIGINT) AS drop_frac_q6
+    FROM verdicts
+    GROUP BY centroid_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "audit", "round10"),
+)
+def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup impact census over the SAME verdict plan
+    body as q_semdedup_prune (shared-body pattern — the census cannot
+    drift from the verdicts): vectors, duplicate groups, members living
+    in non-trivial groups, the drop count, and the millionth drop
+    fraction — the number a corpus owner reads to pick the cosine
+    threshold before committing a prune (the paper tunes eps exactly
+    this way, per-cluster).
+
+    Exactness: integer counts and one integer floor division.
+
+    Scale shape: a K-row rollup of the verdict frame; everything
+    upstream is the audited q_semdedup_prune plan.
+    """
+    v = _semdedup_verdicts(spark, sf_dir)
+    return v.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.countDistinct("grp").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_group") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_members"),
+        F.sum(1 - F.col("keep")).cast("bigint").alias("n_dropped"),
+        F.expr("CAST(SUM(1 - keep) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "drop_frac_q6"
+        ),
     )

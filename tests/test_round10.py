@@ -104,3 +104,91 @@ def test_semdedup_keeps_exactly_one_per_group(spark):
         assert (kept.cos_cent_q6, kept.vec_id) == min(
             (m.cos_cent_q6, m.vec_id) for m in ms
         )
+
+
+def test_semdedup_stats_matches_verdict_rollup(spark):
+    """The census must equal a hand rollup of the verdict frame (shared
+    plan body — this pins the reuse contract)."""
+    v = QUERIES["q_semdedup_prune"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    s = QUERIES["q_semdedup_stats"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    agg = {}
+    for r in v:
+        a = agg.setdefault(r.centroid_id, {"n": 0, "grps": set(), "dup": 0, "drop": 0})
+        a["n"] += 1
+        a["grps"].add(r.grp)
+        a["dup"] += 1 if r.n_group > 1 else 0
+        a["drop"] += 1 - r.keep
+    for row in s:
+        a = agg[row.centroid_id]
+        assert (row.n_vectors, row.n_groups, row.dup_members, row.n_dropped) == (
+            a["n"], len(a["grps"]), a["dup"], a["drop"]
+        )
+        assert row.drop_frac_q6 == a["drop"] * 1000000 // a["n"]
+
+
+def test_pair_index_delta_is_subset_of_full_pairs(spark):
+    """Every delta pair must appear in the full verified-pair set with
+    identical Jaccard counts, and every full pair with a delta endpoint
+    must be found by the incremental probe (completeness both ways)."""
+    from kafka_stream_service_spark.queries.dedup2 import _verified_pairs
+
+    sf = "/root/testdata/sf0.01"
+    _, full = _verified_pairs(spark, sf)
+    full_rows = {(r.id_a, r.id_b): (r.n_inter, r.n_union) for r in full.collect()}
+    delta_rows = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_union)
+        for r in QUERIES["q_pair_index_delta"].spark_fn(spark, sf).collect()
+    }
+    assert delta_rows, "fixture must yield delta-endpoint pairs"
+    for k, v in delta_rows.items():
+        assert full_rows.get(k) == v
+    expected = {
+        k for k in full_rows if k[0] % 10 == 7 or k[1] % 10 == 7
+    }
+    assert set(delta_rows) == expected
+
+
+def test_power_iteration_matches_numpy(spark):
+    """v1/v2 and the Rayleigh estimate must agree with a dense numpy
+    recomputation from the same quantized vectors (the OLS-vs-lstsq
+    cross-check pattern)."""
+    import numpy as np
+
+    from kafka_stream_service_spark.queries.corpus_ops import _quantized
+    from kafka_stream_service_spark.tables import tables
+
+    sf = "/root/testdata/sf0.01"
+    q = _quantized(tables(spark, sf)["embeddings"]).select("qv").collect()
+    X = np.array([r.qv for r in q], dtype=object)[:, :8].astype(np.int64)
+    n = X.shape[0]
+    C = n * (X.T @ X) - np.outer(X.sum(axis=0), X.sum(axis=0))
+    ones = np.ones(8, dtype=object)
+    v1 = (C.astype(object) @ ones)
+    v2 = (C.astype(object) @ v1)
+    lam = int(np.floor(100.0 * (float(sum(a * b for a, b in zip(v1, v2)))
+                                / float(sum(a * a for a in v1)))))
+    rows = QUERIES["q_power_iteration_top_eigvec"].spark_fn(spark, sf).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert int(r.v1_str) == int(v1[r.dim - 1])
+        assert int(r.v2_str) == int(v2[r.dim - 1])
+        assert r.lambda_q2 == lam
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """E-S keys bias selection toward large weights: the mean n_chars of
+    sampled docs must exceed the corpus mean (w range is wide enough at
+    sf0.01 that this holds deterministically for the fixed hash)."""
+    from kafka_stream_service_spark.tables import tables
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["q_weighted_sample_es"].spark_fn(spark, sf).collect()
+    assert all(1 <= r.rnk <= 5 for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    assert all(len(v) == 5 for v in per_src.values())
+    d = tables(spark, sf)["documents"].collect()
+    mean_all = sum(x.n_chars for x in d) / len(d)
+    mean_sample = sum(r.w for r in rows) / len(rows)
+    assert mean_sample > mean_all

@@ -33,6 +33,11 @@ PROBES = [
     "q_exact_substr_spans",
     "q_exact_substr_stats",
     "q_pair_index_snapshot",
+    # batch 2 (documents/lineitem shard with build(); embeddings-bound
+    # q_power_iteration / q_semdedup are excluded per the note above)
+    "q_pair_index_delta",
+    "q_weighted_sample_es",
+    "q_mann_kendall_trend",
 ]
 
 
