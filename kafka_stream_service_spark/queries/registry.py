@@ -101,67 +101,75 @@ def query(
 # Everything displaced past slot 50 carries a green driver verdict from
 # r1-r8 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 21 never-driver-sampled round-8 queries (computed set)
-    "q_kendall_tau",
-    "q_spearman_rho",
-    "q_anova_oneway",
-    "q_seasonal_decompose",
-    "q_ann_rerank_two_stage",
-    "q_psi_drift",
-    "q_ece_calibration",
-    "q_woe_binning",
-    "q_decision_tree_score",
-    "q_clustering_coefficient",
-    "q_bpe_apply_merges",
-    "q_skipgram_negative_sampling",
-    "q_temperature_mixing",
-    "q_dedup_incremental_fast",
-    "q_preference_pairs",
-    "q_tokenizer_fertility",
-    "q_bleu_ngram_precision",
-    "q_hll_set_algebra",
-    "q_forecast_backtest",
-    "q_span_corruption_masking",
-    "q_dataset_shard_manifest",
-    # (b) the 19 round-9-new queries (driver verdicts in their birth
-    # round), followed by 8 re-cert slots (round-8-new queries with a
-    # single driver verdict each) filling the window to exactly 50.
-    "q_ccnet_perplexity_buckets",
-    "q_gopher_quality_rules",
-    "q_dsir_importance_weights",
-    "q_chrf_pair_fscore",
-    "q_runs_test_daily",
-    "q_stream_quality_gate_replay",
-    "q_stream_sliding_window_replay",
-    "q_welch_ttest",
+    # (a) the 9 round-10-new queries (driver verdicts in their birth
+    # round): the materialized pair index + its incremental delta probe,
+    # the ExactSubstr pair, the SemDeDup pair, and the batch-2 stats ops
+    "q_pair_index_snapshot",
+    "q_pair_index_delta",
+    "q_exact_substr_spans",
+    "q_exact_substr_stats",
+    "q_semdedup_prune",
+    "q_semdedup_stats",
+    "q_power_iteration_top_eigvec",
+    "q_weighted_sample_es",
+    "q_mann_kendall_trend",
+    # (b) round-10 CHANGED queries (re-certs: HITS output schema widened
+    # to DECIMAL/strings; BLEU/chrF/cluster-audit now read the pair
+    # snapshot; session-variable + holt view cleanup; trigram guard)
     "q_hits_two_iterations",
-    "q_bpe_train_iterations",
-    "q_curation_mixture",
-    "q_permutation_test_hashed",
-    "q_holt_winters_additive",
+    "q_bleu_ngram_precision",
+    "q_chrf_pair_fscore",
+    "q_dedup_clusters_portable",
     "q_sql_session_variables",
-    "q_quantile_normalization",
-    "q_ols_normal_equations",
-    "q_hash_uniformity_audit",
     "q_trigram_like_index",
-    "q_table_fingerprint",
-    "q_kaplan_meier",
-    "q_cusum_changepoint",
     "q_holt_linear_smoothing",
-    "q_isotonic_calibration",
-    "q_cuped_adjustment",
-    "q_label_propagation",
-    "q_logreg_score_text",
-    "q_basket_triples_apriori",
-    # (c) sentinel + flagship drift canary (oldest green verdicts)
+    "q_holt_winters_additive",
+    "q_forecast_backtest",
+    # (c) oldest-verdict drift canaries (VERDICT r9 #5): every slot
+    # below carries only an r1 (25) or r2 (4) driver verdict — 6-8
+    # rounds stale; rotating them to the front refreshes the oldest
+    # certificates in the catalog.
+    "q_agg_first_last",
+    "q_array_higher_order",
+    "q_cast_matrix",
+    "q_conditional_funcs",
+    "q_cube",
+    "q_date_funcs",
+    "q_event_type_rates",
+    "q_except",
+    "q_except_all",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_intersect_all",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_rollup",
+    "q_sliding_window",
+    "q_string_funcs",
+    "q_union_all",
+    "q_union_distinct",
+    "q_window_first_last_value",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank_dense_ntile",
+    "q_window_sliding_frame",
+    "q_avro_roundtrip",
+    "q_grouped_map_zscore",
+    "q_pivot",
+    "q_udtf_token_positions",
+    "q_join_full_outer",
+    # (d) sentinel + flagship drift canary
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# After the r9 rotation every r1-r8 query carries a driver-green verdict
-# from its birth or rotation round; only round-9 additions past the
-# 50-slot budget (none yet) would need an r10 rotation. The computed
-# check stays authoritative:
-# union(CORRECTNESS_r01..r09 keys) vs the registry.
+# r10 window composition (computed): 9 r10-new + 9 r10-changed re-certs
+# + 30 oldest-verdict canaries (the 25 remaining r1-verdict queries + 5
+# r2-verdict picks spanning format/UDF/pivot/UDTF/outer-join surfaces)
+# + the 2 sentinels = 50 exactly. After this window the oldest driver
+# verdict anywhere in the catalog is r2 (23 queries), then r3 (47).
+# The computed check stays authoritative:
+# union(CORRECTNESS_r01..r10 keys) vs the registry.
 
 
 def _ordered_specs() -> list[QuerySpec]:
