@@ -310,6 +310,12 @@ DETAIL_ONLY = [
     "q_power_iteration_top_eigvec",
     "q_weighted_sample_es",
     "q_mann_kendall_trend",
+    "q_logrank_test",
+    "q_nelson_aalen",
+    "q_cliffs_delta",
+    "q_heaps_law_fit",
+    "q_matryoshka_energy",
+    "q_brier_decomposition",
 ]
 
 

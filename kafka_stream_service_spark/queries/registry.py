@@ -87,23 +87,21 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-9 rotation (VERDICT r8 next-steps #1):
-# (a) the 21 never-driver-sampled round-8 queries lead the window —
-# computed as union(CORRECTNESS_r01..r08 keys) vs the 355-name registry
-# (matches the r8 tail comment exactly). All 21 are judge-green in the
-# r8 full-catalog sweep; once CORRECTNESS_r09 lands green, EVERY catalog
-# query has earned a driver verdict at least once.
-# (b) queries round 9 ADDS are inserted after them as they land (new
-# operators get driver verdicts in their birth round) up to the 50-slot
-# budget.
-# (c) q_dedup_minhash_lsh stays as the rows-only sentinel and
-# q01_pricing_summary as the flagship drift canary.
+# ``queries()``. Round-10 rotation (VERDICT r9 next-steps #5): with the
+# whole catalog driver-certified after r9, the window leads with
+# (a) round-10-NEW queries (birth-round verdicts), then
+# (b) round-10-CHANGED queries as re-certs, then
+# (c) the queries whose only driver verdict is OLDEST (the r1 greens
+#     are 8 rounds stale) as drift canaries, and
+# (d) the rows-only sentinel + flagship drift canary.
 # Everything displaced past slot 50 carries a green driver verdict from
-# r1-r8 plus the judge's full-catalog gate.
+# r1-r9 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 9 round-10-new queries (driver verdicts in their birth
+    # (a) the 15 round-10-new queries (driver verdicts in their birth
     # round): the materialized pair index + its incremental delta probe,
-    # the ExactSubstr pair, the SemDeDup pair, and the batch-2 stats ops
+    # the ExactSubstr pair, the SemDeDup pair, and the batch-2/3 ops
+    # (spectral, sampling, trend, survival, effect size, corpus growth,
+    # truncation, calibration)
     "q_pair_index_snapshot",
     "q_pair_index_delta",
     "q_exact_substr_spans",
@@ -113,6 +111,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_power_iteration_top_eigvec",
     "q_weighted_sample_es",
     "q_mann_kendall_trend",
+    "q_logrank_test",
+    "q_nelson_aalen",
+    "q_cliffs_delta",
+    "q_heaps_law_fit",
+    "q_matryoshka_energy",
+    "q_brier_decomposition",
     # (b) round-10 CHANGED queries (re-certs: HITS output schema widened
     # to DECIMAL/strings; BLEU/chrF/cluster-audit now read the pair
     # snapshot; session-variable + holt view cleanup; trigram guard)
@@ -148,26 +152,21 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_sliding_window",
     "q_string_funcs",
     "q_union_all",
-    "q_union_distinct",
     "q_window_first_last_value",
     "q_window_lag_lead",
     "q_window_range_frame",
     "q_window_rank_dense_ntile",
     "q_window_sliding_frame",
-    "q_avro_roundtrip",
-    "q_grouped_map_zscore",
-    "q_pivot",
-    "q_udtf_token_positions",
-    "q_join_full_outer",
     # (d) sentinel + flagship drift canary
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r10 window composition (computed): 9 r10-new + 9 r10-changed re-certs
-# + 30 oldest-verdict canaries (the 25 remaining r1-verdict queries + 5
-# r2-verdict picks spanning format/UDF/pivot/UDTF/outer-join surfaces)
-# + the 2 sentinels = 50 exactly. After this window the oldest driver
-# verdict anywhere in the catalog is r2 (23 queries), then r3 (47).
+# r10 window composition (computed): 15 r10-new + 9 r10-changed
+# re-certs + 24 oldest-verdict canaries (24 of the 25 remaining
+# r1-verdict queries; q_union_distinct defers to r11 — its union family
+# is covered in-window by q_union_all) + the 2 sentinels = 50 exactly.
+# After this window the oldest driver verdict anywhere in the catalog
+# is r1 (q_union_distinct), then r2 (28), then r3 (47) — r11 canaries.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
 

@@ -192,3 +192,80 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     mean_all = sum(x.n_chars for x in d) / len(d)
     mean_sample = sum(r.w for r in rows) / len(rows)
     assert mean_sample > mean_all
+
+
+def test_cliffs_delta_invariants(spark):
+    r = QUERIES["q_cliffs_delta"].spark_fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.two_u1 + r.two_u2 == 2 * r.n1 * r.n2  # 2U conservation
+    assert -1_000_000 <= r.cliffs_delta_q6 <= 1_000_000
+    # delta must match the U identity exactly
+    import math
+    assert r.cliffs_delta_q6 == math.floor(
+        1e6 * (r.two_u1 - r.two_u2) / (2.0 * r.n1 * r.n2)
+    )
+
+
+def test_heaps_points_monotone_and_sublinear(spark):
+    rows = sorted(
+        QUERIES["q_heaps_law_fit"].spark_fn(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.f,
+    )
+    assert [r.f for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens > a.n_tokens
+        assert b.v_words >= a.v_words
+    # 31-word vocab saturates instantly -> strongly sublinear growth
+    betas = {r.beta_q6 for r in rows}
+    assert len(betas) == 1
+    assert 0 <= betas.pop() < 1_000_000
+
+
+def test_matryoshka_energy_monotone_in_prefix(spark):
+    rows = QUERIES["q_matryoshka_energy"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, {})[r.d] = r.avg_cos_q6
+    for label, d in by_label.items():
+        assert set(d) == {8, 16, 32, 64}
+        assert d[8] <= d[16] <= d[32] <= d[64]
+        assert d[64] == 1_000_000  # the full prefix IS the vector
+
+
+def test_survival_tier_consistency(spark):
+    """Nelson-Aalen cumulative hazard must be nonnegative, nondecreasing,
+    and >= the KM -ln(S) at every duration (the classic H_NA <= -ln(S_KM)
+    inequality is reversed for these estimators: -ln(1-x) >= x, so KM's
+    -ln S >= NA's H; with per-term floor quantization allow len ulps)."""
+    na = sorted(
+        QUERIES["q_nelson_aalen"].spark_fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.t_days,
+    )
+    km = {
+        r.t_days: r.ln_surv_q6
+        for r in QUERIES["q_kaplan_meier"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    prev = 0
+    comparable = True
+    for i, r in enumerate(na):
+        assert r.cumhaz_q6 >= prev
+        prev = r.cumhaz_q6
+        if r.n_risk == r.n_events:
+            # risk set dies: KM's ln(0) term is NULL and its running sum
+            # stops accumulating, so the inequality no longer applies
+            comparable = False
+        if comparable and km.get(r.t_days) is not None:
+            # -ln S_KM >= H_NA, up to one quantization ulp per term
+            assert -km[r.t_days] >= r.cumhaz_q6 - (i + 1)
+
+
+def test_logrank_and_brier_sane(spark):
+    lr = QUERIES["q_logrank_test"].spark_fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert lr.o1 > 0 and lr.v_sum_q9 > 0
+    # priority is assigned independently of returnflag in the fixture ->
+    # no real effect; z should be small (|z| < 5)
+    assert abs(lr.z_q6) < 5_000_000
+    br = QUERIES["q_brier_decomposition"].spark_fn(spark, "/root/testdata/sf0.01").collect()
+    uncs = {r.unc_q9 for r in br}
+    assert len(uncs) == 1
+    for r in br:
+        assert r.rel_term_q9 >= 0 and r.res_term_q9 >= 0

@@ -91,9 +91,12 @@ def test_hits_roles_and_ranks(spark):
     for role, rs in by_role.items():
         ranks = sorted(r.rnk for r in rs)
         assert ranks == list(range(1, len(ranks) + 1))
-        # rank order follows (score2 desc, entity_id)
-        ordered = sorted(rs, key=lambda r: (-r.score2, r.entity_id))
+        # rank order follows (score2 desc, entity_id); scores are emitted
+        # as canonical integer strings (DECIMAL/HUGEINT carrier, ADVICE
+        # r9 overflow-envelope fix) — parse for the numeric check
+        ordered = sorted(rs, key=lambda r: (-int(r.score2_str), r.entity_id))
         assert [r.rnk for r in ordered] == ranks
+        assert all(int(r.score2_str) >= int(r.score1_str) >= 1 for r in rs)
 
 
 def test_runs_test_statistic_sane(spark):
