@@ -316,6 +316,7 @@ DETAIL_ONLY = [
     "q_heaps_law_fit",
     "q_matryoshka_energy",
     "q_brier_decomposition",
+    "q_stream_weighted_sample_replay",
 ]
 
 

@@ -117,6 +117,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_heaps_law_fit",
     "q_matryoshka_energy",
     "q_brier_decomposition",
+    "q_stream_weighted_sample_replay",
     # (b) round-10 CHANGED queries (re-certs: HITS output schema widened
     # to DECIMAL/strings; BLEU/chrF/cluster-audit now read the pair
     # snapshot; session-variable + holt view cleanup; trigram guard)
@@ -144,7 +145,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_except_all",
     "q_grouping_sets",
     "q_intersect",
-    "q_intersect_all",
     "q_json_funcs",
     "q_map_funcs",
     "q_math_funcs",
@@ -161,12 +161,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r10 window composition (computed): 15 r10-new + 9 r10-changed
-# re-certs + 24 oldest-verdict canaries (24 of the 25 remaining
-# r1-verdict queries; q_union_distinct defers to r11 — its union family
-# is covered in-window by q_union_all) + the 2 sentinels = 50 exactly.
-# After this window the oldest driver verdict anywhere in the catalog
-# is r1 (q_union_distinct), then r2 (28), then r3 (47) — r11 canaries.
+# r10 window composition (computed): 16 r10-new + 9 r10-changed
+# re-certs + 23 oldest-verdict canaries (23 of the 25 remaining
+# r1-verdict queries; q_union_distinct and q_intersect_all defer to r11
+# — their set-op families are covered in-window by q_union_all /
+# q_intersect) + the 2 sentinels = 50 exactly. After this window the
+# oldest driver verdicts anywhere are those two r1 rows, then r2 (28),
+# then r3 (47) — the r11 canary pool.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
 

@@ -427,3 +427,82 @@ def test_sliding_window_survives_between_epoch_restart(spark, duck, tmp_path):
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"sliding-window state lost across restart: {problems}"
+
+
+def test_weighted_reservoir_survives_between_epoch_restart(spark, duck, tmp_path):
+    """Kill-between-epochs restart for the round-10 streaming A-ES
+    reservoir: run 1 processes chunk 0 (the DIV-20-even docs) and stops;
+    run 2 reveals chunk 1 and resumes from the same checkpoint. The
+    resumed operator must rehydrate every source's top-k state so its
+    batch-1 emission is the FULL-corpus reservoir — losing state would
+    instead emit a chunk-1-only reservoir and flip the oracle hash.
+    union(run1, run2) must equal q_stream_weighted_sample_replay's
+    oracle exactly."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries import streaming_replay as sr
+    from kafka_stream_service_spark.queries.round10d import (
+        _es_keyed_frame,
+        build_reservoir_stream,
+    )
+
+    keyed = _es_keyed_frame(spark, SF)
+    chunk = F.expr("(doc_id DIV 20) % 2")
+    chunks = [keyed.filter(chunk == 0), keyed.filter(chunk == 1)]
+    staged = []
+    for i, c in enumerate(chunks):
+        d = tmp_path / f"stage_{i}"
+        c.coalesce(1).write.parquet(str(d))
+        (part,) = glob.glob(str(d / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        collected.append(batch_df.toPandas())
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(prov_key, sr.HDFS_STATE_PROVIDER)
+    try:
+        for i, part in enumerate(staged):
+            shutil.copy(part, str(flat / f"{i:02d}.parquet"))
+            os.utime(str(flat / f"{i:02d}.parquet"))
+            stream = (
+                spark.readStream.schema(keyed.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(flat))
+            )
+            q = (
+                build_reservoir_stream(stream)
+                .writeStream.foreachBatch(collect_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # the between-epochs "kill": checkpoint keeps state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set(prov_key, prev_prov)
+
+    merged = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    spec = QUERIES["q_stream_weighted_sample_replay"]
+    problems = compare(
+        "q_stream_weighted_sample_replay(restart)",
+        merged,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"reservoir state lost across restart: {problems}"

@@ -269,3 +269,18 @@ def test_logrank_and_brier_sane(spark):
     assert len(uncs) == 1
     for r in br:
         assert r.rel_term_q9 >= 0 and r.res_term_q9 >= 0
+
+
+def test_stream_reservoir_final_state_equals_batch_sample(spark):
+    """The streaming reservoir's FULL-corpus emission must be
+    row-identical to the batch q_weighted_sample_es — the batch==stream
+    equality contract for the sampling tier."""
+    sf = "/root/testdata/sf0.01"
+    batch = {
+        (r.source, r.doc_id, r.w, r.key_q9, r.rnk)
+        for r in QUERIES["q_weighted_sample_es"].spark_fn(spark, sf).collect()
+    }
+    stream_rows = QUERIES["q_stream_weighted_sample_replay"].spark_fn(spark, sf).collect()
+    assert batch <= {
+        (r.source, r.doc_id, r.w, r.key_q9, r.rnk) for r in stream_rows
+    }, "every batch top-k row must appear in the stream's merged emission"
