@@ -385,32 +385,39 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "centroid_id")
         .agg(F.sum(F.col("val") * F.col("s")).cast("bigint").alias("x"))
     )
-    # intra-cluster duplicate edges, integer threshold
-    a = m.select(
-        F.col("centroid_id").alias("c"),
-        F.col("vec_id").alias("id_a"),
-        F.col("qv").alias("qa"),
-        F.col("nrm").alias("na"),
-    )
-    b = m.select(
-        F.col("centroid_id").alias("c"),
-        F.col("vec_id").alias("id_b"),
-        F.col("qv").alias("qb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = idot(F.col("qa"), F.col("qb"))
-    edges = (
-        a.join(b, "c")
-        .filter(F.col("id_b") > F.col("id_a"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(10000) * F.col("dot") * F.col("dot")
-                >= F.lit(_SEM_TAU2_BP) * F.col("na") * F.col("nb")
-            )
+    # Intra-cluster duplicate edges, integer threshold. The pair dots
+    # run as ONE exact int64 numpy matmul per cluster block
+    # (applyInPandas — the blocked_cosine_pairs treatment): a per-pair
+    # zip_with dot was measured 4.6 s at sf0.1 because the self-join on
+    # 8 centroid keys caps parallelism at 8 tasks of codegen lambda
+    # work, while the matmul scores the same block in milliseconds.
+    # int64 matmul is EXACT (|dot| <= 127^2*64 ~ 1e6; the threshold
+    # cross-multiplications stay <= ~1.7e15), so the edge set is
+    # bit-identical to the SQL expression the oracle states.
+    import numpy as np
+    import pandas as pd
+
+    def edge_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+        dots = mat @ mat.T
+        nrm = np.diag(dots)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = dots[ia, ib]
+        keep = (d > 0) & (
+            10000 * d * d >= _SEM_TAU2_BP * nrm[ia] * nrm[ib]
         )
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        a_ids, b_ids = ids[ia[keep]], ids[ib[keep]]
+        swap = a_ids > b_ids
+        return pd.DataFrame(
+            {
+                "src": np.where(swap, b_ids, a_ids),
+                "dst": np.where(swap, a_ids, b_ids),
+            }
+        )
+
+    edges = m.select("centroid_id", "vec_id", "qv").groupBy("centroid_id").applyInPandas(
+        edge_block, schema="src long, dst long"
     )
     from ..operators.graph import connected_components
 
