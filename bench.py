@@ -317,6 +317,7 @@ DETAIL_ONLY = [
     "q_matryoshka_energy",
     "q_brier_decomposition",
     "q_stream_weighted_sample_replay",
+    "q_pair_containment",
 ]
 
 

@@ -118,6 +118,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_matryoshka_energy",
     "q_brier_decomposition",
     "q_stream_weighted_sample_replay",
+    "q_pair_containment",
     # (b) round-10 CHANGED queries (re-certs: HITS output schema widened
     # to DECIMAL/strings; BLEU/chrF/cluster-audit now read the pair
     # snapshot; session-variable + holt view cleanup; trigram guard)
@@ -142,7 +143,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_date_funcs",
     "q_event_type_rates",
     "q_except",
-    "q_except_all",
     "q_grouping_sets",
     "q_intersect",
     "q_json_funcs",
@@ -161,13 +161,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r10 window composition (computed): 16 r10-new + 9 r10-changed
-# re-certs + 23 oldest-verdict canaries (23 of the 25 remaining
-# r1-verdict queries; q_union_distinct and q_intersect_all defer to r11
-# — their set-op families are covered in-window by q_union_all /
-# q_intersect) + the 2 sentinels = 50 exactly. After this window the
-# oldest driver verdicts anywhere are those two r1 rows, then r2 (28),
-# then r3 (47) — the r11 canary pool.
+# r10 window composition (computed): 17 r10-new + 9 r10-changed
+# re-certs + 22 oldest-verdict canaries (22 of the 25 remaining
+# r1-verdict queries; q_union_distinct, q_intersect_all, and
+# q_except_all defer to r11 — their set-op families are covered
+# in-window by q_union_all / q_intersect / q_except) + the 2 sentinels
+# = 50 exactly. After this window the oldest driver verdicts anywhere
+# are those three r1 rows, then r2 (28), then r3 (47) — the r11 canary
+# pool.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
 

@@ -484,3 +484,75 @@ def q_pair_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_delta_endpoints"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring over the pair-index snapshot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pair_containment",
+    oracle=_PAIRS_CTE
+    + """,
+    sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh)
+    SELECT f.id_a, f.id_b, f.n_inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(f.n_inter * 1000000 // LEAST(sa.n_sh, sb.n_sh) AS BIGINT)
+             AS containment_q6,
+           CAST(f.n_inter * 1000000 // f.n_union AS BIGINT) AS jaccard_q6
+    FROM fpairs f
+    JOIN sz sa ON sa.doc_id = f.id_a
+    JOIN sz sb ON sb.doc_id = f.id_b
+    """,
+    tags=("dedup", "similarity", "containment", "index", "llm-data", "round10"),
+)
+def q_pair_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT scoring of the verified near-dup pairs — the
+    asymmetric companion to Jaccard: C = |A∩B| / min(|A|,|B|) is ~1
+    when one document's shingle set sits INSIDE the other's (quoting,
+    wrapping, boilerplate-plus-content), a duplication mode symmetric
+    Jaccard understates exactly when the size ratio is large. Completes
+    the pair-quality tier (Jaccard verdict, BLEU precision, chrF
+    F-score, now containment) — all four read the SAME materialized
+    pair-index snapshot.
+
+    Exactness: intersection counts come from the snapshot (hash-
+    certified); shingle-set sizes are exact integers from one scan; the
+    score is an integer floor division.
+
+    Scale shape: the snapshot read is candidate-scale; the two size
+    joins are doc-grain against a scan-derived frame. Nothing touches
+    the corpus pair space.
+    """
+    from ..operators.dedup import word_shingles_from_tokens
+    from .dedup2 import pair_index
+
+    fpairs = pair_index(spark, sf_dir)
+    d = tables(spark, sf_dir)["documents"]
+    sz = d.select(
+        "doc_id",
+        F.size(
+            word_shingles_from_tokens(F.split(F.col("text"), " "), SHINGLE_N)
+        )
+        .cast("bigint")
+        .alias("n_sh"),
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        fpairs.select("id_a", "id_b", "n_inter", "n_union")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("n_inter * 1000000 DIV least(n_a, n_b)")
+            .cast("bigint")
+            .alias("containment_q6"),
+            F.expr("n_inter * 1000000 DIV n_union").cast("bigint").alias("jaccard_q6"),
+        )
+    )
