@@ -85,9 +85,12 @@ def snapshot_dir(tag: str, sf_dir: str) -> str:
     for materialized index artifacts (e.g. the verified-pair snapshot)
     that one catalog query BUILDS and several others READ across
     invocations in the same session or process group. Builders must
-    write atomically (parquet mode=overwrite + _SUCCESS marker) so
-    readers never observe partial state; cache invalidation is the
-    builder's job via a revision token in the artifact subpath."""
+    publish atomically — write the parquet (with its _SUCCESS marker)
+    to a temp sibling, then os.rename the complete directory into
+    place (see dedup2.build_pair_index) — so readers never observe
+    partial state even against a concurrent rebuild; cache
+    invalidation is the builder's job via a revision token PLUS a
+    source-data fingerprint in the artifact subpath."""
     import hashlib
     import os
     import tempfile

@@ -26,17 +26,6 @@ from .registry import query
 
 # --- shared shingle helpers -------------------------------------------------
 
-from ..operators.dedup import word_shingles as _op_word_shingles  # noqa: E402
-
-
-def _tokens(col: str = "text") -> F.Column:
-    return F.split(F.col(col), " ")
-
-
-def _word_shingles(n: int = 3, col: str = "text") -> F.Column:
-    return _op_word_shingles(F.col(col), n)
-
-
 SHINGLES_SQL = """
   list_distinct(list_transform(
     range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),

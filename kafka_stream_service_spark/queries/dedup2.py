@@ -166,29 +166,63 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 PAIR_INDEX_REV = f"r1k{K}b{BANDS}n{SHINGLE_N}"
 
 
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the corpus the pair index derives from
+    (documents.parquet mtime+size), baked into the artifact subpath so
+    regenerating the fixture data under the SAME path invalidates the
+    snapshot — without it, a rebuilt corpus would silently serve stale
+    pairs to consumers (ADVICE r10)."""
+    import hashlib
+    import os
+
+    from ..tables import table_path
+
+    st = os.stat(table_path(sf_dir, "documents"))
+    return hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+
+
 def pair_index_path(sf_dir: str) -> str:
     import os
 
     from ._util import snapshot_dir
 
-    return os.path.join(snapshot_dir("pair_index", sf_dir), PAIR_INDEX_REV)
+    return os.path.join(
+        snapshot_dir("pair_index", sf_dir),
+        f"{PAIR_INDEX_REV}_{_documents_fingerprint(sf_dir)}",
+    )
 
 
 def build_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the Jaccard-verified near-dup pair table and persist it as
-    the keyed pair-index snapshot (overwrite), returning the READ-BACK
-    frame — so the caller observes exactly what later consumers will.
-    Written sorted by (id_a, id_b): pair parquet row groups then carry
-    tight min/max zone maps on both key columns, and downstream
-    per-pair joins read clustered keys."""
+    the keyed pair-index snapshot, returning the READ-BACK frame — so
+    the caller observes exactly what later consumers will. Written
+    sorted by (id_a, id_b): pair parquet row groups then carry tight
+    min/max zone maps on both key columns, and downstream per-pair
+    joins read clustered keys.
+
+    Publication is ATOMIC: the parquet lands in a pid-suffixed temp
+    sibling, then one ``os.rename`` moves the complete directory (with
+    its ``_SUCCESS`` marker already inside) into place. A concurrent
+    reader therefore sees the final path either absent or complete —
+    never mid-overwrite — and a concurrent builder that loses the
+    rename race just discards its temp dir and reads the winner's
+    (identical, deterministic) artifact."""
     import os
+    import shutil
 
     _, fpairs = _verified_pairs(spark, sf_dir)
     out = pair_index_path(sf_dir)
-    fpairs.sortWithinPartitions("id_a", "id_b").write.mode("overwrite").parquet(out)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    fpairs.sortWithinPartitions("id_a", "id_b").write.mode("overwrite").parquet(tmp)
     # Paranoia: parquet commit must have left the _SUCCESS marker
     # consumers key freshness on.
-    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # Another builder published first; its artifact is bit-identical
+        # (deterministic derivation over the same fingerprinted corpus).
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(out)
 
 
@@ -199,7 +233,9 @@ def pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer sampled before the builder pays the build exactly once).
     Deterministic derivation over static inputs means read-vs-build can
     never disagree; the revision token in the path invalidates
-    snapshots written by older derivation code."""
+    snapshots written by older derivation code, and the corpus
+    fingerprint in the path invalidates snapshots built from
+    regenerated fixture data."""
     import os
 
     out = pair_index_path(sf_dir)

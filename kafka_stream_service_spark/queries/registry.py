@@ -97,7 +97,7 @@ def query(
 # Everything displaced past slot 50 carries a green driver verdict from
 # r1-r9 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 15 round-10-new queries (driver verdicts in their birth
+    # (a) the 17 round-10-new queries (driver verdicts in their birth
     # round): the materialized pair index + its incremental delta probe,
     # the ExactSubstr pair, the SemDeDup pair, and the batch-2/3 ops
     # (spectral, sampling, trend, survival, effect size, corpus growth,

@@ -376,10 +376,15 @@ _HEAPS_BUCKETS = 10
       FROM (SELECT unnest(range(1, {_HEAPS_BUCKETS + 1})) AS f) f
     ),
     q AS (
+      -- drop empty prefixes (no tokens yet / no word types yet) so the
+      -- point set matches the Spark side's inner joins exactly — a NULL
+      -- or 0 here would otherwise skew k and hit ln(0) on sparse data
       SELECT f, n_tokens, v_words,
              CAST(FLOOR(1000000.0 * ln(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS x_q6,
              CAST(FLOOR(1000000.0 * ln(CAST(v_words AS DOUBLE))) AS BIGINT) AS y_q6
       FROM pts
+      WHERE n_tokens IS NOT NULL AND n_tokens > 0
+        AND v_words IS NOT NULL AND v_words > 0
     ),
     fit AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,

@@ -61,3 +61,26 @@ def test_revision_token_is_in_the_path():
     # bumping PAIR_INDEX_REV must change the artifact location, so stale
     # snapshots from older derivation code can never be read
     assert PAIR_INDEX_REV in pair_index_path(SF)
+
+
+def test_corpus_fingerprint_is_in_the_path():
+    # regenerating the fixture under the same sf_dir must change the
+    # artifact location (ADVICE r10): the subpath carries a fingerprint
+    # of documents.parquet (mtime+size), distinct per corpus
+    from kafka_stream_service_spark.queries.dedup2 import _documents_fingerprint
+
+    fp = _documents_fingerprint(SF)
+    assert fp in pair_index_path(SF)
+    assert fp != _documents_fingerprint("/root/testdata/sf0.01")
+
+
+def test_build_publishes_atomically(spark):
+    # the build writes to a temp sibling and renames the COMPLETE dir
+    # into place — after it returns, the final path holds _SUCCESS and
+    # no temp sibling remains (readers can never see a partial rewrite)
+    build_pair_index(spark, SF)
+    path = pair_index_path(SF)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    parent = os.path.dirname(path)
+    leftovers = [n for n in os.listdir(parent) if ".tmp." in n]
+    assert not leftovers, f"temp publication dirs left behind: {leftovers}"
