@@ -244,6 +244,83 @@ def pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+# ---------------------------------------------------------------------------
+# Stored band-bucket index (VERDICT r10 #2): the banded LSH table itself,
+# persisted beside the pair snapshot, so incremental probes join a new
+# slice's banded rows against STORED base buckets instead of re-deriving
+# corpus signatures per invocation — O(delta x bucket occupancy).
+# ---------------------------------------------------------------------------
+
+
+def bucket_index_path(sf_dir: str) -> str:
+    import os
+
+    from ._util import snapshot_dir
+
+    return os.path.join(
+        snapshot_dir("pair_index", sf_dir),
+        f"{PAIR_INDEX_REV}_{_documents_fingerprint(sf_dir)}_buckets",
+    )
+
+
+def build_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the full-corpus banded LSH table as
+    (band, bucket, doc_id, bucket_n) — one row per (doc, band), with the
+    bucket's distinct-doc census denormalized onto every member row so a
+    probe can apply the standard 2..cap bucket filter without touching
+    any row outside the buckets it joins. Published atomically (temp
+    sibling + rename, same contract as the pair snapshot), sorted by
+    (band, bucket) for zone-map pruning under the probe's equi-join.
+
+    This is the index half of the production incremental shape: pair
+    discovery for NEW documents is banded-slice-join-stored-buckets, so
+    its cost is O(delta x bucket occupancy) regardless of corpus size."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..operators.dedup import band_buckets
+
+    d = tables(spark, sf_dir)["documents"]
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    sh = toked.select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
+    )
+    sig = typed_minhash_signatures(sh, K)
+    banded = sig.select(
+        "doc_id", F.explode(band_buckets(F.col("sig"), BANDS, K // BANDS)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    # (doc_id, band) is unique, so a plain count over the bucket window
+    # IS the distinct-doc census.
+    census = banded.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")).cast("int"),
+    )
+    out = bucket_index_path(sf_dir)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    census.sortWithinPartitions("band", "bucket").write.mode("overwrite").parquet(tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
+def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored band-bucket table for probes: read the persisted artifact
+    when present, else build once (self-healing, same contract as
+    :func:`pair_index`; deterministic derivation means read-vs-build can
+    never disagree)."""
+    import os
+
+    out = bucket_index_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        return build_bucket_index(spark, sf_dir)
+    return spark.read.parquet(out)
+
+
 @query(
     "q_pair_index_snapshot",
     oracle=_PAIRS_CTE

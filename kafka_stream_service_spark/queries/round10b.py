@@ -410,58 +410,79 @@ _DELTA_REM = 7  # doc_id % 10 == 7 -> the "newly arrived" slice (~10%)
     tags=("dedup", "minhash", "lsh", "index", "incremental", "llm-data", "round10"),
 )
 def q_pair_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental PAIR-INDEX refresh: the ~10% "newly arrived" slice
-    (doc_id % {_DELTA_MOD} == {_DELTA_REM}) probes the banded LSH index
-    and emits exactly the verified pairs with at least one delta
-    endpoint — the rows a snapshot refresh appends to
-    q_pair_index_snapshot's artifact. Candidate generation touches ONLY
-    buckets containing a delta doc, and within them only delta-crossing
-    pairs (a delta-endpoint pair necessarily lives in a delta-containing
-    bucket, so this prunes nothing it shouldn't): the incremental probe
-    shape of q_dedup_incremental_fast lifted from doc grain to pair
-    grain. The oracle derives the FULL pair set and filters — so the
-    hash verdict proves the incremental probe finds exactly the pairs a
-    full rebuild would.
+    """Incremental PAIR-INDEX refresh, production shape (VERDICT r10
+    #2): the ~10% "newly arrived" slice (doc_id % {_DELTA_MOD} ==
+    {_DELTA_REM}) is signed and banded FRESH — linear in the delta only
+    — and its banded rows equi-join the STORED band-bucket index
+    (dedup2.bucket_index, persisted beside the pair snapshot) to find
+    candidate partners; exact-Jaccard verification then re-shingles
+    only the candidate endpoints. Nothing in the probe touches the
+    corpus at signature grain: the base side's buckets come from
+    parquet, complete with the denormalized bucket census the standard
+    2..1000 cap filter reads. The oracle derives the FULL pair set and
+    filters to delta-crossing rows — so the hash verdict proves
+    stored-index-probe == full-rebuild on exactly the rows a snapshot
+    refresh would append.
 
-    Scale shape: signature/banding work is linear in the corpus here
-    (the oracle needs the full derivation); in production the base
-    side's band buckets COME FROM the stored index, so the probe costs
-    O(delta x bucket-occupancy) — the measured 11.8x-at-x16 envelope of
-    the incremental-dedup family. The bucket-size cap bounds every
-    in-bucket expansion.
+    Exactness: the stored buckets are the same deterministic banding
+    the full rebuild computes (typed md5 signatures); a delta-endpoint
+    pair necessarily shares a delta-containing bucket, so the probe
+    prunes nothing it shouldn't, and the cap census equals the full
+    derivation's COUNT(DISTINCT doc_id) because (doc_id, band) is
+    unique in the index.
+
+    Scale shape: probe cost is O(delta x bucket occupancy) — the
+    incremental-dedup envelope lifted from doc grain to pair grain —
+    plus a candidate-scale shingle verify; the bucket-size cap bounds
+    every in-bucket expansion. Self-healing: a cold run builds the
+    bucket artifact once, exactly like the pair snapshot's consumers.
     """
     from ..operators.dedup import band_buckets, word_shingles_from_tokens
+    from .dedup2 import bucket_index
 
+    is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
     d = tables(spark, sf_dir)["documents"]
-    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    sh = toked.select(
+
+    # Delta side: shingle + sign ONLY the new slice (linear in delta).
+    toked_new = d.filter(is_delta).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    sh_new = toked_new.select(
         "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
     ).localCheckpoint(eager=False)
-    sig = typed_minhash_signatures(sh, K)
-    banded = sig.select(
+    sig_new = typed_minhash_signatures(sh_new, K)
+    banded_new = sig_new.select(
         "doc_id", F.explode(band_buckets(F.col("sig"), BANDS, K // BANDS)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
-    is_delta = (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
-    grouped = (
-        banded.withColumn("d", is_delta.cast("int"))
-        .groupBy("band", "bucket")
-        .agg(
-            F.array_sort(F.collect_set("doc_id")).alias("ids"),
-            F.max("d").alias("has_delta"),
-        )
-        .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= 1000) & (F.col("has_delta") == 1)
-        )
+    ).select(F.col("doc_id").alias("new_id"), "bb.band", "bb.bucket")
+
+    # Base side: the STORED banded index (parquet scan, never re-derived).
+    stored = bucket_index(spark, sf_dir).filter(
+        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= 1000)
     )
     cand = (
-        grouped.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_b") > F.col("id_a"))
-        .filter(
-            ((F.col("id_a") % _DELTA_MOD) == _DELTA_REM)
-            | ((F.col("id_b") % _DELTA_MOD) == _DELTA_REM)
+        banded_new.join(stored, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select(
+            F.least("new_id", "doc_id").alias("id_a"),
+            F.greatest("new_id", "doc_id").alias("id_b"),
         )
         .distinct()
+    )
+
+    # Verify at candidate grain: shingle only the endpoint docs.
+    end_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        d.join(end_ids, "doc_id", "left_semi")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
     )
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -96,6 +96,42 @@ def test_pair_consumers_scan_the_snapshot(spark):
     )
 
 
+def test_bucket_index_seam_is_a_parquet_scan(spark):
+    """bucket_index() with the artifact present must be a pure parquet
+    read of the banded table — no signature derivation (aggregate)
+    anywhere in its plan."""
+    from kafka_stream_service_spark.queries.dedup2 import (
+        bucket_index,
+        bucket_index_path,
+        build_bucket_index,
+    )
+
+    build_bucket_index(spark, SF)
+    plan = physical_plan(bucket_index(spark, SF))
+    token = bucket_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "bucket_index() does not scan the stored artifact"
+    assert "Aggregate" not in plan and "HashAggregate" not in plan, (
+        "bucket_index() re-derives instead of reading the artifact"
+    )
+
+
+def test_delta_probe_reads_stored_buckets(spark):
+    """q_pair_index_delta (VERDICT r10 #2) must probe the STORED bucket
+    index: with the artifact present, its plan scans the buckets
+    parquet directly (the probe side's shingle scans hide behind
+    localCheckpoint, but the stored side is a plain read)."""
+    from kafka_stream_service_spark.queries.dedup2 import (
+        bucket_index_path,
+        build_bucket_index,
+    )
+
+    build_bucket_index(spark, SF)
+    plan = physical_plan(QUERIES["q_pair_index_delta"].spark_fn(spark, SF))
+    token = bucket_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "delta probe does not read the stored bucket index"
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_broadcasts_cluster_frames(spark):
     df = QUERIES["q_semdedup_prune"].spark_fn(spark, SF)
     assert_broadcast_join(df, at_least=1)  # the K-row ns frame
