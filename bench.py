@@ -318,6 +318,9 @@ DETAIL_ONLY = [
     "q_brier_decomposition",
     "q_stream_weighted_sample_replay",
     "q_pair_containment",
+    # round-11 additions (stored-index probes stay detail rows: the
+    # headline budget holds at 57 rows / ~1.66 KB)
+    "q_semdedup_delta_edges",
 ]
 
 

@@ -167,18 +167,11 @@ PAIR_INDEX_REV = f"r1k{K}b{BANDS}n{SHINGLE_N}"
 
 
 def _documents_fingerprint(sf_dir: str) -> str:
-    """Cheap fingerprint of the corpus the pair index derives from
-    (documents.parquet mtime+size), baked into the artifact subpath so
-    regenerating the fixture data under the SAME path invalidates the
-    snapshot — without it, a rebuilt corpus would silently serve stale
-    pairs to consumers (ADVICE r10)."""
-    import hashlib
-    import os
+    """Fingerprint of the corpus the pair index derives from
+    (documents.parquet mtime+size) — see ``_util.table_fingerprint``."""
+    from ._util import table_fingerprint
 
-    from ..tables import table_path
-
-    st = os.stat(table_path(sf_dir, "documents"))
-    return hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    return table_fingerprint(sf_dir, "documents")
 
 
 def pair_index_path(sf_dir: str) -> str:
@@ -207,22 +200,11 @@ def build_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     never mid-overwrite — and a concurrent builder that loses the
     rename race just discards its temp dir and reads the winner's
     (identical, deterministic) artifact."""
-    import os
-    import shutil
+    from ._util import publish_atomic
 
     _, fpairs = _verified_pairs(spark, sf_dir)
     out = pair_index_path(sf_dir)
-    tmp = f"{out}.tmp.{os.getpid()}"
-    fpairs.sortWithinPartitions("id_a", "id_b").write.mode("overwrite").parquet(tmp)
-    # Paranoia: parquet commit must have left the _SUCCESS marker
-    # consumers key freshness on.
-    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        # Another builder published first; its artifact is bit-identical
-        # (deterministic derivation over the same fingerprinted corpus).
-        shutil.rmtree(tmp, ignore_errors=True)
+    publish_atomic(fpairs, out, sort_cols=("id_a", "id_b"))
     return spark.read.parquet(out)
 
 
@@ -275,12 +257,10 @@ def build_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the index half of the production incremental shape: pair
     discovery for NEW documents is banded-slice-join-stored-buckets, so
     its cost is O(delta x bucket occupancy) regardless of corpus size."""
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
     from ..operators.dedup import band_buckets
+    from ._util import publish_atomic
 
     d = tables(spark, sf_dir)["documents"]
     toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -298,13 +278,7 @@ def build_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")).cast("int"),
     )
     out = bucket_index_path(sf_dir)
-    tmp = f"{out}.tmp.{os.getpid()}"
-    census.sortWithinPartitions("band", "bucket").write.mode("overwrite").parquet(tmp)
-    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    publish_atomic(census, out, sort_cols=("band", "bucket"))
     return spark.read.parquet(out)
 
 
