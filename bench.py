@@ -321,6 +321,10 @@ DETAIL_ONLY = [
     # round-11 additions (stored-index probes stay detail rows: the
     # headline budget holds at 57 rows / ~1.66 KB)
     "q_semdedup_delta_edges",
+    "q_knn_ivf_stored",
+    "q_rrf_fusion",
+    "q_mrr_recall_eval",
+    "q_rouge2_pair_scores",
 ]
 
 
