@@ -325,6 +325,10 @@ DETAIL_ONLY = [
     "q_rrf_fusion",
     "q_mrr_recall_eval",
     "q_rouge2_pair_scores",
+    "q_kneser_ney_bigram",
+    "q_jensen_shannon_sources",
+    "q_kruskal_wallis",
+    "q_mmr_rerank",
 ]
 
 
