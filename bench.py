@@ -329,6 +329,11 @@ DETAIL_ONLY = [
     "q_jensen_shannon_sources",
     "q_kruskal_wallis",
     "q_mmr_rerank",
+    "q_good_turing_smoothing",
+    "q_pmi_collocations",
+    "q_mcnemar_filters",
+    "q_wilcoxon_signed_rank",
+    "q_friedman_test",
 ]
 
 
