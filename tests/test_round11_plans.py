@@ -1,0 +1,106 @@
+"""Plan-shape assertions for the round-11 operators: shuffle budgets,
+broadcast shapes, and the stored-index read seams the docstrings claim.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_stream_service_spark.plans import physical_plan
+from kafka_stream_service_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # delta quantize + stored-centroid assign + per-cluster blocks + CC
+        ("q_semdedup_delta_edges", 8),
+        # probe rank window + member fetch + topk window
+        ("q_knn_ivf_stored", 4),
+        # one scored frame, three windows on it, no re-scan
+        ("q_rrf_fusion", 3),
+        # one scored frame, one window, one query-grain rollup
+        ("q_mrr_recall_eval", 3),
+        # endpoint bigram census + overlap join + totals
+        ("q_rouge2_pair_scores", 8),
+        # bigram/unigram/type rollups + broadcast joins
+        ("q_kneser_ney_bigram", 5),
+        # (source, word) rollup + margins + grid
+        ("q_jensen_shannon_sources", 6),
+        # value census + group-value rollup + group grain
+        ("q_kruskal_wallis", 7),
+        # pool window + grouped-map greedy
+        ("q_mmr_rerank", 4),
+        # bigram rollup + count-of-counts + bounded lead window
+        ("q_good_turing_smoothing", 7),
+        ("q_pmi_collocations", 5),
+        # one scan, one 4-cell rollup
+        ("q_mcnemar_filters", 1),
+        # day rollup + self-join + census windows
+        ("q_wilcoxon_signed_rank", 8),
+        # (day, type) rollup + block windows + treatment grain
+        ("q_friedman_test", 6),
+    ],
+)
+def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+
+
+def test_round11_no_cartesian(spark):
+    for name in (
+        "q_semdedup_delta_edges",
+        "q_knn_ivf_stored",
+        "q_rrf_fusion",
+        "q_mrr_recall_eval",
+        "q_rouge2_pair_scores",
+        "q_kneser_ney_bigram",
+        "q_jensen_shannon_sources",
+        "q_kruskal_wallis",
+        "q_mmr_rerank",
+        "q_good_turing_smoothing",
+        "q_pmi_collocations",
+        "q_mcnemar_filters",
+        "q_wilcoxon_signed_rank",
+        "q_friedman_test",
+    ):
+        plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+def test_ivf_stored_reads_index_and_broadcasts_probes(spark):
+    """The serving path must read the index parquet (member side) and
+    broadcast the tiny probe/query frames — never shuffle the index."""
+    from kafka_stream_service_spark.queries.round11 import (
+        build_sem_index,
+        sem_index_path,
+    )
+
+    build_sem_index(spark, SF)
+    plan = physical_plan(QUERIES["q_knn_ivf_stored"].spark_fn(spark, SF))
+    token = sem_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "serving path does not scan the stored index"
+    assert "BroadcastExchange" in plan, "probe/query frames are not broadcast"
+
+
+def test_rouge2_reads_pair_snapshot(spark):
+    """ROUGE-2 is a snapshot consumer: with the artifact present its
+    plan scans the pair parquet (the seam test pattern)."""
+    from kafka_stream_service_spark.queries.dedup2 import (
+        build_pair_index,
+        pair_index_path,
+    )
+
+    build_pair_index(spark, SF)
+    plan = physical_plan(QUERIES["q_rouge2_pair_scores"].spark_fn(spark, SF))
+    token = pair_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "q_rouge2_pair_scores does not read the pair snapshot"
