@@ -334,6 +334,9 @@ DETAIL_ONLY = [
     "q_mcnemar_filters",
     "q_wilcoxon_signed_rank",
     "q_friedman_test",
+    "q_cohens_kappa",
+    "q_rank_biased_overlap",
+    "q_stream_index_probe_dedup_replay",
 ]
 
 

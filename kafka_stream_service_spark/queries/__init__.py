@@ -82,3 +82,4 @@ from . import round10d  # noqa: E402,F401
 from . import round11  # noqa: E402,F401
 from . import round11b  # noqa: E402,F401
 from . import round11c  # noqa: E402,F401
+from . import round11d  # noqa: E402,F401

@@ -42,12 +42,21 @@ def portable_hash64(col: Column, seed: int) -> Column:
 
 
 def portable_minhash_signature(shingles: Column, k: int = K) -> Column:
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: portable_hash64(s, i)))
-            for i in range(k)
-        ]
-    )
+    """Per-row expression form of the portable MinHash signature —
+    bit-identical to ``typed_minhash_signatures`` over the same shingle
+    frame (pytest-pinned). The per-seed lambda MUST be single-parameter:
+    a ``lambda s, i=i`` default-arg binding reads as a TWO-ARG lambda to
+    PySpark's higher-order ``transform``, which then passes the array
+    POSITION as the second argument — silently replacing the seed with
+    a Column whose repr leaks into the hash prefix (found fixing the
+    r11 streaming probe; the bug was dormant while every batch caller
+    used the typed form)."""
+
+    def _min_hash(seed: int) -> Column:
+        assert isinstance(seed, int)  # a Column here would repr into the md5
+        return F.array_min(F.transform(shingles, lambda s: portable_hash64(s, seed)))
+
+    return F.array(*[_min_hash(i) for i in range(k)])
 
 
 def typed_minhash_signatures(sh: DataFrame, k: int = K) -> DataFrame:

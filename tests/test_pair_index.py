@@ -74,6 +74,42 @@ def test_corpus_fingerprint_is_in_the_path():
     assert fp != _documents_fingerprint("/root/testdata/sf0.01")
 
 
+def test_expression_signature_equals_typed_signature(spark):
+    """portable_minhash_signature (the per-row expression form the
+    streaming probe signs with) must be bit-identical to
+    typed_minhash_signatures (the batch type-dictionary form every
+    oracle certifies). Pins the r11 lambda-arity regression: a
+    `lambda s, i=i` default-arg binding reads as two-arg to transform(),
+    which silently swaps the seed for the array position."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.operators.dedup import word_shingles_from_tokens
+    from kafka_stream_service_spark.queries.dedup2 import (
+        K,
+        SHINGLE_N,
+        portable_minhash_signature,
+        typed_minhash_signatures,
+    )
+    from kafka_stream_service_spark.tables import tables
+
+    d = tables(spark, SF)["documents"].select("doc_id", "text").limit(50)
+    sh = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles")
+    )
+    expr_sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in sh.select(
+            "doc_id", portable_minhash_signature(F.col("shingles"), K).alias("sig")
+        ).collect()
+    }
+    typed_sigs = {
+        r.doc_id: tuple(r.sig) for r in typed_minhash_signatures(sh, K).collect()
+    }
+    assert expr_sigs == typed_sigs
+
+
 def test_build_publishes_atomically(spark):
     # the build writes to a temp sibling and renames the COMPLETE dir
     # into place — after it returns, the final path holds _SUCCESS and
