@@ -87,88 +87,82 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-10 rotation (VERDICT r9 next-steps #5): with the
-# whole catalog driver-certified after r9, the window leads with
-# (a) round-10-NEW queries (birth-round verdicts), then
-# (b) round-10-CHANGED queries as re-certs, then
-# (c) the queries whose only driver verdict is OLDEST (the r1 greens
-#     are 8 rounds stale) as drift canaries, and
+# ``queries()``. Round-11 rotation (VERDICT r10 next-steps #4, adjusted
+# for this round's changed queries): the window leads with
+# (a) the 17 round-11-NEW queries (birth-round verdicts), then
+# (b) the 5 round-11-CHANGED queries as re-certs (containment plan fix,
+#     delta probe rewritten onto the stored bucket index, the portable
+#     LSH twin now a snapshot consumer, the Heaps-fit oracle alignment,
+#     and the snapshot build's atomic-publication path), then
+# (c) the 26 oldest-verdict drift canaries (all 3 remaining r1-only
+#     verdicts + 23 of the 28 r2-only ones), and
 # (d) the rows-only sentinel + flagship drift canary.
 # Everything displaced past slot 50 carries a green driver verdict from
-# r1-r9 plus the judge's full-catalog gate.
+# r1-r10 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 17 round-10-new queries (driver verdicts in their birth
-    # round): the materialized pair index + its incremental delta probe,
-    # the ExactSubstr pair, the SemDeDup pair, and the batch-2/3 ops
-    # (spectral, sampling, trend, survival, effect size, corpus growth,
-    # truncation, calibration)
-    "q_pair_index_snapshot",
-    "q_pair_index_delta",
-    "q_exact_substr_spans",
-    "q_exact_substr_stats",
-    "q_semdedup_prune",
-    "q_semdedup_stats",
-    "q_power_iteration_top_eigvec",
-    "q_weighted_sample_es",
-    "q_mann_kendall_trend",
-    "q_logrank_test",
-    "q_nelson_aalen",
-    "q_cliffs_delta",
-    "q_heaps_law_fit",
-    "q_matryoshka_energy",
-    "q_brier_decomposition",
-    "q_stream_weighted_sample_replay",
+    # (a) the 17 round-11-new queries
+    "q_semdedup_delta_edges",
+    "q_knn_ivf_stored",
+    "q_rrf_fusion",
+    "q_mrr_recall_eval",
+    "q_rouge2_pair_scores",
+    "q_kneser_ney_bigram",
+    "q_jensen_shannon_sources",
+    "q_kruskal_wallis",
+    "q_mmr_rerank",
+    "q_good_turing_smoothing",
+    "q_pmi_collocations",
+    "q_mcnemar_filters",
+    "q_wilcoxon_signed_rank",
+    "q_friedman_test",
+    "q_cohens_kappa",
+    "q_rank_biased_overlap",
+    "q_stream_index_probe_dedup_replay",
+    # (b) round-11 CHANGED queries (re-certs)
     "q_pair_containment",
-    # (b) round-10 CHANGED queries (re-certs: HITS output schema widened
-    # to DECIMAL/strings; BLEU/chrF/cluster-audit now read the pair
-    # snapshot; session-variable + holt view cleanup; trigram guard)
-    "q_hits_two_iterations",
-    "q_bleu_ngram_precision",
-    "q_chrf_pair_fscore",
-    "q_dedup_clusters_portable",
-    "q_sql_session_variables",
-    "q_trigram_like_index",
-    "q_holt_linear_smoothing",
-    "q_holt_winters_additive",
-    "q_forecast_backtest",
-    # (c) oldest-verdict drift canaries (VERDICT r9 #5): every slot
-    # below carries only an r1 (25) or r2 (4) driver verdict — 6-8
-    # rounds stale; rotating them to the front refreshes the oldest
-    # certificates in the catalog.
-    "q_agg_first_last",
-    "q_array_higher_order",
-    "q_cast_matrix",
-    "q_conditional_funcs",
-    "q_cube",
-    "q_date_funcs",
-    "q_event_type_rates",
-    "q_except",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_json_funcs",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_rollup",
-    "q_sliding_window",
-    "q_string_funcs",
-    "q_union_all",
-    "q_window_first_last_value",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_rank_dense_ntile",
-    "q_window_sliding_frame",
+    "q_pair_index_delta",
+    "q_minhash_lsh_portable",
+    "q_heaps_law_fit",
+    "q_pair_index_snapshot",
+    # (c) oldest-verdict drift canaries: the 3 r1-only verdicts, then
+    # 23 of the 28 r2-only ones (q_time_rollup_multigrain,
+    # q_tumbling_window, q_udf_pandas_scalar, q_udtf_token_positions,
+    # q_window_running_sum defer to r12 — displaced by the 5 re-certs)
+    "q_union_distinct",
+    "q_intersect_all",
+    "q_except_all",
+    "q_agg_global_stats",
+    "q_agg_having",
+    "q_array_funcs",
+    "q_avro_roundtrip",
+    "q_collect_list_sorted",
+    "q_corpus_mixture",
+    "q_distinct_multi",
+    "q_event_dedup",
+    "q_gapfill_locf",
+    "q_grouped_map_zscore",
+    "q_join_cross",
+    "q_join_full_outer",
+    "q_join_left_outer",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_multimodal_frame_sample",
+    "q_multimodal_metadata",
+    "q_national_market_share",
+    "q_pivot",
+    "q_sort_limit_topk",
+    "q_stream_static_enrich",
+    "q_text_repetition",
+    "q_tfidf_top_terms",
     # (d) sentinel + flagship drift canary
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r10 window composition (computed): 17 r10-new + 9 r10-changed
-# re-certs + 22 oldest-verdict canaries (22 of the 25 remaining
-# r1-verdict queries; q_union_distinct, q_intersect_all, and
-# q_except_all defer to r11 — their set-op families are covered
-# in-window by q_union_all / q_intersect / q_except) + the 2 sentinels
-# = 50 exactly. After this window the oldest driver verdicts anywhere
-# are those three r1 rows, then r2 (28), then r3 (47) — the r11 canary
-# pool.
+# r11 window composition (computed): 17 r11-new + 5 r11-changed
+# re-certs + 26 oldest-verdict canaries (3 r1-only + 23 r2-only) + the
+# 2 sentinels = 50 exactly. After this window the oldest driver
+# verdicts anywhere are the 5 deferred r2 rows named above, then r3
+# (47) — the r12 canary pool.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
 
