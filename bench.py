@@ -113,6 +113,11 @@ HEADLINE = [
     # capstone (census x buckets -> mixture); other r9 rows DETAIL_ONLY
     "q_ccnet_perplexity_buckets",
     "q_curation_mixture",
+    # round-11 headline representatives: the incremental SemDeDup probe
+    # over the stored semantic index, and the streaming index-probe
+    # dedup capstone (2 rows ~ +58 B; line stays well under 1.9 KB)
+    "q_semdedup_delta_edges",
+    "q_stream_index_probe_dedup_replay",
 ]
 
 # Timed with the same 3-pass-median methodology but reported ONLY in
@@ -318,9 +323,8 @@ DETAIL_ONLY = [
     "q_brier_decomposition",
     "q_stream_weighted_sample_replay",
     "q_pair_containment",
-    # round-11 additions (stored-index probes stay detail rows: the
-    # headline budget holds at 57 rows / ~1.66 KB)
-    "q_semdedup_delta_edges",
+    # round-11 additions (two marquee rows promoted to HEADLINE; the
+    # rest stay detail so the one-line budget holds)
     "q_knn_ivf_stored",
     "q_rrf_fusion",
     "q_mrr_recall_eval",
@@ -336,7 +340,6 @@ DETAIL_ONLY = [
     "q_friedman_test",
     "q_cohens_kappa",
     "q_rank_biased_overlap",
-    "q_stream_index_probe_dedup_replay",
 ]
 
 
