@@ -340,6 +340,9 @@ DETAIL_ONLY = [
     "q_friedman_test",
     "q_cohens_kappa",
     "q_rank_biased_overlap",
+    "q_cochran_q_filters",
+    "q_random_projection_jl",
+    "q_calinski_harabasz",
 ]
 
 
