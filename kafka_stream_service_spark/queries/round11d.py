@@ -269,6 +269,83 @@ _SDELTA_MOD = 10
 _SDELTA_REM = 7
 
 
+def build_index_probe_stream(
+    spark: SparkSession, sf_dir: str, flat: str
+) -> DataFrame:
+    """The in-flight index-probe dedup pipeline over a staged file
+    stream at ``flat`` — shared by the catalog query and the
+    between-epoch chaos-restart test (which needs to drive the same
+    plan from its own incrementally revealed directory + checkpoint)."""
+    from ..operators.dedup import band_buckets, word_shingles_from_tokens
+    from .dedup2 import BANDS, K, SHINGLE_N, bucket_index, portable_minhash_signature
+
+    d_schema = tables(spark, sf_dir)["documents"].select("doc_id", "text").schema
+    stream = (
+        spark.readStream.schema(d_schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    toked = stream.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+    shingled = toked.select(
+        F.col("doc_id").alias("new_id"),
+        word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("sh_new"),
+    )
+    signed = shingled.select(
+        "new_id",
+        "sh_new",
+        portable_minhash_signature(F.col("sh_new"), K).alias("sig"),
+    )
+    banded = signed.select(
+        "new_id",
+        "sh_new",
+        F.explode(band_buckets(F.col("sig"), BANDS, K // BANDS)).alias("bb"),
+    ).select("new_id", "sh_new", "bb.band", "bb.bucket")
+
+    stored = bucket_index(spark, sf_dir).filter(
+        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= 1000)
+    )
+    # static endpoint-shingle lookup for the partner side of the verify
+    sh_static = (
+        tables(spark, sf_dir)["documents"]
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            F.col("doc_id").alias("partner_id"),
+            word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("sh_partner"),
+        )
+    )
+    cand = (
+        banded.join(stored, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("new_id"))
+        .select(
+            "new_id",
+            "sh_new",
+            F.col("doc_id").alias("partner_id"),
+        )
+        .join(sh_static, "partner_id")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_partner")))
+    union = F.size("sh_new") + F.size("sh_partner") - inter
+    return (
+        cand.select(
+            F.least("new_id", "partner_id").alias("id_a"),
+            F.greatest("new_id", "partner_id").alias("id_b"),
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        )
+        .filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.expr("n_inter * 1000000 DIV n_union").cast("bigint").alias("jaccard_q6"),
+            (
+                ((F.col("id_a") % _SDELTA_MOD) == _SDELTA_REM).cast("int")
+                + ((F.col("id_b") % _SDELTA_MOD) == _SDELTA_REM).cast("int")
+            ).alias("n_delta_endpoints"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 @query(
     "q_stream_index_probe_dedup_replay",
     oracle=_PAIRS_CTE
@@ -311,9 +388,7 @@ def q_stream_index_probe_dedup_replay(spark: SparkSession, sf_dir: str) -> DataF
     verify join touches only candidate endpoints; state is one row per
     emitted pair.
     """
-    from ..operators.dedup import band_buckets, word_shingles_from_tokens
     from ._util import work_dir
-    from .dedup2 import BANDS, K, SHINGLE_N, bucket_index, portable_minhash_signature
     from .streaming_replay import _run_to_memory, _write_chunks
 
     d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -326,68 +401,5 @@ def q_stream_index_probe_dedup_replay(spark: SparkSession, sf_dir: str) -> DataF
         ],
         base,
     )
-    stream = (
-        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(flat)
-    )
-    toked = stream.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
-    shingled = toked.select(
-        F.col("doc_id").alias("new_id"),
-        word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("sh_new"),
-    )
-    signed = shingled.select(
-        "new_id",
-        "sh_new",
-        portable_minhash_signature(F.col("sh_new"), K).alias("sig"),
-    )
-    banded = signed.select(
-        "new_id",
-        "sh_new",
-        F.explode(band_buckets(F.col("sig"), BANDS, K // BANDS)).alias("bb"),
-    ).select("new_id", "sh_new", "bb.band", "bb.bucket")
-
-    stored = bucket_index(spark, sf_dir).filter(
-        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= 1000)
-    )
-    # static endpoint-shingle lookup for the partner side of the verify
-    sh_static = (
-        tables(spark, sf_dir)["documents"]
-        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .select(
-            F.col("doc_id").alias("partner_id"),
-            word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("sh_partner"),
-        )
-    )
-    cand = (
-        banded.join(stored, ["band", "bucket"])
-        .filter(F.col("doc_id") != F.col("new_id"))
-        .select(
-            "new_id",
-            "sh_new",
-            F.col("doc_id").alias("partner_id"),
-        )
-        .join(sh_static, "partner_id")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_partner")))
-    union = F.size("sh_new") + F.size("sh_partner") - inter
-    pairs = (
-        cand.select(
-            F.least("new_id", "partner_id").alias("id_a"),
-            F.greatest("new_id", "partner_id").alias("id_b"),
-            inter.cast("bigint").alias("n_inter"),
-            union.cast("bigint").alias("n_union"),
-        )
-        .filter(2 * F.col("n_inter") >= F.col("n_union"))
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            "n_union",
-            F.expr("n_inter * 1000000 DIV n_union").cast("bigint").alias("jaccard_q6"),
-            (
-                ((F.col("id_a") % _SDELTA_MOD) == _SDELTA_REM).cast("int")
-                + ((F.col("id_b") % _SDELTA_MOD) == _SDELTA_REM).cast("int")
-            ).alias("n_delta_endpoints"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = build_index_probe_stream(spark, sf_dir, flat)
     return _run_to_memory(spark, pairs, base, shuffle_partitions=4)

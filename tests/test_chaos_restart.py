@@ -506,3 +506,80 @@ def test_weighted_reservoir_survives_between_epoch_restart(spark, duck, tmp_path
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"reservoir state lost across restart: {problems}"
+
+
+def test_index_probe_dedup_survives_between_epoch_restart(spark, duck, tmp_path):
+    """Kill-BETWEEN-epochs restart for the r11 streaming index-probe
+    dedup: run the first delta chunk to completion, stop (checkpoint
+    committed), resume from the SAME checkpoint with the second chunk
+    revealed. The stateful dropDuplicates state must rehydrate — a
+    delta-delta pair discovered from one endpoint in epoch 0 and from
+    the other endpoint in epoch 1 must be emitted exactly once across
+    runs — and union(run1, run2) must hash-match the full-rebuild delta
+    oracle (the same verdict the batch probe carries)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.round11d import (
+        _SDELTA_MOD,
+        _SDELTA_REM,
+        build_index_probe_stream,
+    )
+    from kafka_stream_service_spark.queries.registry import QUERIES
+    from kafka_stream_service_spark.tables import tables
+
+    d = tables(spark, SF)["documents"].select("doc_id", "text")
+    delta = d.filter((F.col("doc_id") % _SDELTA_MOD) == _SDELTA_REM)
+    chunks = [
+        delta.filter((F.col("doc_id") % 20) == _SDELTA_REM),
+        delta.filter((F.col("doc_id") % 20) != _SDELTA_REM),
+    ]
+    staged = []
+    for i, chunk in enumerate(chunks):
+        dd = tmp_path / f"stage_{i}"
+        chunk.coalesce(1).write.parquet(str(dd))
+        (part,) = glob.glob(str(dd / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        collected.append(batch_df.toPandas())
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i, part in enumerate(staged):
+            shutil.copy(part, str(flat / f"{i:02d}.parquet"))
+            os.utime(str(flat / f"{i:02d}.parquet"))
+            pairs = build_index_probe_stream(spark, SF, str(flat))
+            q = (
+                pairs.writeStream.foreachBatch(collect_batch)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # the between-epochs "kill": checkpoint keeps state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    merged = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    # exactly-once across the restart: no pair may appear twice
+    assert not merged.duplicated(["id_a", "id_b"]).any(), "dedup state lost"
+    spec = QUERIES["q_stream_index_probe_dedup_replay"]
+    problems = compare(
+        "q_stream_index_probe_dedup_replay(restart)",
+        merged,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"index-probe dedup state lost across restart: {problems}"
