@@ -343,6 +343,9 @@ DETAIL_ONLY = [
     "q_cochran_q_filters",
     "q_random_projection_jl",
     "q_calinski_harabasz",
+    "q_bm25_stored_index",
+    "q_ivf_serving_recall",
+    "q_degree_assortativity",
 ]
 
 

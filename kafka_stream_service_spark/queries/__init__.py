@@ -84,3 +84,4 @@ from . import round11b  # noqa: E402,F401
 from . import round11c  # noqa: E402,F401
 from . import round11d  # noqa: E402,F401
 from . import round11e  # noqa: E402,F401
+from . import round11f  # noqa: E402,F401
