@@ -104,3 +104,79 @@ def test_rouge2_reads_pair_snapshot(spark):
     plan = physical_plan(QUERIES["q_rouge2_pair_scores"].spark_fn(spark, SF))
     token = pair_index_path(SF).rsplit("/", 1)[-1]
     assert token in plan, "q_rouge2_pair_scores does not read the pair snapshot"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # one scan, one global rollup
+        ("q_cochran_q_filters", 1),
+        # one scan + label rollup (the 16 projections are codegen)
+        ("q_random_projection_jl", 2),
+        # assignment + dims rollups + K-grain joins
+        ("q_calinski_harabasz", 8),
+        # posting filter + doclen join + doc rollup + TakeOrdered
+        ("q_bm25_stored_index", 5),
+        # brute-force window + serving plan + per-query rollup
+        ("q_ivf_serving_recall", 8),
+        # snapshot read + degree rollup + 1-row aggregate
+        ("q_degree_assortativity", 4),
+    ],
+)
+def test_round11_batch56_shuffle_budget(spark, name, max_exchanges):
+    plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
+    n = len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+def test_bm25_serving_reads_stored_postings(spark):
+    """The BM25 serving probe must read the postings parquet with the
+    token filter PUSHED to the scan (zone-map pruning at 100 TB)."""
+    from kafka_stream_service_spark.queries.round11f import (
+        build_text_index,
+        text_index_path,
+    )
+
+    build_text_index(spark, SF)
+    plan = physical_plan(QUERIES["q_bm25_stored_index"].spark_fn(spark, SF))
+    token = text_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "serving probe does not read the stored text index"
+    assert "PushedFilters: [In(token" in plan or "PushedFilters: [IsNotNull(token" in plan, (
+        f"token filter not pushed to the postings scan:\n{plan}"
+    )
+
+
+def test_text_index_lifecycle(spark):
+    """Self-healing build, artifact-level _SUCCESS gate, no temp
+    leftovers, revision+fingerprint in the path (the shared artifact
+    contract of the pair/bucket/semantic indexes)."""
+    import os
+    import shutil
+
+    from kafka_stream_service_spark.queries.round11f import (
+        TEXT_INDEX_REV,
+        text_index,
+        text_index_path,
+    )
+
+    path = text_index_path(SF)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    idx = text_index(spark, SF)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert TEXT_INDEX_REV in path
+    assert idx["stats"].count() == 1
+    assert idx["postings"].count() > 0 and idx["doclen"].count() > 0
+    leftovers = [n for n in os.listdir(os.path.dirname(path)) if ".tmp." in n]
+    assert not leftovers, f"temp publication dirs left behind: {leftovers}"
+    # a second read must not rebuild (mtimes stable)
+    before = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    text_index(spark, SF)["postings"].count()
+    after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    assert before == after
