@@ -346,6 +346,8 @@ DETAIL_ONLY = [
     "q_bm25_stored_index",
     "q_ivf_serving_recall",
     "q_degree_assortativity",
+    "q_sprt_conversion",
+    "q_entropy_rate_bigram",
 ]
 
 

@@ -85,3 +85,4 @@ from . import round11c  # noqa: E402,F401
 from . import round11d  # noqa: E402,F401
 from . import round11e  # noqa: E402,F401
 from . import round11f  # noqa: E402,F401
+from . import round11g  # noqa: E402,F401

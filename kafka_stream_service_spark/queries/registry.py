@@ -89,18 +89,18 @@ def query(
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``queries()``. Round-11 rotation (VERDICT r10 next-steps #4, adjusted
 # for this round's changed queries): the window leads with
-# (a) the 23 round-11-NEW queries (birth-round verdicts), then
+# (a) the 25 round-11-NEW queries (birth-round verdicts), then
 # (b) the 5 round-11-CHANGED queries as re-certs (containment plan fix,
 #     delta probe rewritten onto the stored bucket index, the portable
 #     LSH twin now a snapshot consumer, the Heaps-fit oracle alignment,
 #     and the snapshot build's atomic-publication path), then
-# (c) the 20 oldest-verdict drift canaries (all 3 remaining r1-only
-#     verdicts + 17 of the 28 r2-only ones), and
+# (c) the 18 oldest-verdict drift canaries (all 3 remaining r1-only
+#     verdicts + 15 of the 28 r2-only ones), and
 # (d) the rows-only sentinel + flagship drift canary.
 # Everything displaced past slot 50 carries a green driver verdict from
 # r1-r10 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 23 round-11-new queries
+    # (a) the 25 round-11-new queries
     "q_semdedup_delta_edges",
     "q_knn_ivf_stored",
     "q_rrf_fusion",
@@ -124,6 +124,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_bm25_stored_index",
     "q_ivf_serving_recall",
     "q_degree_assortativity",
+    "q_sprt_conversion",
+    "q_entropy_rate_bigram",
     # (b) round-11 CHANGED queries (re-certs)
     "q_pair_containment",
     "q_pair_index_delta",
@@ -131,11 +133,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_heaps_law_fit",
     "q_pair_index_snapshot",
     # (c) oldest-verdict drift canaries: the 3 r1-only verdicts, then
-    # 17 of the 28 r2-only ones (q_national_market_share, q_pivot,
+    # 15 of the 28 r2-only ones (q_multimodal_frame_sample,
+    # q_multimodal_metadata, q_national_market_share, q_pivot,
     # q_sort_limit_topk, q_stream_static_enrich, q_text_repetition,
     # q_tfidf_top_terms, q_time_rollup_multigrain, q_tumbling_window,
     # q_udf_pandas_scalar, q_udtf_token_positions, q_window_running_sum
-    # defer to r12 — displaced by the 5 re-certs and the batch-5/6
+    # defer to r12 — displaced by the 5 re-certs and the batch-5/6/7
     # additions)
     "q_union_distinct",
     "q_intersect_all",
@@ -155,16 +158,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_join_left_outer",
     "q_join_semi",
     "q_join_theta_range",
-    "q_multimodal_frame_sample",
-    "q_multimodal_metadata",
     # (d) sentinel + flagship drift canary
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r11 window composition (computed): 23 r11-new + 5 r11-changed
-# re-certs + 20 oldest-verdict canaries (3 r1-only + 17 r2-only) + the
+# r11 window composition (computed): 25 r11-new + 5 r11-changed
+# re-certs + 18 oldest-verdict canaries (3 r1-only + 15 r2-only) + the
 # 2 sentinels = 50 exactly. After this window the oldest driver
-# verdicts anywhere are the 11 deferred r2 rows named above, then r3
+# verdicts anywhere are the 13 deferred r2 rows named above, then r3
 # (47) — the r12 canary pool.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
