@@ -121,6 +121,10 @@ def test_rouge2_reads_pair_snapshot(spark):
         ("q_ivf_serving_recall", 8),
         # snapshot read + degree rollup + 1-row aggregate
         ("q_degree_assortativity", 4),
+        # day rollup + bounded prefix window
+        ("q_sprt_conversion", 3),
+        # bigram rollup + context rollup + bounded window-over-all
+        ("q_entropy_rate_bigram", 5),
     ],
 )
 def test_round11_batch56_shuffle_budget(spark, name, max_exchanges):
