@@ -180,7 +180,6 @@ def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c1").cast("bigint").alias("c1"),
         F.sum("t_q9").cast("bigint").alias("h_ctx_q9"),
     )
-    wall = Window.partitionBy()
     return perctx.select(
         "w1",
         "c1",
