@@ -674,7 +674,7 @@ def q_mrr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hits_at_k"),
         F.expr(
             f"CAST(SUM(CASE WHEN rnk <= {_EVAL_AT_K} THEN rel ELSE 0 END) * 1000000"
-            " DIV SUM(rel) AS BIGINT)"
+            " DIV NULLIF(SUM(rel), 0) AS BIGINT)"
         ).alias("recall_at_k_q6"),
     ).select(
         "query_id",

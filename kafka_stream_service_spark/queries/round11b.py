@@ -270,7 +270,7 @@ def q_jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.grp, t.n_g, t.r2_g, h.n, h.k,
            CAST(FLOOR(1000000.0 * h.h_raw) AS BIGINT) AS h_q6,
-           CAST(FLOOR(1000000.0 * h.h_raw / h.c_tie) AS BIGINT) AS h_corr_q6
+           CAST(FLOOR(1000000.0 * h.h_raw / NULLIF(h.c_tie, 0.0)) AS BIGINT) AS h_corr_q6
     FROM terms t CROSS JOIN h
     """,
     tags=("stats", "nonparametric", "rank-test", "round11"),
@@ -363,7 +363,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
         F.floor(F.lit(1000000.0) * F.col("h_raw")).cast("bigint").alias("h_q6"),
-        F.floor(F.lit(1000000.0) * F.col("h_raw") / F.col("c_tie"))
+        F.floor(F.lit(1000000.0) * F.col("h_raw") / F.nullif(F.col("c_tie"), F.lit(0.0)))
         .cast("bigint")
         .alias("h_corr_q6"),
     )

@@ -397,9 +397,10 @@ def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.lit(1000000.0)
             * ((F.col("sum_t_q6") - F.col("t_glob_q6")).cast("double") / F.lit(float(K - 1)))
-            / (
+            / F.nullif(
                 (F.col("tot2") * 1000000 - F.col("sum_t_q6")).cast("double")
-                / (F.col("n") - K)
+                / (F.col("n") - K),
+                F.lit(0.0),
             )
         )
         .cast("bigint")

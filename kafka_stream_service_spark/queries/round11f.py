@@ -359,8 +359,8 @@ from .dedup2 import _PAIRS_CTE  # noqa: E402
     SELECT m, s_jk, s_sum, s_sq,
            CAST(FLOOR(1000000.0
                 * (4.0 * m * s_jk - CAST(s_sum AS DOUBLE) * s_sum)
-                / (2.0 * m * s_sq - CAST(s_sum AS DOUBLE) * s_sum)) AS BIGINT)
-             AS assortativity_q6
+                / NULLIF(2.0 * m * s_sq - CAST(s_sum AS DOUBLE) * s_sum, 0.0))
+                AS BIGINT) AS assortativity_q6
     FROM s
     """,
     tags=("graph", "dedup", "index", "stats", "llm-data", "round11"),
@@ -413,9 +413,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(4.0) * F.col("m") * F.col("s_jk")
                 - F.col("s_sum").cast("double") * F.col("s_sum")
             )
-            / (
+            / F.nullif(
                 F.lit(2.0) * F.col("m") * F.col("s_sq")
-                - F.col("s_sum").cast("double") * F.col("s_sum")
+                - F.col("s_sum").cast("double") * F.col("s_sum"),
+                F.lit(0.0),
             )
         )
         .cast("bigint")
