@@ -191,50 +191,52 @@ def q_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|y_j| <= 127 * {_JL_IN_DIM}); the distortion is one floor-quantized
     double of exact integers, summed at label grain after quantization.
 
-    Scale shape: one scan, {_JL_OUT_DIM} integer dots per row (pure
-    codegen), one label-grain rollup. No shuffle beyond the rollup.
+    Scale shape: one scan through an Arrow-batched exact int64 matmul
+    (rows x 64 @ 64 x {_JL_OUT_DIM} per batch — the vectorized form of
+    {_JL_OUT_DIM} per-row dots), one label-grain rollup. No shuffle
+    beyond the rollup.
     """
+    import numpy as np
+    import pyarrow as pa
+
     from .corpus_ops import _quantized
 
     e = _quantized(tables(spark, sf_dir)["embeddings"])
-    idot_lit = lambda qv, row: F.aggregate(  # noqa: E731
-        F.zip_with(
-            qv,
-            F.array(*[F.lit(v) for v in row]),
-            lambda a, b: a.cast("bigint") * b.cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    norm2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"), F.col("qv"), lambda a, b: a.cast("bigint") * b.cast("bigint")
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    proj_norm2 = None
-    for row in _JL_SIGNS:
-        y = idot_lit(F.col("qv"), row)
-        term = y * y
-        proj_norm2 = term if proj_norm2 is None else proj_norm2 + term
-    scored = (
-        e.select(
-            "label",
-            norm2.alias("norm2"),
-            proj_norm2.cast("bigint").alias("proj_norm2"),
-        )
-        .filter(F.col("norm2") > 0)
-        .select(
-            "label",
-            F.floor(
-                F.lit(1000000.0)
-                * F.col("proj_norm2").cast("double")
-                / (F.lit(float(_JL_OUT_DIM)) * F.col("norm2"))
+    sign_mat = None  # built lazily inside the workers
+
+    def project(batches):
+        # One exact int64 matmul per Arrow batch: 16 interpreted
+        # higher-order folds per row measured ~1.2 s for 2000 rows; the
+        # vectorized projection is the deliberate drop-to-Arrow case
+        # (the shingle_frame / blocked-matmul precedent). |y_j| <= 127 *
+        # 64 and norms <= 127^2 * 64, so everything is int64-exact and
+        # the quantized distortion is the same IEEE double expression
+        # the oracle states.
+        m = np.array(_JL_SIGNS, dtype=np.int64).T  # in_dim x out_dim
+        for batch in batches:
+            pdf = batch.to_pandas()
+            qv = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            if len(qv) == 0:
+                continue
+            norm2 = (qv * qv).sum(axis=1)
+            y = qv @ m
+            proj2 = (y * y).sum(axis=1)
+            keep = norm2 > 0
+            dist = np.floor(
+                1000000.0 * proj2[keep].astype(np.float64)
+                / (float(_JL_OUT_DIM) * norm2[keep].astype(np.float64))
+            ).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "label": pa.array(
+                        pdf["label"].to_numpy()[keep], type=pa.int32()
+                    ),
+                    "distortion_q6": pa.array(dist, type=pa.int64()),
+                }
             )
-            .cast("bigint")
-            .alias("distortion_q6"),
-        )
+
+    scored = e.select("label", "qv").mapInArrow(
+        project, schema="label int, distortion_q6 long"
     )
     return scored.groupBy(F.col("label").cast("int").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
