@@ -348,6 +348,12 @@ DETAIL_ONLY = [
     "q_degree_assortativity",
     "q_sprt_conversion",
     "q_entropy_rate_bigram",
+    # round-11 batch 8/9 (stored-LM quality filter, CUSUM, coreset, FDR)
+    "q_kn_lm_stored",
+    "q_doc_logprob_stored_lm",
+    "q_cusum_drift",
+    "q_kcenter_coreset",
+    "q_benjamini_hochberg",
 ]
 
 

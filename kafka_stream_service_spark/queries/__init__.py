@@ -86,3 +86,5 @@ from . import round11d  # noqa: E402,F401
 from . import round11e  # noqa: E402,F401
 from . import round11f  # noqa: E402,F401
 from . import round11g  # noqa: E402,F401
+from . import round11h  # noqa: E402,F401
+from . import round11i  # noqa: E402,F401

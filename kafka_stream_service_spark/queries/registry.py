@@ -100,7 +100,7 @@ def query(
 # Everything displaced past slot 50 carries a green driver verdict from
 # r1-r10 plus the judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 25 round-11-new queries
+    # (a) the 30 round-11-new queries
     "q_semdedup_delta_edges",
     "q_knn_ivf_stored",
     "q_rrf_fusion",
@@ -126,6 +126,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_degree_assortativity",
     "q_sprt_conversion",
     "q_entropy_rate_bigram",
+    "q_kn_lm_stored",
+    "q_doc_logprob_stored_lm",
+    "q_cusum_drift",
+    "q_kcenter_coreset",
+    "q_benjamini_hochberg",
     # (b) round-11 CHANGED queries (re-certs)
     "q_pair_containment",
     "q_pair_index_delta",
@@ -133,13 +138,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_heaps_law_fit",
     "q_pair_index_snapshot",
     # (c) oldest-verdict drift canaries: the 3 r1-only verdicts, then
-    # 15 of the 28 r2-only ones (q_multimodal_frame_sample,
-    # q_multimodal_metadata, q_national_market_share, q_pivot,
-    # q_sort_limit_topk, q_stream_static_enrich, q_text_repetition,
-    # q_tfidf_top_terms, q_time_rollup_multigrain, q_tumbling_window,
-    # q_udf_pandas_scalar, q_udtf_token_positions, q_window_running_sum
-    # defer to r12 — displaced by the 5 re-certs and the batch-5/6/7
-    # additions)
+    # 10 of the 28 r2-only ones (the five q_join_* rows plus
+    # q_multimodal_frame_sample, q_multimodal_metadata,
+    # q_national_market_share, q_pivot, q_sort_limit_topk,
+    # q_stream_static_enrich, q_text_repetition, q_tfidf_top_terms,
+    # q_time_rollup_multigrain, q_tumbling_window, q_udf_pandas_scalar,
+    # q_udtf_token_positions, q_window_running_sum defer to r12 —
+    # displaced by the 5 re-certs and the batch-5/6/7/8/9 additions)
     "q_union_distinct",
     "q_intersect_all",
     "q_except_all",
@@ -153,19 +158,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_event_dedup",
     "q_gapfill_locf",
     "q_grouped_map_zscore",
-    "q_join_cross",
-    "q_join_full_outer",
-    "q_join_left_outer",
-    "q_join_semi",
-    "q_join_theta_range",
     # (d) sentinel + flagship drift canary
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r11 window composition (computed): 25 r11-new + 5 r11-changed
-# re-certs + 18 oldest-verdict canaries (3 r1-only + 15 r2-only) + the
+# r11 window composition (computed): 30 r11-new + 5 r11-changed
+# re-certs + 13 oldest-verdict canaries (3 r1-only + 10 r2-only) + the
 # 2 sentinels = 50 exactly. After this window the oldest driver
-# verdicts anywhere are the 13 deferred r2 rows named above, then r3
+# verdicts anywhere are the 18 deferred r2 rows named above, then r3
 # (47) — the r12 canary pool.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
