@@ -2,5 +2,6 @@ from .inspect import (  # noqa: F401
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filters,
+    count_shuffle_exchanges,
     physical_plan,
 )

@@ -9,6 +9,7 @@ degenerates into a cartesian product. ``.explain`` output is the contract
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame
@@ -42,3 +43,24 @@ def assert_no_cartesian(df: DataFrame) -> str:
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
     return plan
+
+
+_KEYED_SHUFFLE = re.compile(r"Arguments: (?:hash|range)partitioning\(")
+
+
+def count_shuffle_exchanges(plan: str) -> int:
+    """Count KEYED shuffle-exchange nodes in a FORMATTED physical plan.
+
+    Formatted mode names shuffle nodes bare — ``(N) Exchange`` — with
+    the partitioning demoted to a separate ``Arguments:`` line, so
+    matching ``Exchange hashpartitioning`` (the SIMPLE-mode spelling)
+    counts zero on every formatted plan and silently turns a shuffle
+    budget into a no-op. This counts the ``Arguments:`` lines instead:
+    hash/range partitioning only — the data-scale shuffles a budget is
+    about. Excluded by design: SinglePartition exchanges (1-row scalar
+    attachments after full aggregation), BroadcastExchange (the cheap
+    path budgets steer toward; its Arguments name a BroadcastMode), and
+    ReusedExchange (no new shuffle). Subquery sections count — a scalar
+    subquery's keyed shuffle is as real as the main plan's.
+    """
+    return len(_KEYED_SHUFFLE.findall(plan))

