@@ -89,3 +89,4 @@ from . import round11g  # noqa: E402,F401
 from . import round11h  # noqa: E402,F401
 from . import round11i  # noqa: E402,F401
 from . import round11j  # noqa: E402,F401
+from . import round11k  # noqa: E402,F401

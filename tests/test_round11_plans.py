@@ -54,6 +54,12 @@ SF = "/root/testdata/sf0.001"
         ("q_fleiss_kappa", 0),
         # lang x source cells + two margins (cell subtree runtime-reused)
         ("q_cramers_v", 7),
+        # 50-cell value census + bounded cumulative window + scalar folds
+        ("q_cramer_von_mises", 3),
+        # (duration x risk x event) census + broadcast grid self-join
+        ("q_harrell_c_index", 2),
+        # explode + ONE word rollup + 1-row fold
+        ("q_yule_k_lexical", 1),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -82,6 +88,9 @@ def test_round11_no_cartesian(spark):
         "q_page_trend_test",
         "q_fleiss_kappa",
         "q_cramers_v",
+        "q_cramer_von_mises",
+        "q_harrell_c_index",
+        "q_yule_k_lexical",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
