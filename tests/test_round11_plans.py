@@ -60,6 +60,14 @@ SF = "/root/testdata/sf0.001"
         ("q_harrell_c_index", 2),
         # explode + ONE word rollup + 1-row fold
         ("q_yule_k_lexical", 1),
+        # user rollup (runtime-reused for F2 + sketch) + r/group grains
+        ("q_ams_f2_portable", 4),
+        # snapshot-scale adjacency rollup + wedge join
+        ("q_ra_link_prediction", 2),
+        # class rollup + distinct expansion
+        ("q_l_diversity", 2),
+        # class/band rollups + bounded grid windows
+        ("q_t_closeness", 5),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -91,6 +99,10 @@ def test_round11_no_cartesian(spark):
         "q_cramer_von_mises",
         "q_harrell_c_index",
         "q_yule_k_lexical",
+        "q_ams_f2_portable",
+        "q_ra_link_prediction",
+        "q_l_diversity",
+        "q_t_closeness",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
