@@ -68,6 +68,13 @@ SF = "/root/testdata/sf0.001"
         ("q_l_diversity", 2),
         # class/band rollups + bounded grid windows
         ("q_t_closeness", 5),
+        # joint-cell rollup repeated across H/MI margins (runtime-reused)
+        ("q_theils_u", 9),
+        # (source, word) rollup subtree repeated per consumer (cached at
+        # runtime; static plan re-derives it for toks/top/grid)
+        ("q_burrows_delta", 11),
+        # one scan, one global rollup
+        ("q_krippendorff_alpha", 0),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -103,6 +110,9 @@ def test_round11_no_cartesian(spark):
         "q_ra_link_prediction",
         "q_l_diversity",
         "q_t_closeness",
+        "q_theils_u",
+        "q_burrows_delta",
+        "q_krippendorff_alpha",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
