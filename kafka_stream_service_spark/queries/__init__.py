@@ -92,3 +92,4 @@ from . import round11j  # noqa: E402,F401
 from . import round11k  # noqa: E402,F401
 from . import round11l  # noqa: E402,F401
 from . import round11m  # noqa: E402,F401
+from . import round11n  # noqa: E402,F401

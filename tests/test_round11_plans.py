@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_stream_service_spark.plans import count_shuffle_exchanges, physical_plan
 from kafka_stream_service_spark.queries.registry import QUERIES
@@ -221,3 +222,86 @@ def test_text_index_lifecycle(spark):
     text_index(spark, SF)["postings"].count()
     after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
     assert before == after
+
+
+def test_text_index_delta_reads_stored_base(spark):
+    """The refresh probe must read the BASE index parquet (the seam
+    that proves merge-not-rebuild) and scan the corpus only for the
+    delta slice."""
+    from kafka_stream_service_spark.queries.round11n import (
+        build_text_base_index,
+        text_base_index_path,
+    )
+
+    build_text_base_index(spark, SF)
+    plan = physical_plan(QUERIES["q_text_index_delta"].spark_fn(spark, SF))
+    token = text_base_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "refresh probe does not read the stored base index"
+    n = count_shuffle_exchanges(plan)
+    assert n <= 3, f"refresh probe plans {n} keyed shuffles (budget 3):\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_text_base_artifact_lifecycle(spark):
+    """Base-index artifact contract: self-healing build, _SUCCESS gate,
+    no temp leftovers, postings EXCLUDE the delta slice and carry df
+    NORMALIZED (no df column — the refresh-path schema choice the
+    docstring commits to)."""
+    import os
+    import shutil
+
+    from kafka_stream_service_spark.queries.round10b import _DELTA_MOD, _DELTA_REM
+    from kafka_stream_service_spark.queries.round11n import (
+        TEXT_BASE_REV,
+        text_base_index,
+        text_base_index_path,
+    )
+
+    path = text_base_index_path(SF)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    idx = text_base_index(spark, SF)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert TEXT_BASE_REV in path
+    assert "df" not in idx["postings"].columns
+    assert (
+        idx["postings"]
+        .filter((F.col("doc_id") % _DELTA_MOD) == _DELTA_REM)
+        .count()
+        == 0
+    ), "base postings leak delta-slice docs"
+    assert idx["stats"].count() == 1
+    leftovers = [n for n in os.listdir(os.path.dirname(path)) if ".tmp." in n]
+    assert not leftovers, f"temp publication dirs left behind: {leftovers}"
+
+
+def test_text_index_delta_untouched_tokens_unchanged(spark):
+    """Refresh invariant: tokens ABSENT from the delta vocabulary have
+    identical (df, sum_tf) in the base census and a full-corpus census
+    — the merge only ever touches delta-vocabulary rows."""
+    from kafka_stream_service_spark.queries.round10b import _DELTA_MOD, _DELTA_REM
+    from kafka_stream_service_spark.queries.round11n import text_base_index
+    from kafka_stream_service_spark.tables import tables
+
+    base = text_base_index(spark, SF)["postings"]
+    base_census = base.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("sum_tf")
+    )
+    d = tables(spark, SF)["documents"]
+    full_tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    delta_vocab = (
+        full_tf.filter((F.col("doc_id") % _DELTA_MOD) == _DELTA_REM)
+        .select("token")
+        .distinct()
+    )
+    full_census = full_tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("sum_tf")
+    )
+    untouched_full = full_census.join(delta_vocab, "token", "anti")
+    untouched_base = base_census.join(delta_vocab, "token", "anti")
+    diff = untouched_full.exceptAll(untouched_base)
+    assert diff.count() == 0, "untouched-token census changed under the merge"
+    assert untouched_full.count() == untouched_base.count()
