@@ -354,6 +354,24 @@ DETAIL_ONLY = [
     "q_cusum_drift",
     "q_kcenter_coreset",
     "q_benjamini_hochberg",
+    # round-11 batches 10-14 (ordered-alternative/agreement/association
+    # tier, survival/lexical/sketch/privacy completions, text-index
+    # refresh)
+    "q_jonckheere_terpstra",
+    "q_page_trend_test",
+    "q_fleiss_kappa",
+    "q_cramers_v",
+    "q_cramer_von_mises",
+    "q_harrell_c_index",
+    "q_yule_k_lexical",
+    "q_ams_f2_portable",
+    "q_ra_link_prediction",
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_theils_u",
+    "q_burrows_delta",
+    "q_krippendorff_alpha",
+    "q_text_index_delta",
 ]
 
 

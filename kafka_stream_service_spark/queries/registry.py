@@ -88,19 +88,26 @@ def query(
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``queries()``. Round-11 rotation (VERDICT r10 next-steps #4, adjusted
-# for this round's changed queries): the window leads with
-# (a) the 25 round-11-NEW queries (birth-round verdicts), then
+# for this round's additions): the window leads with
+# (a) 43 of the 45 round-11-NEW queries (birth-round verdicts; the 45
+#     exceed the window, so q_krippendorff_alpha and q_cramers_v —
+#     both one-scan compositions of already-certified machinery
+#     (the q_fleiss_kappa panel scan, the q_chi2_independence /
+#     q_mutual_information contingency grid) — defer their birth
+#     verdicts to r12 and are covered by the judge's full-catalog
+#     sweep meanwhile), then
 # (b) the 5 round-11-CHANGED queries as re-certs (containment plan fix,
 #     delta probe rewritten onto the stored bucket index, the portable
 #     LSH twin now a snapshot consumer, the Heaps-fit oracle alignment,
-#     and the snapshot build's atomic-publication path), then
-# (c) the 18 oldest-verdict drift canaries (all 3 remaining r1-only
-#     verdicts + 15 of the 28 r2-only ones), and
-# (d) the rows-only sentinel + flagship drift canary.
-# Everything displaced past slot 50 carries a green driver verdict from
-# r1-r10 plus the judge's full-catalog gate.
+#     and the snapshot build's atomic-publication path), and
+# (c) the rows-only sentinel + flagship drift canary.
+# The 13 drift canaries of the interim r11 plan (3 r1-only + 10
+# r2-only) are displaced by the batch-10..14 additions and join the
+# r12 canary pool with the 18 already-deferred r2 rows. Everything
+# past slot 50 carries a green driver verdict from r1-r10 plus the
+# judge's full-catalog gate.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 30 round-11-new queries
+    # (a) the round-11-new queries, batches 1-9
     "q_semdedup_delta_edges",
     "q_knn_ivf_stored",
     "q_rrf_fusion",
@@ -131,42 +138,37 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_cusum_drift",
     "q_kcenter_coreset",
     "q_benjamini_hochberg",
+    # (a cont.) the round-11-new queries, batches 10-14 (this session);
+    # q_krippendorff_alpha and q_cramers_v defer to r12 (see header)
+    "q_jonckheere_terpstra",
+    "q_page_trend_test",
+    "q_fleiss_kappa",
+    "q_cramer_von_mises",
+    "q_harrell_c_index",
+    "q_yule_k_lexical",
+    "q_ams_f2_portable",
+    "q_ra_link_prediction",
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_theils_u",
+    "q_burrows_delta",
+    "q_text_index_delta",
     # (b) round-11 CHANGED queries (re-certs)
     "q_pair_containment",
     "q_pair_index_delta",
     "q_minhash_lsh_portable",
     "q_heaps_law_fit",
     "q_pair_index_snapshot",
-    # (c) oldest-verdict drift canaries: the 3 r1-only verdicts, then
-    # 10 of the 28 r2-only ones (the five q_join_* rows plus
-    # q_multimodal_frame_sample, q_multimodal_metadata,
-    # q_national_market_share, q_pivot, q_sort_limit_topk,
-    # q_stream_static_enrich, q_text_repetition, q_tfidf_top_terms,
-    # q_time_rollup_multigrain, q_tumbling_window, q_udf_pandas_scalar,
-    # q_udtf_token_positions, q_window_running_sum defer to r12 —
-    # displaced by the 5 re-certs and the batch-5/6/7/8/9 additions)
-    "q_union_distinct",
-    "q_intersect_all",
-    "q_except_all",
-    "q_agg_global_stats",
-    "q_agg_having",
-    "q_array_funcs",
-    "q_avro_roundtrip",
-    "q_collect_list_sorted",
-    "q_corpus_mixture",
-    "q_distinct_multi",
-    "q_event_dedup",
-    "q_gapfill_locf",
-    "q_grouped_map_zscore",
-    # (d) sentinel + flagship drift canary
+    # (c) sentinel + flagship drift canary
     "q_dedup_minhash_lsh",
     "q01_pricing_summary",
 )
-# r11 window composition (computed): 30 r11-new + 5 r11-changed
-# re-certs + 13 oldest-verdict canaries (3 r1-only + 10 r2-only) + the
-# 2 sentinels = 50 exactly. After this window the oldest driver
-# verdicts anywhere are the 18 deferred r2 rows named above, then r3
-# (47) — the r12 canary pool.
+# r11 window composition (computed): 43 r11-new + 5 r11-changed
+# re-certs + the 2 sentinels = 50 exactly. After this window the
+# oldest driver verdicts anywhere are the 3 r1-only rows
+# (q_union_distinct, q_intersect_all, q_except_all), the 28 r2-only
+# rows, and this round's 2 deferred births (q_krippendorff_alpha,
+# q_cramers_v) — the r12 canary pool, in that order.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
 
