@@ -372,6 +372,13 @@ DETAIL_ONLY = [
     "q_burrows_delta",
     "q_krippendorff_alpha",
     "q_text_index_delta",
+    # round-11 batch 15/16 (classifier summaries, PACF, variance
+    # homogeneity, Granger)
+    "q_mcc_filters",
+    "q_odds_ratio_ci",
+    "q_pacf_daily",
+    "q_brown_forsythe",
+    "q_granger_lag1",
 ]
 
 

@@ -93,3 +93,5 @@ from . import round11k  # noqa: E402,F401
 from . import round11l  # noqa: E402,F401
 from . import round11m  # noqa: E402,F401
 from . import round11n  # noqa: E402,F401
+from . import round11o  # noqa: E402,F401
+from . import round11p  # noqa: E402,F401

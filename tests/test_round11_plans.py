@@ -76,6 +76,15 @@ SF = "/root/testdata/sf0.001"
         ("q_burrows_delta", 11),
         # one scan, one global rollup
         ("q_krippendorff_alpha", 0),
+        # one scan, one 4-cell rollup each
+        ("q_mcc_filters", 0),
+        ("q_odds_ratio_ci", 0),
+        # day rollup repeated per lag/moment margin (runtime-reused)
+        ("q_pacf_daily", 6),
+        # (group x value) census + bounded per-group windows
+        ("q_brown_forsythe", 5),
+        # day rollup + lag join + moment folds on the 30-row series
+        ("q_granger_lag1", 6),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -114,6 +123,11 @@ def test_round11_no_cartesian(spark):
         "q_theils_u",
         "q_burrows_delta",
         "q_krippendorff_alpha",
+        "q_mcc_filters",
+        "q_odds_ratio_ci",
+        "q_pacf_daily",
+        "q_brown_forsythe",
+        "q_granger_lag1",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
