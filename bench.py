@@ -379,6 +379,8 @@ DETAIL_ONLY = [
     "q_pacf_daily",
     "q_brown_forsythe",
     "q_granger_lag1",
+    # round-11 batch 17 (streaming CUSUM)
+    "q_stream_cusum_replay",
 ]
 
 

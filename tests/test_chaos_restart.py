@@ -583,3 +583,84 @@ def test_index_probe_dedup_survives_between_epoch_restart(spark, duck, tmp_path)
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"index-probe dedup state lost across restart: {problems}"
+
+
+def test_stream_cusum_survives_between_epoch_restart(spark, duck, tmp_path):
+    """Kill-between-epochs restart for the round-11 streaming CUSUM:
+    run 1 folds days 16-23 and stops; run 2 reveals days 24+ and
+    resumes from the same checkpoint. The resumed operator must
+    rehydrate each event type's single-integer CUSUM state — losing it
+    would restart every type's walk at 0 for the second chunk and flip
+    the alarm rows' hash. union(run1, run2) must equal
+    q_stream_cusum_replay's batch-recursion oracle exactly."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries import streaming_replay as sr
+    from kafka_stream_service_spark.queries.round11q import (
+        _CUSUM_SPLIT_DOM,
+        _cusum_stream_frame,
+        build_cusum_stream,
+    )
+
+    frame = _cusum_stream_frame(spark, SF)
+    chunks = [
+        frame.filter(F.col("dom") <= _CUSUM_SPLIT_DOM),
+        frame.filter(F.col("dom") > _CUSUM_SPLIT_DOM),
+    ]
+    staged = []
+    for i, c in enumerate(chunks):
+        d = tmp_path / f"stage_{i}"
+        c.coalesce(1).write.parquet(str(d))
+        (part,) = glob.glob(str(d / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        collected.append(batch_df.toPandas())
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(prov_key, sr.HDFS_STATE_PROVIDER)
+    try:
+        for i, part in enumerate(staged):
+            shutil.copy(part, str(flat / f"{i:02d}.parquet"))
+            os.utime(str(flat / f"{i:02d}.parquet"))
+            stream = (
+                spark.readStream.schema(frame.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(flat))
+            )
+            q = (
+                build_cusum_stream(stream)
+                .writeStream.foreachBatch(collect_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # the between-epochs "kill": checkpoint keeps state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set(prov_key, prev_prov)
+
+    merged = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    spec = QUERIES["q_stream_cusum_replay"]
+    problems = compare(
+        "q_stream_cusum_replay(restart)",
+        merged,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"CUSUM state lost across restart: {problems}"
