@@ -381,6 +381,10 @@ DETAIL_ONLY = [
     "q_granger_lag1",
     # round-11 batch 17 (streaming CUSUM)
     "q_stream_cusum_replay",
+    # round-11 batch 18 (residual whiteness, PH drift, Dunn post-hoc)
+    "q_ljung_box",
+    "q_page_hinkley",
+    "q_dunns_test",
 ]
 
 

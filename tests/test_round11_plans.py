@@ -85,6 +85,12 @@ SF = "/root/testdata/sf0.001"
         ("q_brown_forsythe", 5),
         # day rollup + lag join + moment folds on the 30-row series
         ("q_granger_lag1", 6),
+        # day rollup repeated per lag/g0/moment margin (runtime-reused)
+        ("q_ljung_box", 10),
+        # ONE day rollup; all windows on the 31-row series
+        ("q_page_hinkley", 1),
+        # value census repeated per rank/tie/group margin (runtime-reused)
+        ("q_dunns_test", 10),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -128,6 +134,9 @@ def test_round11_no_cartesian(spark):
         "q_pacf_daily",
         "q_brown_forsythe",
         "q_granger_lag1",
+        "q_ljung_box",
+        "q_page_hinkley",
+        "q_dunns_test",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
