@@ -385,6 +385,8 @@ DETAIL_ONLY = [
     "q_ljung_box",
     "q_page_hinkley",
     "q_dunns_test",
+    # round-11 batch 19 (refresh-consistent BM25 serving)
+    "q_bm25_after_refresh",
 ]
 
 

@@ -193,3 +193,114 @@ def q_text_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# BM25 serving AFTER a refresh: merged base+delta index == full index
+# ---------------------------------------------------------------------------
+
+from .registry import QUERIES  # noqa: E402
+from .round7f import _BM25_TERMS  # noqa: E402
+
+
+@query(
+    "q_bm25_after_refresh",
+    # the serving-consistency contract is literal: SAME oracle as the
+    # full-index serving row (round11f registers before this module)
+    oracle=QUERIES["q_bm25_stored_index"].oracle,
+    tags=("text", "retrieval", "bm25", "index", "incremental", "serving",
+          "llm-data", "round11"),
+)
+def q_bm25_after_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving over the REFRESHED index — the query-consistency
+    certificate for q_text_index_delta: the same 3-term query and
+    k1=1.2/b=0.75 scoring as q_bm25_stored_index, but tf comes from
+    the stored BASE postings UNIONED with the freshly derived delta
+    postings, df from the merged per-token census, doc lengths from
+    base doclen + delta doclen, and corpus stats from base stats +
+    delta increments. The oracle is q_bm25_stored_index's full
+    derivation, so the driver hash proves serving-after-refresh ==
+    serving-after-rebuild — a refresh that silently skewed df or
+    dropped a posting would flip the top-15.
+
+    Exactness: identical quantized-per-term integer scoring
+    (term scores floor at 1e6 BEFORE the per-doc sum); all merge
+    arithmetic is exact integer addition.
+
+    Scale shape: the base side reads only the query terms' posting
+    rows (token filter pushed into the parquet scan, zone-map-pruned);
+    the delta side tokenizes the ~10% arrival slice; stats/census
+    merges are token-grain and 1-row.
+    """
+    base = text_base_index(spark, sf_dir)
+    delta_docs = tables(spark, sf_dir)["documents"].filter(
+        (F.col("doc_id") % _DELTA_MOD) == _DELTA_REM
+    )
+    delta_tf = (
+        delta_docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    delta_tf = delta_tf.cache()
+    tf = (
+        base["postings"]
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .unionByName(delta_tf.filter(F.col("token").isin(*_BM25_TERMS)))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    dl = base["doclen"].unionByName(
+        delta_docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+        )
+    )
+    delta_stats = delta_docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+        .cast("bigint")
+        .alias("dsum"),
+    )
+    stats = (
+        base["stats"]
+        .crossJoin(F.broadcast(delta_stats))
+        .select(
+            (F.col("n_docs") + F.col("dn")).cast("bigint").alias("n_docs"),
+            (F.col("sum_dl") + F.col("dsum")).cast("bigint").alias("sum_dl"),
+        )
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfn = (F.col("tf").cast("double") * 2.2) / (
+        F.col("tf").cast("double")
+        + 1.2
+        * (
+            0.25
+            + 0.75
+            * (
+                F.col("dl").cast("double")
+                / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(F.lit(1000000.0) * (idf * tfn)).cast("bigint").alias("term_q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_q").cast("bigint").alias("bm25_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25_q").desc(), "doc_id")
+        .limit(15)
+    )

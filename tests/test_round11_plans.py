@@ -328,3 +328,22 @@ def test_text_index_delta_untouched_tokens_unchanged(spark):
     diff = untouched_full.exceptAll(untouched_base)
     assert diff.count() == 0, "untouched-token census changed under the merge"
     assert untouched_full.count() == untouched_base.count()
+
+
+def test_bm25_after_refresh_reads_base_with_pushed_terms(spark):
+    """The refresh-serving probe must read the BASE postings parquet
+    with the query-term filter PUSHED to the scan (zone-map pruning),
+    and stay within its shuffle budget."""
+    from kafka_stream_service_spark.queries.round11n import (
+        build_text_base_index,
+        text_base_index_path,
+    )
+
+    build_text_base_index(spark, SF)
+    plan = physical_plan(QUERIES["q_bm25_after_refresh"].spark_fn(spark, SF))
+    token = text_base_index_path(SF).rsplit("/", 1)[-1]
+    assert token in plan, "refresh serving does not read the stored base index"
+    assert "In(token" in plan, f"token filter not pushed to the base scan:\n{plan}"
+    n = count_shuffle_exchanges(plan)
+    assert n <= 3, f"refresh serving plans {n} keyed shuffles (budget 3):\n{plan}"
+    assert "CartesianProduct" not in plan
