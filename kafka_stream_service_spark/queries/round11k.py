@@ -181,9 +181,16 @@ def q_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (counts reach N^2/2 and the q9 scaling would cross 2^63
     as integers, hence the double).
 
-    Scale shape: one orderkey-partitioned join to the ~1300-cell
-    census (days x 5 risks x 2 event flags — SF-invariant), then a
-    broadcast self-join of that grid; the corpus itself never pairs.
+    Scale shape: one orderkey-partitioned join to the census, then
+    LINEAR pair counting — per risk, a suffix-sum window gives
+    later(t, r) = #items outliving day t, and each event cell joins
+    its day's 5 later values, so the work is O(census x risks), never
+    a census self-join. (The first cut here DID self-join the grid on
+    ta < tb under a "days are bounded" assumption the fixture's ~4.7k
+    distinct durations immediately falsified: 16.7 s at sf0.1 and
+    quadratic in the duration domain; this form measures 1.1 s and is
+    the one a 100 TB duration domain tolerates. The oracle is
+    unchanged — the hash verdict certifies the rewrite.)
     """
     t = tables(spark, sf_dir)
     dur = (
@@ -200,25 +207,53 @@ def q_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = dur.groupBy("t_days", "ev", "risk").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    a = g.filter(F.col("ev") == 1).select(
-        F.col("t_days").alias("ta"), F.col("risk").alias("ra"), F.col("c").alias("ca")
+    g = g.cache()
+    # later(t, rb): items of risk rb with duration strictly > t, via a
+    # per-risk suffix sum over the FULL day x risk grid (zero-filled so
+    # days where a risk has no items still carry its suffix count).
+    days = g.select("t_days").distinct()
+    risks = g.select(F.col("risk").alias("rb")).distinct()
+    c_all = g.groupBy("t_days", "risk").agg(F.sum("c").cast("bigint").alias("c_tr"))
+    grid = (
+        days.crossJoin(F.broadcast(risks))
+        .join(
+            c_all.withColumnRenamed("risk", "rb"),
+            ["t_days", "rb"],
+            "left",
+        )
+        .select("t_days", "rb", F.coalesce("c_tr", F.lit(0)).alias("c_tr"))
     )
-    b = g.select(
-        F.col("t_days").alias("tb"), F.col("risk").alias("rb"), F.col("c").alias("cb")
+    w_later = (
+        Window.partitionBy("rb")
+        .orderBy(F.desc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pairs = a.join(F.broadcast(b), F.col("ta") < F.col("tb")).agg(
+    later = grid.select(
+        "t_days",
+        "rb",
+        F.coalesce(F.sum("c_tr").over(w_later), F.lit(0))
+        .cast("bigint")
+        .alias("later_cnt"),
+    )
+    ev_cells = g.filter(F.col("ev") == 1).select(
+        "t_days", F.col("risk").alias("ra"), F.col("c").alias("ca")
+    )
+    pairs = ev_cells.join(later, "t_days").agg(
         F.sum(
-            F.when(F.col("ra") > F.col("rb"), F.col("ca") * F.col("cb")).otherwise(0)
+            F.when(F.col("ra") > F.col("rb"), F.col("ca") * F.col("later_cnt"))
+            .otherwise(0)
         )
         .cast("bigint")
         .alias("conc"),
         F.sum(
-            F.when(F.col("ra") < F.col("rb"), F.col("ca") * F.col("cb")).otherwise(0)
+            F.when(F.col("ra") < F.col("rb"), F.col("ca") * F.col("later_cnt"))
+            .otherwise(0)
         )
         .cast("bigint")
         .alias("disc"),
         F.sum(
-            F.when(F.col("ra") == F.col("rb"), F.col("ca") * F.col("cb")).otherwise(0)
+            F.when(F.col("ra") == F.col("rb"), F.col("ca") * F.col("later_cnt"))
+            .otherwise(0)
         )
         .cast("bigint")
         .alias("tied_risk"),

@@ -57,8 +57,9 @@ SF = "/root/testdata/sf0.001"
         ("q_cramers_v", 7),
         # 50-cell value census + bounded cumulative window + scalar folds
         ("q_cramer_von_mises", 3),
-        # (duration x risk x event) census + broadcast grid self-join
-        ("q_harrell_c_index", 2),
+        # census + per-risk suffix windows + day-grain join (census
+        # subtree repeats per margin statically, runtime-cached)
+        ("q_harrell_c_index", 8),
         # explode + ONE word rollup + 1-row fold
         ("q_yule_k_lexical", 1),
         # user rollup (runtime-reused for F2 + sketch) + r/group grains
