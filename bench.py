@@ -387,6 +387,8 @@ DETAIL_ONLY = [
     "q_dunns_test",
     # round-11 batch 19 (refresh-consistent BM25 serving)
     "q_bm25_after_refresh",
+    # round-11 batch 20 (split-conformal coverage)
+    "q_conformal_coverage",
 ]
 
 

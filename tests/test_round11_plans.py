@@ -92,6 +92,8 @@ SF = "/root/testdata/sf0.001"
         ("q_page_hinkley", 1),
         # value census repeated per rank/tie/group margin (runtime-reused)
         ("q_dunns_test", 10),
+        # split scan + model rollup + residual-bucket census + folds
+        ("q_conformal_coverage", 4),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -138,6 +140,7 @@ def test_round11_no_cartesian(spark):
         "q_ljung_box",
         "q_page_hinkley",
         "q_dunns_test",
+        "q_conformal_coverage",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
