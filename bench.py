@@ -389,6 +389,9 @@ DETAIL_ONLY = [
     "q_bm25_after_refresh",
     # round-11 batch 20 (split-conformal coverage)
     "q_conformal_coverage",
+    # round-11 batch 21 (preference strengths, DiD)
+    "q_bradley_terry",
+    "q_diff_in_differences",
 ]
 
 

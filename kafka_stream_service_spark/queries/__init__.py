@@ -98,3 +98,4 @@ from . import round11p  # noqa: E402,F401
 from . import round11q  # noqa: E402,F401
 from . import round11r  # noqa: E402,F401
 from . import round11s  # noqa: E402,F401
+from . import round11t  # noqa: E402,F401

@@ -94,6 +94,11 @@ SF = "/root/testdata/sf0.001"
         ("q_dunns_test", 10),
         # split scan + model rollup + residual-bucket census + folds
         ("q_conformal_coverage", 4),
+        # (day x type) rollup repeated per contest/iteration margin
+        # (runtime-reused; MM grid itself is 20 pairs)
+        ("q_bradley_terry", 11),
+        # one scan, one 4-cell rollup
+        ("q_diff_in_differences", 1),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -141,6 +146,8 @@ def test_round11_no_cartesian(spark):
         "q_page_hinkley",
         "q_dunns_test",
         "q_conformal_coverage",
+        "q_bradley_terry",
+        "q_diff_in_differences",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
