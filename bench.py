@@ -392,6 +392,9 @@ DETAIL_ONLY = [
     # round-11 batch 21 (preference strengths, DiD)
     "q_bradley_terry",
     "q_diff_in_differences",
+    # round-11 batch 22 (Shapley attribution, Copeland/Condorcet)
+    "q_shapley_attribution",
+    "q_copeland_condorcet",
 ]
 
 

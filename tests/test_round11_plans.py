@@ -99,6 +99,10 @@ SF = "/root/testdata/sf0.001"
         ("q_bradley_terry", 11),
         # one scan, one 4-cell rollup
         ("q_diff_in_differences", 1),
+        # journey rollup + 16-set census + literal coalition grid
+        ("q_shapley_attribution", 5),
+        # (day x type) rollup + 20-pair duel grid
+        ("q_copeland_condorcet", 4),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -148,6 +152,8 @@ def test_round11_no_cartesian(spark):
         "q_conformal_coverage",
         "q_bradley_terry",
         "q_diff_in_differences",
+        "q_shapley_attribution",
+        "q_copeland_condorcet",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
@@ -358,3 +364,16 @@ def test_bm25_after_refresh_reads_base_with_pushed_terms(spark):
     n = count_shuffle_exchanges(plan)
     assert n <= 3, f"refresh serving plans {n} keyed shuffles (budget 3):\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley credits must sum EXACTLY to v(full) - v(empty) (the
+    efficiency axiom, x24) — a broken coalition enumeration or weight
+    table would violate it before any oracle run."""
+    rows = QUERIES["q_shapley_attribution"].spark_fn(spark, SF).collect()
+    assert rows, "no channels attributed"
+    total = sum(r.phi_x24 for r in rows)
+    assert total == 24 * (rows[0].v_full - rows[0].v_empty), (
+        f"efficiency violated: sum phi_x24 = {total}, "
+        f"24*(v_full - v_empty) = {24 * (rows[0].v_full - rows[0].v_empty)}"
+    )
