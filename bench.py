@@ -395,6 +395,8 @@ DETAIL_ONLY = [
     # round-11 batch 22 (Shapley attribution, Copeland/Condorcet)
     "q_shapley_attribution",
     "q_copeland_condorcet",
+    # round-11 batch 23 (FWER step-down)
+    "q_holm_bonferroni",
 ]
 
 

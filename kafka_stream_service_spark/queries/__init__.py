@@ -100,3 +100,4 @@ from . import round11r  # noqa: E402,F401
 from . import round11s  # noqa: E402,F401
 from . import round11t  # noqa: E402,F401
 from . import round11u  # noqa: E402,F401
+from . import round11v  # noqa: E402,F401

@@ -167,13 +167,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # re-certs + the 2 sentinels = 50 exactly. After this window the
 # oldest driver verdicts anywhere are the 3 r1-only rows
 # (q_union_distinct, q_intersect_all, q_except_all), the 28 r2-only
-# rows, and this round's 17 deferred births (q_krippendorff_alpha,
-# q_cramers_v, and the post-rotation batch-15..22 rows q_mcc_filters,
+# rows, and this round's 18 deferred births (q_krippendorff_alpha,
+# q_cramers_v, and the post-rotation batch-15..23 rows q_mcc_filters,
 # q_odds_ratio_ci, q_pacf_daily, q_brown_forsythe, q_granger_lag1,
 # q_stream_cusum_replay, q_ljung_box, q_page_hinkley, q_dunns_test,
 # q_bm25_after_refresh, q_conformal_coverage, q_bradley_terry,
-# q_diff_in_differences, q_shapley_attribution, q_copeland_condorcet)
-# — the r12 canary pool, in that order.
+# q_diff_in_differences, q_shapley_attribution, q_copeland_condorcet,
+# q_holm_bonferroni) — the r12 canary pool, in that order.
 # The computed check stays authoritative:
 # union(CORRECTNESS_r01..r10 keys) vs the registry.
 

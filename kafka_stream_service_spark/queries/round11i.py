@@ -143,6 +143,60 @@ _BH_SEED = "911"
 # p_num = 1 + #exceedances (so p = p_num / (K + 1), Dwass-style).
 
 
+# The permutation-family p-value derivation (WITH-body through the pv
+# CTE), mirroring q_benjamini_hochberg's inline oracle text verbatim —
+# exported for the Holm-Bonferroni step-down in round11v so both
+# multiple-testing rows provably rank the SAME p-values (FDR vs FWER
+# control over one family).
+_PV_CTE = f"""
+    x AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM x),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+                 CAST(SUM(v) AS BIGINT) AS sv_s FROM x GROUP BY 1),
+    obs AS (
+      SELECT s.source, s.n_s,
+             CAST(s.sv_s AS DOUBLE) / s.n_s
+           - CAST(g.sv - s.sv_s AS DOUBLE) / (g.n - s.n_s) AS d_obs
+      FROM s CROSS JOIN g
+    ),
+    rel AS (
+      SELECT s.source, p.i AS perm, x.v,
+             CASE WHEN {{h}}
+                       % g.n < s.n_s THEN 1 ELSE 0 END AS ing
+      FROM x CROSS JOIN s CROSS JOIN g,
+           (SELECT unnest(range(0, {_BH_K})) AS i) p
+    ),
+    perms AS (
+      SELECT source, perm,
+             CASE WHEN SUM(ing) > 0 AND SUM(1 - ing) > 0 THEN
+               CAST(SUM(CASE WHEN ing = 1 THEN v END) AS DOUBLE) / SUM(ing)
+             - CAST(SUM(CASE WHEN ing = 0 THEN v END) AS DOUBLE) / SUM(1 - ing)
+             END AS d_perm
+      FROM rel GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT o.source, o.n_s,
+             CAST(1 + SUM(CASE WHEN ABS(p.d_perm) >= ABS(o.d_obs)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS p_num
+      FROM perms p JOIN obs o USING (source)
+      GROUP BY o.source, o.n_s, o.d_obs
+    )
+"""
+
+
+def pv_cte_sql() -> str:
+    """The shared p-value CTE body with the hash expression bound."""
+    return _PV_CTE.format(
+        h=_h_sql(
+            "CAST(x.doc_id AS VARCHAR) || ':' || s.source || ':' ||"
+            " CAST(p.i AS VARCHAR)",
+            _BH_SEED,
+        )
+    )
+
+
 @query(
     "q_benjamini_hochberg",
     oracle=f"""

@@ -103,6 +103,9 @@ SF = "/root/testdata/sf0.001"
         ("q_shapley_attribution", 5),
         # (day x type) rollup + 20-pair duel grid
         ("q_copeland_condorcet", 4),
+        # the BH relabeling pipeline (cached at the m-row crit frame;
+        # static plan re-derives it for the stop scalar)
+        ("q_holm_bonferroni", 15),
     ],
 )
 def test_round11_ops_shuffle_budget(spark, name, max_exchanges):
@@ -154,6 +157,7 @@ def test_round11_no_cartesian(spark):
         "q_diff_in_differences",
         "q_shapley_attribution",
         "q_copeland_condorcet",
+        "q_holm_bonferroni",
     ):
         plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
