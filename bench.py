@@ -32,27 +32,26 @@ from kafka_stream_service_spark.queries import QUERIES  # noqa: E402
 from kafka_stream_service_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # round-12 line-budget trim (VERDICT r11 next-steps #2): the driver's
+    # tail capture is 2000 B and the 59-row r11 line reached 1,733 B with
+    # the whole capture at 1,999/2,000 — one slow-host digit from the
+    # BENCH_r05 `parsed: null` failure. The headline now carries the
+    # flagship + ONE representative per operator family; the 14 demoted
+    # rows (TPC-H variants beyond q01/q03, second-of-family window /
+    # streaming / dedup / ANN / text rows) keep their 3-pass medians in
+    # BENCH_DETAIL.json under the same names, so round-over-round
+    # comparisons continue uninterrupted. tests/test_bench_line_budget.py
+    # pins the worst-case serialized line < 1,900 B.
     "q01_pricing_summary",
-    "q02_revenue_by_nation",
     "q03_top_orders_by_revenue",
-    "q05_regional_supplier_volume",
-    "q06_forecast_revenue_filter",
-    "q10_returned_items",
     "q_window_topk_per_group",
-    "q_window_running_sum",
-    "q_tumbling_window",
     "q_session_window",
     "q_asof_join",
-    "q_dedup_exact_hash",
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
-    "q_knn_cosine_bruteforce",
     "q_knn_ivf",
-    "q_cosine_pairs_blocked",
     "q_text_wordcount",
-    "q_text_token_stats",
     "q_codec_roundtrip",
-    "q_dedup_embedding_cosine",
     "q_training_corpus_pipeline",
     "q_pack_sequences",
     "q_hash_sample",
@@ -63,19 +62,13 @@ HEADLINE = [
     # round-5 additions: wall-time accountability for the round-4
     # operators (VERDICT r4 next-steps #5) + the new real image codec
     "q_multimodal_decode",
-    # round-5 operators: chunking/boilerplate/segment-dedup corpus ops,
-    # integer-exact timeseries, triangle enumeration, streaming
-    # sessionization, and the lakehouse CDC trio
-    "q_stream_session_window_replay",
     # quality_ops batch: audit + tokenizer-training + span-dedup shapes
     "q_jaccard_prefix_join",
     "q_winsorized_stats",
-    # round-6 operators: skew-safe triangles, portable sketches (CMS /
-    # Bloom / HLL), sweep-line intervals, the stream-stream full-outer +
-    # chained-rollup replays, and the PQ ANN pair
+    # round-6 operators: skew-safe triangles, the stream-stream
+    # full-outer replay, and the PQ ANN representative
     "q_triangle_oriented",
     "q_stream_full_outer_join_replay",
-    "q_stream_two_level_agg_replay",
     "q_pq_adc_topk_portable",
     # round-7 operators: sequence analytics, perceptual image hashing,
     # fuzzy vocabulary join, graph link prediction, exact-fraction
@@ -397,7 +390,49 @@ DETAIL_ONLY = [
     "q_copeland_condorcet",
     # round-11 batch 23 (FWER step-down)
     "q_holm_bonferroni",
+    # round-12 headline demotions (line-budget trim, VERDICT r11 #2):
+    # family-redundant rows — still timed with the same 3-pass-median
+    # methodology every run, reported here under their original names
+    "q02_revenue_by_nation",
+    "q05_regional_supplier_volume",
+    "q06_forecast_revenue_filter",
+    "q10_returned_items",
+    "q_window_running_sum",
+    "q_tumbling_window",
+    "q_dedup_exact_hash",
+    "q_knn_cosine_bruteforce",
+    "q_cosine_pairs_blocked",
+    "q_text_token_stats",
+    "q_dedup_embedding_cosine",
+    "q_stream_session_window_replay",
+    "q_stream_two_level_agg_replay",
+    # round-12 births (lifecycle tier): snapshot GC census + IVF refresh
+    "q_snapshot_gc_census",
+    "q_knn_ivf_refresh",
 ]
+
+
+# Hard budget for the one-line driver contract: the driver records the
+# LAST 2000 chars of output; stage-progress junk can precede the line in
+# that capture (r11's line was 1,733 B and the capture sat at 1,999 of
+# 2,000), so the line itself must stay well clear.
+# tests/test_bench_line_budget.py asserts the worst-case serialization
+# (every timing at 3 integer digits) stays under this.
+LINE_BUDGET_BYTES = 1900
+
+
+def headline_line(timings: dict[str, float], total: float, sf: float, dp: int) -> str:
+    """The exact one-line serialization the driver parses."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, dp) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
 
 
 def force(df) -> None:
@@ -630,25 +665,13 @@ def main() -> None:
     # ONE compact line for the driver's tail capture: 2-dp medians, no
     # whitespace — everything else lives in BENCH_DETAIL.json. The
     # driver records exactly the LAST 2000 chars of output (BENCH_r04/05
-    # tails), so the line must stay under that with margin; if catalog
-    # growth pushes past 1.9 KB, degrade precision (1 dp) rather than
-    # dropping names: the driver contract needs every headline query
-    # present.
-    def one_line(dp: int) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, dp) for k, v in timings.items()},
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-
-    line = one_line(2)
-    if len(line) > 1900:
-        line = one_line(1)
+    # tails), so the line must stay under LINE_BUDGET_BYTES with margin;
+    # if catalog growth ever pushes past it, degrade precision (1 dp)
+    # rather than dropping names: the driver contract needs every
+    # headline query present.
+    line = headline_line(timings, total, sf, 2)
+    if len(line) > LINE_BUDGET_BYTES:
+        line = headline_line(timings, total, sf, 1)
     print(line)
 
 

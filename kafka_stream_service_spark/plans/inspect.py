@@ -64,3 +64,70 @@ def count_shuffle_exchanges(plan: str) -> int:
     subquery's keyed shuffle is as real as the main plan's.
     """
     return len(_KEYED_SHUFFLE.findall(plan))
+
+
+# Tree lines look like ``   +- Exchange (4)`` / ``:  +- * HashAggregate (3)``;
+# capture the operator name and node id at any indent.
+_TREE_NODE = re.compile(r"^[\s:+*-]*?(?:\+- |:- )?\*?\s?([A-Za-z][A-Za-z0-9]*)\s\((\d+)\)\s*$")
+
+# SinglePartition children that legitimately collapse to one partition:
+# post-aggregation finals (rows already reduced to group cardinality) and
+# limit operators (row count bounded by the literal).
+_SP_SAFE_CHILDREN = frozenset(
+    {"HashAggregate", "ObjectHashAggregate", "SortAggregate", "LocalLimit", "GlobalLimit"}
+)
+
+
+def single_partition_offenders(plan: str) -> list[str]:
+    """Names of operators feeding a ``SinglePartition`` exchange that is
+    NOT preceded by aggregation or a limit — i.e. a data-scale subtree
+    being serialized onto one partition (the classic global
+    ``Window.orderBy`` regression).
+
+    ``count_shuffle_exchanges`` deliberately ignores SinglePartition
+    exchanges, so a budget alone would count such a plan as zero
+    shuffles — exactly the scalability failure budgets exist to catch
+    (ADVICE r11). This companion makes the gap assertable: plan-shape
+    tests call :func:`assert_no_data_scale_single_partition` next to
+    their shuffle budget.
+
+    Works on FORMATTED plans: finds each ``Exchange (N)`` tree line whose
+    detail section says ``Arguments: SinglePartition``, then inspects the
+    exchange's direct child in the tree (the next tree line — formatted
+    trees print the child immediately below its parent).
+    """
+    lines = plan.splitlines()
+    # node id -> detail-section text (the "(N) OpName" blocks)
+    sp_ids: set[str] = set()
+    current_id: str | None = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) Exchange\b", ln)
+        if m:
+            current_id = m.group(1)
+            continue
+        if re.match(r"^\(\d+\) ", ln):
+            current_id = None
+            continue
+        if current_id and "Arguments:" in ln and "SinglePartition" in ln:
+            sp_ids.add(current_id)
+    if not sp_ids:
+        return []
+    offenders: list[str] = []
+    tree_nodes = [(i, m.group(1), m.group(2)) for i, ln in enumerate(lines) if (m := _TREE_NODE.match(ln))]
+    for idx, (_, name, node_id) in enumerate(tree_nodes):
+        if name != "Exchange" or node_id not in sp_ids:
+            continue
+        child = tree_nodes[idx + 1][1] if idx + 1 < len(tree_nodes) else "<leaf>"
+        if child not in _SP_SAFE_CHILDREN:
+            offenders.append(child)
+    return offenders
+
+
+def assert_no_data_scale_single_partition(df: DataFrame) -> str:
+    plan = physical_plan(df)
+    bad = single_partition_offenders(plan)
+    assert not bad, (
+        f"SinglePartition exchange fed by non-aggregated operator(s) {bad} — "
+        f"a data-scale subtree is collapsing onto one partition:\n{plan}"
+    )
+    return plan

@@ -101,3 +101,4 @@ from . import round11s  # noqa: E402,F401
 from . import round11t  # noqa: E402,F401
 from . import round11u  # noqa: E402,F401
 from . import round11v  # noqa: E402,F401
+from . import round12  # noqa: E402,F401

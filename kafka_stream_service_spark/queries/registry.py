@@ -87,95 +87,94 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-11 rotation (VERDICT r10 next-steps #4, adjusted
-# for this round's additions): the window leads with
-# (a) 43 of the 45 round-11-NEW queries (birth-round verdicts; the 45
-#     exceed the window, so q_krippendorff_alpha and q_cramers_v —
-#     both one-scan compositions of already-certified machinery
-#     (the q_fleiss_kappa panel scan, the q_chi2_independence /
-#     q_mutual_information contingency grid) — defer their birth
-#     verdicts to r12 and are covered by the judge's full-catalog
-#     sweep meanwhile), then
-# (b) the 5 round-11-CHANGED queries as re-certs (containment plan fix,
-#     delta probe rewritten onto the stored bucket index, the portable
-#     LSH twin now a snapshot consumer, the Heaps-fit oracle alignment,
-#     and the snapshot build's atomic-publication path), and
-# (c) the rows-only sentinel + flagship drift canary.
-# The 13 drift canaries of the interim r11 plan (3 r1-only + 10
-# r2-only) are displaced by the batch-10..14 additions and join the
-# r12 canary pool with the 18 already-deferred r2 rows. Everything
-# past slot 50 carries a green driver verdict from r1-r10 plus the
-# judge's full-catalog gate.
+# ``queries()``. Round-12 rotation (VERDICT r11 next-steps #1): the
+# ENTIRE window is the certification debt — no births, no re-certs of
+# already-green rows. Composition:
+# (a) the 18 round-11 births that never received a driver verdict
+#     (the r11 window rotation ran out of slots after batch 14;
+#     CORRECTNESS_r01..r11 ∌ these names),
+# (b) the 3 rows whose only driver verdict dates to r1
+#     (q_union_distinct, q_intersect_all, q_except_all),
+# (c) the 28 rows whose latest driver verdict dates to r2, and
+# (d) the rows-only sentinel q_dedup_minhash_lsh (its hash-green
+#     portable twin q_minhash_lsh_portable is r11-certified).
+# 18 + 3 + 28 + 1 = 50 exactly. This restores the invariant "every
+# declared query has a driver verdict, none older than the rotation
+# horizon" — now enforced by tests/test_registry_window.py, which
+# recomputes the debt from CORRECTNESS_r*.json instead of trusting
+# this comment. New r12 queries (if any) must be listed in
+# NEW_THIS_ROUND below and wait for the r13 window.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the round-11-new queries, batches 1-9
-    "q_semdedup_delta_edges",
-    "q_knn_ivf_stored",
-    "q_rrf_fusion",
-    "q_mrr_recall_eval",
-    "q_rouge2_pair_scores",
-    "q_kneser_ney_bigram",
-    "q_jensen_shannon_sources",
-    "q_kruskal_wallis",
-    "q_mmr_rerank",
-    "q_good_turing_smoothing",
-    "q_pmi_collocations",
-    "q_mcnemar_filters",
-    "q_wilcoxon_signed_rank",
-    "q_friedman_test",
-    "q_cohens_kappa",
-    "q_rank_biased_overlap",
-    "q_stream_index_probe_dedup_replay",
-    "q_cochran_q_filters",
-    "q_random_projection_jl",
-    "q_calinski_harabasz",
-    "q_bm25_stored_index",
-    "q_ivf_serving_recall",
-    "q_degree_assortativity",
-    "q_sprt_conversion",
-    "q_entropy_rate_bigram",
-    "q_kn_lm_stored",
-    "q_doc_logprob_stored_lm",
-    "q_cusum_drift",
-    "q_kcenter_coreset",
-    "q_benjamini_hochberg",
-    # (a cont.) the round-11-new queries, batches 10-14 (this session);
-    # q_krippendorff_alpha and q_cramers_v defer to r12 (see header)
-    "q_jonckheere_terpstra",
-    "q_page_trend_test",
-    "q_fleiss_kappa",
-    "q_cramer_von_mises",
-    "q_harrell_c_index",
-    "q_yule_k_lexical",
-    "q_ams_f2_portable",
-    "q_ra_link_prediction",
-    "q_l_diversity",
-    "q_t_closeness",
-    "q_theils_u",
-    "q_burrows_delta",
-    "q_text_index_delta",
-    # (b) round-11 CHANGED queries (re-certs)
-    "q_pair_containment",
-    "q_pair_index_delta",
-    "q_minhash_lsh_portable",
-    "q_heaps_law_fit",
-    "q_pair_index_snapshot",
-    # (c) sentinel + flagship drift canary
+    # (a) the 18 deferred round-11 births, in deferral order
+    "q_krippendorff_alpha",
+    "q_cramers_v",
+    "q_mcc_filters",
+    "q_odds_ratio_ci",
+    "q_pacf_daily",
+    "q_brown_forsythe",
+    "q_granger_lag1",
+    "q_stream_cusum_replay",
+    "q_ljung_box",
+    "q_page_hinkley",
+    "q_dunns_test",
+    "q_bm25_after_refresh",
+    "q_conformal_coverage",
+    "q_bradley_terry",
+    "q_diff_in_differences",
+    "q_shapley_attribution",
+    "q_copeland_condorcet",
+    "q_holm_bonferroni",
+    # (b) the 3 r1-only canaries
+    "q_union_distinct",
+    "q_intersect_all",
+    "q_except_all",
+    # (c) the 28 r2-only canaries
+    "q_agg_global_stats",
+    "q_agg_having",
+    "q_array_funcs",
+    "q_avro_roundtrip",
+    "q_collect_list_sorted",
+    "q_corpus_mixture",
+    "q_distinct_multi",
+    "q_event_dedup",
+    "q_gapfill_locf",
+    "q_grouped_map_zscore",
+    "q_join_cross",
+    "q_join_full_outer",
+    "q_join_left_outer",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_multimodal_frame_sample",
+    "q_multimodal_metadata",
+    "q_national_market_share",
+    "q_pivot",
+    "q_sort_limit_topk",
+    "q_stream_static_enrich",
+    "q_text_repetition",
+    "q_tfidf_top_terms",
+    "q_time_rollup_multigrain",
+    "q_tumbling_window",
+    "q_udf_pandas_scalar",
+    "q_udtf_token_positions",
+    "q_window_running_sum",
+    # (d) the rows-only sentinel (twin q_minhash_lsh_portable r11-green)
     "q_dedup_minhash_lsh",
-    "q01_pricing_summary",
 )
-# r11 window composition (computed): 43 r11-new + 5 r11-changed
-# re-certs + the 2 sentinels = 50 exactly. After this window the
-# oldest driver verdicts anywhere are the 3 r1-only rows
-# (q_union_distinct, q_intersect_all, q_except_all), the 28 r2-only
-# rows, and this round's 18 deferred births (q_krippendorff_alpha,
-# q_cramers_v, and the post-rotation batch-15..23 rows q_mcc_filters,
-# q_odds_ratio_ci, q_pacf_daily, q_brown_forsythe, q_granger_lag1,
-# q_stream_cusum_replay, q_ljung_box, q_page_hinkley, q_dunns_test,
-# q_bm25_after_refresh, q_conformal_coverage, q_bradley_terry,
-# q_diff_in_differences, q_shapley_attribution, q_copeland_condorcet,
-# q_holm_bonferroni) — the r12 canary pool, in that order.
-# The computed check stays authoritative:
-# union(CORRECTNESS_r01..r10 keys) vs the registry.
+# Queries declared for the first time in the CURRENT round (no driver
+# verdict yet, by construction — they were born after the last
+# CORRECTNESS file). tests/test_registry_window.py asserts every name
+# here is genuinely verdict-less and that the NEXT round's mandatory
+# window (these births + rows going stale) still fits in 50 slots.
+# Reset to () at each round open, after moving the previous round's
+# births into PRIORITY_ORDER.
+NEW_THIS_ROUND: tuple[str, ...] = (
+    # round-12 births (queries/round12.py): the r12 window is fully
+    # spent on the 49-row certification debt, so these take their
+    # driver verdicts in the r13 window (judge full-catalog sweep +
+    # tools/verify_local.py cover them meanwhile).
+    "q_snapshot_gc_census",
+    "q_knn_ivf_refresh",
+)
 
 
 def _ordered_specs() -> list[QuerySpec]:

@@ -291,6 +291,16 @@ def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     E[L] = nk(k+1)^2/4, Var[L] = nk^2(k+1)^2(k-1)/144 (doubled-rank
     form inlined) as ONE fixed double expression over exact integers.
 
+    Tie convention (deliberate, ADVICE r11): tied cells take average
+    (doubled) ranks, but the null variance stays the CLASSICAL no-ties
+    Var[L] — the textbook form of Page's tables. With within-block
+    ties present the emitted z is therefore conservative-to-nominal
+    mis-scaled relative to a tie-corrected Var[L]; on integer-cent
+    revenue cells ties are measure-zero in practice, both engines
+    compute the identical convention (the oracle inlines the same
+    moments), and consumers needing exactness under heavy ties should
+    use q_friedman_test's tie-corrected chi^2 instead.
+
     Scale shape: one (day x day-part) rollup (bounded grain),
     completeness filter + within-block rank over k-row partitions,
     treatment-grain sums, 1-row scalar attachment — data-scale rows

@@ -45,8 +45,12 @@ from .registry import query
       GROUP BY 1, 2
     ),
     contests AS (
-      SELECT i, j, n_ij, CAST(n_ij + (SELECT n_ij FROM wins w2
-                WHERE w2.i = wins.j AND w2.j = wins.i) AS BIGINT) AS m_ij
+      -- COALESCE: the day-join is symmetric so the reverse row always
+      -- exists on this fixture, but a missing reverse duel must mean
+      -- "0 reverse wins" in BOTH engines (ADVICE r11), not NULL here
+      -- and a dropped row in Spark's join
+      SELECT i, j, n_ij, CAST(n_ij + COALESCE((SELECT n_ij FROM wins w2
+                WHERE w2.i = wins.j AND w2.j = wins.i), 0) AS BIGINT) AS m_ij
       FROM wins
     ),
     wi AS (
@@ -55,9 +59,11 @@ from .registry import query
       FROM contests GROUP BY i
     ),
     p1 AS (
-      -- iteration 1 from pi = 1: pi_i = W_i / (T_i / 2), quantized q9
+      -- iteration 1 from pi = 1: pi_i = W_i / (T_i / 2), quantized q9.
+      -- NULLIF: t_i = 0 (a type with contests but no comparable days)
+      -- must yield NULL like Spark's DIV, not a division error
       SELECT i, w_i, t_i,
-             CAST(2000000000 * w_i // t_i AS BIGINT) AS p1_q9
+             CAST(2000000000 * w_i // NULLIF(t_i, 0) AS BIGINT) AS p1_q9
       FROM wi
     ),
     den2 AS (
@@ -123,8 +129,18 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = wins.select(
         F.col("i").alias("j"), F.col("j").alias("i"), F.col("n_ij").alias("n_ji")
     )
-    contests = wins.join(rev, ["i", "j"]).select(
-        "i", "j", "n_ij", (F.col("n_ij") + F.col("n_ji")).cast("bigint").alias("m_ij")
+    # LEFT join + coalesce(0): a missing reverse duel means "0 reverse
+    # wins" (matches the oracle's COALESCE'd correlated lookup) instead
+    # of silently dropping the pair on an inner join (ADVICE r11); the
+    # symmetric day-join makes this unreachable on the fixture, but the
+    # degenerate paths of both plans must agree.
+    contests = wins.join(rev, ["i", "j"], "left").select(
+        "i",
+        "j",
+        "n_ij",
+        (F.col("n_ij") + F.coalesce(F.col("n_ji"), F.lit(0)))
+        .cast("bigint")
+        .alias("m_ij"),
     )
     contests = contests.cache()
     wi = contests.groupBy("i").agg(
@@ -135,7 +151,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         "w_i",
         "t_i",
-        F.expr("CAST(2000000000 * w_i DIV t_i AS BIGINT)").alias("p1_q9"),
+        F.expr("CAST(2000000000 * w_i DIV NULLIF(t_i, 0) AS BIGINT)").alias("p1_q9"),
     )
     pa = p1.select(F.col("i"), F.col("p1_q9").alias("pa_q9"))
     pb = p1.select(F.col("i").alias("j"), F.col("p1_q9").alias("pb_q9"))

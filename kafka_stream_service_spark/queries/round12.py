@@ -1,0 +1,386 @@
+"""Round-12 batch 1: stored-index lifecycle completion — snapshot
+retention/GC (VERDICT r11 next-steps #4) and the IVF index's missing
+incremental-refresh leg (next-steps #5).
+
+Every stored index in the catalog (pair buckets, semantic clusters,
+text postings, KN LM) follows build-once / probe-many with atomic
+publication — but revisions accumulated forever, and the ANN tier had
+build + serve + recall-audit legs with no refresh. These two queries
+close both gaps, each certified by the driver's DuckDB hash gate.
+
+Reference parity note: the reference (StreamsApplication.java) has no
+index surface; this extends the mandated stored-index tier with its
+operational lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import tables
+from .clustering import K, _ASSIGN_SQL
+from .corpus_ops import _QUANT_SQL, _quantized
+from .registry import query
+from .round10b import _DELTA_MOD, _DELTA_REM
+
+# ---------------------------------------------------------------------------
+# Snapshot retention / GC, certified by a survivor census
+# ---------------------------------------------------------------------------
+
+_GC_TAG = "gc_demo"
+_GC_REVS = 5
+_GC_KEEP_LATEST = 2
+_GC_PIN_REV = 1  # explicitly pinned artifact (rollback target)
+_GC_KEPT = (4, 3, _GC_PIN_REV)  # newest 2 by recency + the pinned rev
+
+
+@query(
+    "q_snapshot_gc_census",
+    oracle=f"""
+    WITH revs AS (
+      SELECT CAST(i AS BIGINT) AS rev_ix FROM range(0, {_GC_REVS}) t(i)
+    ),
+    m AS (
+      SELECT r.rev_ix,
+             CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_src_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+      FROM revs r JOIN documents d ON d.doc_id % {_GC_REVS} <= r.rev_ix
+      GROUP BY 1
+    )
+    SELECT r.rev_ix,
+           CAST(CASE WHEN r.rev_ix IN {_GC_KEPT} THEN 1 ELSE 0 END AS INT) AS kept,
+           CASE WHEN r.rev_ix IN {_GC_KEPT} THEN m.n_src_rows END AS n_src_rows,
+           CASE WHEN r.rev_ix IN {_GC_KEPT} THEN m.n_docs END AS n_docs,
+           CASE WHEN r.rev_ix IN {_GC_KEPT} THEN m.sum_chars END AS sum_chars,
+           CAST({_GC_REVS - len(_GC_KEPT)} AS INT) AS n_deleted,
+           CAST(1 AS INT) AS n_tmp_swept,
+           CAST(1 AS INT) AS n_skipped_incomplete
+    FROM revs r LEFT JOIN m ON m.rev_ix = r.rev_ix
+    """,
+    tags=("lakehouse", "maintenance", "retention", "index", "round12"),
+)
+def q_snapshot_gc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention/GC certified end-to-end: build {_GC_REVS}
+    deterministic revisions of a per-source census artifact (revision i
+    covers doc_id % {_GC_REVS} <= i — nested, distinct contents), plus
+    one stale builder temp dir and one incomplete published dir; run
+    ``operators.retention.gc_snapshots`` (keep newest
+    {_GC_KEEP_LATEST} + pin revision {_GC_PIN_REV} as the rollback
+    target); then emit a census read from the SURVIVING parquet on
+    disk. The oracle recomputes every kept revision's content from the
+    documents table and the retention policy from first principles, so
+    the driver's hash verdict proves the GC deleted exactly the
+    unpinned old revisions, swept exactly the stale temp dir, skipped
+    the incomplete dir, and left every survivor's bytes intact — a GC
+    that deleted a live artifact or kept a doomed one flips the hash.
+
+    Exactness: survivor metrics are exact integer counts/sums read
+    back from parquet; policy outcomes are exact counters from the
+    GcReport.
+
+    Scale shape: GC itself is artifact-METADATA work — one directory
+    listing + O(#revisions) stats and deletes, no parquet footer ever
+    opened (see operators/retention.py); the census build is
+    {_GC_REVS} bounded per-source rollups (source grain, ~tens of
+    rows), and the certification reads survivor parquet at source
+    grain. On a 100 TB deployment the same pass runs against an
+    object-store prefix listing: cost scales with revision count,
+    never corpus size.
+    """
+    import os
+    import shutil
+    import time as _time
+
+    from ..operators.retention import gc_snapshots
+    from ._util import publish_atomic, snapshot_dir, table_fingerprint
+
+    root = snapshot_dir(_GC_TAG, sf_dir)
+    # Deterministic slate: this is a DEMO tag owned by this query alone —
+    # wipe and rebuild so every invocation (driver gate, bench passes,
+    # pytest) certifies one full lifecycle from scratch.
+    for name in os.listdir(root):
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+    d = tables(spark, sf_dir)["documents"]
+    fp = table_fingerprint(sf_dir, "documents")
+    now = _time.time()
+    paths = {}
+    for i in range(_GC_REVS):
+        art = d.filter(F.col("doc_id") % _GC_REVS <= i).groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        out = os.path.join(root, f"rev{i}_{fp}")
+        publish_atomic(art, out, sort_cols=("source",))
+        # pin recency order to revision order regardless of write timing
+        os.utime(out, (now - 600 + i * 60, now - 600 + i * 60))
+        paths[i] = out
+    # a crashed builder's stale temp sibling (past the grace period)...
+    stale_tmp = os.path.join(root, f"rev9_{fp}.tmp.99999")
+    os.makedirs(stale_tmp)
+    os.utime(stale_tmp, (now - 7200, now - 7200))
+    # ...and an incomplete PUBLISHED dir (no _SUCCESS): anomaly, skipped
+    incomplete = os.path.join(root, f"rev8_{fp}")
+    os.makedirs(incomplete)
+
+    report = gc_snapshots(
+        _GC_TAG,
+        sf_dir,
+        keep_latest=_GC_KEEP_LATEST,
+        keep_paths=(paths[_GC_PIN_REV],),
+    )
+
+    # Census from ACTUAL filesystem state: a kept revision is read back
+    # from its surviving parquet; a deleted one contributes NULL metrics.
+    per_rev = []
+    for i in range(_GC_REVS):
+        alive = os.path.exists(os.path.join(paths[i], "_SUCCESS"))
+        if alive:
+            row = (
+                spark.read.parquet(paths[i])
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_src_rows"),
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+                )
+                .select(
+                    F.lit(i).cast("bigint").alias("rev_ix"),
+                    F.lit(1).cast("int").alias("kept"),
+                    "n_src_rows",
+                    "n_docs",
+                    "sum_chars",
+                )
+            )
+        else:
+            row = spark.range(1).select(
+                F.lit(i).cast("bigint").alias("rev_ix"),
+                F.lit(0).cast("int").alias("kept"),
+                F.lit(None).cast("bigint").alias("n_src_rows"),
+                F.lit(None).cast("bigint").alias("n_docs"),
+                F.lit(None).cast("bigint").alias("sum_chars"),
+            )
+        per_rev.append(row)
+    census = per_rev[0]
+    for row in per_rev[1:]:
+        census = census.unionByName(row)
+    return census.select(
+        "*",
+        F.lit(len(report.deleted)).cast("int").alias("n_deleted"),
+        F.lit(len(report.tmp_swept)).cast("int").alias("n_tmp_swept"),
+        F.lit(len(report.skipped_incomplete)).cast("int").alias("n_skipped_incomplete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stored BASE IVF index (corpus minus the delta slice) + incremental refresh
+# ---------------------------------------------------------------------------
+
+IVF_BASE_REV = f"r1k{K}"  # bump when quantization/assignment derivation changes
+
+
+def ivf_base_index_path(sf_dir: str) -> str:
+    import os
+
+    from ._util import snapshot_dir, table_fingerprint
+
+    return os.path.join(
+        snapshot_dir("ivf_base", sf_dir),
+        f"{IVF_BASE_REV}_{table_fingerprint(sf_dir, 'embeddings')}",
+    )
+
+
+def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the BASE IVF index: ``members`` = (vec_id, centroid_id,
+    dist2, nrm) for every vector EXCLUDING the delta slice (vec_id %
+    {_DELTA_MOD} == {_DELTA_REM}, the repo's standing "newly arrived"
+    convention), sorted by centroid_id for zone-map-pruned per-list
+    reads, plus ``centroids`` = the K frozen seed centroids (cid, cqv)
+    — stored IN the artifact so a refresh assigns against the index's
+    own centroids, never re-deriving them from the (possibly moved)
+    corpus. Published atomically (temp parent + _SUCCESS + one
+    os.rename), the round11n multi-part artifact contract.
+    """
+    import os
+    import shutil
+
+    e = _quantized(tables(spark, sf_dir)["embeddings"])
+    cent = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    base = e.filter((F.col("vec_id") % _DELTA_MOD) != _DELTA_REM)
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cqv"),
+            lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    keyed = base.select("vec_id", "qv").crossJoin(F.broadcast(cent)).select(
+        "vec_id", (diff2 * K + F.col("cid")).alias("key")
+    )
+    assign = keyed.groupBy("vec_id").agg(F.min("key").alias("key"))
+    nrm = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qv"), lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    members = assign.join(base.select("vec_id", "qv"), "vec_id").select(
+        "vec_id",
+        (F.col("key") % K).cast("int").alias("centroid_id"),
+        F.expr(f"key DIV {K}").cast("bigint").alias("dist2"),
+        nrm.alias("nrm"),
+    )
+    out = ivf_base_index_path(sf_dir)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    members.sortWithinPartitions("centroid_id", "vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "members"))
+    cent.sortWithinPartitions("cid").write.mode("overwrite").parquet(
+        os.path.join(tmp, "centroids")
+    )
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def ivf_base_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Stored base IVF index for the refresh probe: {members, centroids}
+    frames reading the persisted artifact, building once if absent
+    (self-healing, same contract as the other index artifacts)."""
+    import os
+
+    out = ivf_base_index_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        build_ivf_base_index(spark, sf_dir)
+    return {
+        "members": spark.read.parquet(os.path.join(out, "members")),
+        "centroids": spark.read.parquet(os.path.join(out, "centroids")),
+    }
+
+
+@query(
+    "q_knn_ivf_refresh",
+    oracle=f"""
+    WITH {_QUANT_SQL},
+    {_ASSIGN_SQL},
+    m AS (
+      SELECT a.vec_id, a.centroid_id, a.dist2,
+             CAST(list_dot_product(q.qv, q.qv) AS BIGINT) AS nrm
+      FROM assign a JOIN q8 q USING (vec_id)
+    ),
+    touched AS (
+      SELECT DISTINCT centroid_id FROM m
+      WHERE vec_id % {_DELTA_MOD} = {_DELTA_REM}
+    )
+    SELECT m.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN m.vec_id % {_DELTA_MOD} = {_DELTA_REM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+           CAST(SUM(m.dist2) AS BIGINT) AS sum_dist2,
+           CAST(SUM(m.nrm) AS BIGINT) AS sum_nrm
+    FROM m JOIN touched USING (centroid_id)
+    GROUP BY m.centroid_id
+    """,
+    tags=("similarity", "ivf", "ann", "index", "incremental", "llm-data", "round12"),
+)
+def q_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-index refresh — the ANN tier's missing fourth
+    leg (build: ivf_base_index; serve: q_knn_ivf_stored; audit:
+    q_ivf_serving_recall; refresh: THIS). The delta slice (vec_id %
+    {_DELTA_MOD} == {_DELTA_REM}, ~10% "newly arrived" vectors) is
+    quantized fresh and assigned to the STORED centroids read from the
+    index artifact — never re-derived from the corpus — producing
+    delta postings that append to the stored members. The emitted
+    census covers exactly the TOUCHED inverted lists after the merge;
+    the oracle derives the same census from a full rebuild over the
+    whole corpus, so the driver's hash verdict proves append-refresh ==
+    full rebuild on every list the refresh touches (untouched lists
+    stream through byte-identical by construction — they are parquet
+    rows the refresh never rewrites).
+
+    Exactness: assignment uses the certified integer-L2 key encoding
+    (dist2 * K + cid, ties to smaller cid); dist2 and nrm are exact
+    BIGINTs; the census is integer counts/sums.
+
+    Scale shape (100 TB): the corpus is scanned ONLY for the ~10%
+    delta (partition-prunable on an arrival key in production);
+    centroids are a K-row broadcast; the merged census reads ONLY the
+    touched lists' member rows — centroid_id-sorted parquet makes that
+    a zone-map-pruned read. Refresh cost is O(delta x K + touched-list
+    occupancy), decoupled from index size — the q_text_index_delta
+    contract lifted to embedding space.
+    """
+    idx = ivf_base_index(spark, sf_dir)
+    # The K stored centroids collapse into ONE broadcast array row, so
+    # assignment is a map-side argmin over the delta — zero shuffles on
+    # the arrival slice (the seam test pins the whole refresh at <= 2
+    # keyed exchanges: touched-list distinct + the census rollup).
+    cent_arr = idx["centroids"].agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cqv"))).alias("cents")
+    )
+    delta = _quantized(
+        tables(spark, sf_dir)["embeddings"].filter(
+            (F.col("vec_id") % _DELTA_MOD) == _DELTA_REM
+        )
+    )
+
+    def _key(c):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                c["cqv"],
+                lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return d2 * K + c["cid"].cast("bigint")
+
+    nrm = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qv"), lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    delta_members = (
+        delta.select("vec_id", "qv")
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            F.array_min(F.transform(F.col("cents"), _key)).alias("key"),
+            nrm.alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            (F.col("key") % K).cast("int").alias("centroid_id"),
+            F.expr(f"key DIV {K}").cast("bigint").alias("dist2"),
+            "nrm",
+            F.lit(1).cast("int").alias("is_delta"),
+        )
+    )
+    merged = idx["members"].select(
+        "vec_id", "centroid_id", "dist2", "nrm", F.lit(0).cast("int").alias("is_delta")
+    ).unionByName(delta_members)
+    touched = delta_members.select("centroid_id").distinct()
+    return (
+        merged.join(F.broadcast(touched), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("is_delta").cast("bigint").alias("n_delta"),
+            F.sum("dist2").cast("bigint").alias("sum_dist2"),
+            F.sum("nrm").cast("bigint").alias("sum_nrm"),
+        )
+    )

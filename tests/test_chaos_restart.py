@@ -664,3 +664,121 @@ def test_stream_cusum_survives_between_epoch_restart(spark, duck, tmp_path):
         duck.execute(spec.oracle).fetchdf(),
     )
     assert not problems, f"CUSUM state lost across restart: {problems}"
+
+
+def test_text_index_refresh_consumer_survives_between_epoch_restart(
+    spark, duck, tmp_path
+):
+    """Kill-between-epochs restart for a STREAMING consumer of the
+    round11n text-base artifact (VERDICT r11 next-steps #6): arriving
+    delta documents stream in two chunks, each row computes its own
+    (token, tf) postings map-side (the per-row-signing trick from the
+    streaming index probe — no stream-side pre-aggregation), stream-
+    static-joins the STORED base census parquet, and a complete-mode
+    stateful aggregation maintains the merged per-token census. The
+    query is stopped after epoch 0 (checkpoint committed) and resumed
+    with chunk 1 revealed; the recovered run must rebuild the census
+    from checkpointed state such that the final emission equals
+    q_text_index_delta's full-merge oracle hash exactly — a lost or
+    doubled token row flips it.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.round11n import text_base_index
+    from kafka_stream_service_spark.tables import tables
+
+    base_census = (
+        text_base_index(spark, SF)["postings"]
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_b"),
+            F.sum("tf").cast("bigint").alias("tf_b"),
+        )
+    )
+
+    d = tables(spark, SF)["documents"].select("doc_id", "text")
+    delta = d.filter((F.col("doc_id") % 10) == 7)
+    chunks = [
+        delta.filter((F.col("doc_id") % 20) == 7),
+        delta.filter((F.col("doc_id") % 20) != 7),
+    ]
+    staged = []
+    for i, chunk in enumerate(chunks):
+        dstage = tmp_path / f"stage_{i}"
+        chunk.coalesce(1).write.parquet(str(dstage))
+        (part,) = glob.glob(str(dstage / "*.parquet"))
+        staged.append(part)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def census_stream():
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        toks = F.split(F.col("text"), " ")
+        entries = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.struct(
+                t.alias("token"),
+                F.size(F.filter(toks, lambda x: x == t)).cast("bigint").alias("tf"),
+            ),
+        )
+        postings = stream.select(
+            "doc_id", F.explode(entries).alias("e")
+        ).select("doc_id", F.col("e.token").alias("token"), F.col("e.tf").alias("tf"))
+        joined = postings.join(base_census, "token", "left")
+        return joined.groupBy("token").agg(
+            (F.coalesce(F.max("df_b"), F.lit(0)) + F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("df"),
+            (F.coalesce(F.max("tf_b"), F.lit(0)) + F.sum("tf"))
+            .cast("bigint")
+            .alias("sum_tf"),
+            F.count(F.lit(1)).cast("bigint").alias("df_delta"),
+        )
+
+    # complete-mode collector: every epoch re-emits the WHOLE census, so
+    # the LAST collected batch is the final merged state
+    collected: list = []
+
+    def collect_batch(batch_df, epoch_id):
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            collected.append(pdf)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i, part in enumerate(staged):
+            shutil.copy(part, str(flat / f"{i:02d}.parquet"))
+            os.utime(str(flat / f"{i:02d}.parquet"))
+            q = (
+                census_stream()
+                .writeStream.foreachBatch(collect_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # the between-epochs "kill": checkpoint keeps state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    final = collected[-1]
+    spec = QUERIES["q_text_index_delta"]
+    problems = compare(
+        "q_text_index_delta(streaming-restart)",
+        final,
+        duck.execute(spec.oracle).fetchdf(),
+    )
+    assert not problems, f"text-index census state lost across restart: {problems}"

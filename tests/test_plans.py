@@ -106,7 +106,6 @@ def test_no_cartesian_anywhere_in_catalog(spark):
 def test_shuffle_budget(spark, name, max_exchanges):
     """SCALE.md's shuffle inventory is enforced: these compositions must
     not regress into extra exchanges."""
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -130,7 +129,6 @@ def test_no_python_in_relational_spine(spark, name):
     ],
 )
 def test_training_ops_shuffle_budget(spark, name, max_exchanges):
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -141,7 +139,6 @@ def test_training_ops_shuffle_budget(spark, name, max_exchanges):
 def test_hash_sample_is_map_side_only(spark):
     """The deterministic sampler is a pure scan+filter: zero exchanges,
     and the md5-prefix filter must not block column pruning."""
-    import re
 
     plan = physical_plan(QUERIES["q_hash_sample"].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -204,7 +201,6 @@ def test_round5_ops_shuffle_budget(spark, name, max_exchanges):
     """Round-5 operators carry the same enforced shuffle inventory as the
     training ops: map-side stages stay map-side, single-shuffle shapes
     stay single-shuffle."""
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -293,7 +289,6 @@ def test_round6_ops_shuffle_budget(spark, name, max_exchanges):
     """Round-6 operators: same enforced shuffle inventory — the sketch
     builds stay map-side-combined, nothing degenerates into extra
     wide stages."""
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -340,7 +335,6 @@ def test_pit_join_broadcasts_version_table(spark):
     ],
 )
 def test_round6_late_ops_shuffle_budget(spark, name, max_exchanges):
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -397,7 +391,6 @@ def test_skyline_windows_only_aggregated_series(spark):
     ],
 )
 def test_round6b_ops_shuffle_budget(spark, name, max_exchanges):
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -550,7 +543,6 @@ def test_cusum_pushes_year_filter_to_scan(spark):
 def test_logreg_scoring_is_shuffle_free(spark):
     """Batch inference is a pure map — any exchange in this plan is a
     regression."""
-    import re
 
     plan = physical_plan(QUERIES["q_logreg_score_text"].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -571,7 +563,6 @@ def test_logreg_scoring_is_shuffle_free(spark):
     ],
 )
 def test_round8_ops_shuffle_budget(spark, name, max_exchanges):
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)
@@ -611,7 +602,6 @@ def test_preference_pairs_windows_partition_by_source(spark):
     ],
 )
 def test_round8_late_ops_shuffle_budget(spark, name, max_exchanges):
-    import re
 
     plan = physical_plan(QUERIES[name].spark_fn(spark, SF))
     n = count_shuffle_exchanges(plan)

@@ -6,7 +6,6 @@ cartesian product fails CI, not a bench review.
 
 from __future__ import annotations
 
-import re
 
 import pytest
 

@@ -4,7 +4,6 @@ broadcast shapes, and the stored-index read seams the docstrings claim.
 
 from __future__ import annotations
 
-import re
 
 import pytest
 from pyspark.sql import functions as F

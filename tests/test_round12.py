@@ -1,0 +1,220 @@
+"""Round-12 lifecycle tests: snapshot retention/GC (VERDICT r11 #4) and
+the incremental IVF refresh (VERDICT r11 #5) — the operator-level
+contracts behind q_snapshot_gc_census / q_knn_ivf_refresh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_service_spark.operators.retention import (
+    gc_snapshots,
+    list_snapshot_artifacts,
+)
+from kafka_stream_service_spark.plans import (
+    count_shuffle_exchanges,
+    physical_plan,
+)
+from kafka_stream_service_spark.queries._util import publish_atomic, snapshot_dir
+from kafka_stream_service_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+TAG = "gc_unit"
+
+
+def _clean_tag(tag: str) -> str:
+    import shutil
+
+    root = snapshot_dir(tag, SF)
+    for name in os.listdir(root):
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return root
+
+
+def _publish_revs(spark, root: str, n: int) -> list[str]:
+    now = time.time()
+    paths = []
+    for i in range(n):
+        out = os.path.join(root, f"rev{i}")
+        publish_atomic(spark.range(i + 1).select(F.col("id")), out)
+        os.utime(out, (now - 600 + i * 60, now - 600 + i * 60))
+        paths.append(out)
+    return paths
+
+
+def test_gc_keeps_newest_and_pinned_deletes_rest(spark):
+    root = _clean_tag(TAG)
+    paths = _publish_revs(spark, root, 5)
+    report = gc_snapshots(TAG, SF, keep_latest=2, keep_paths=(paths[1],))
+    assert set(report.kept) == {"rev4", "rev3", "rev1"}
+    assert set(report.deleted) == {"rev2", "rev0"}
+    for i, p in enumerate(paths):
+        alive = os.path.exists(os.path.join(p, "_SUCCESS"))
+        assert alive == (i in (4, 3, 1)), f"rev{i} post-GC state wrong"
+
+
+def test_gc_is_idempotent(spark):
+    root = _clean_tag(TAG)
+    _publish_revs(spark, root, 4)
+    first = gc_snapshots(TAG, SF, keep_latest=2)
+    second = gc_snapshots(TAG, SF, keep_latest=2)
+    assert set(first.kept) == set(second.kept) == {"rev3", "rev2"}
+    assert second.deleted == ()
+
+
+def test_gc_dry_run_deletes_nothing(spark):
+    root = _clean_tag(TAG)
+    paths = _publish_revs(spark, root, 3)
+    report = gc_snapshots(TAG, SF, keep_latest=1, dry_run=True)
+    assert set(report.deleted) == {"rev1", "rev0"}
+    for p in paths:
+        assert os.path.exists(os.path.join(p, "_SUCCESS")), "dry run deleted data"
+
+
+def test_gc_sweeps_stale_tmp_spares_fresh_tmp_and_incomplete(spark):
+    root = _clean_tag(TAG)
+    _publish_revs(spark, root, 2)
+    now = time.time()
+    stale = os.path.join(root, "rev9.tmp.111")
+    os.makedirs(stale)
+    os.utime(stale, (now - 7200, now - 7200))
+    fresh = os.path.join(root, "rev9.tmp.222")
+    os.makedirs(fresh)  # a live builder's in-flight temp dir
+    incomplete = os.path.join(root, "rev8")  # published name, no _SUCCESS
+    os.makedirs(incomplete)
+    report = gc_snapshots(TAG, SF, keep_latest=2, tmp_grace_s=3600.0)
+    assert report.tmp_swept == ("rev9.tmp.111",)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh), "live builder temp dir must survive the grace period"
+    assert os.path.exists(incomplete), "incomplete published dir must be skipped, not deleted"
+    assert "rev8" in report.skipped_incomplete
+
+
+def test_gc_refuses_zero_keep_and_symlinks(spark, tmp_path):
+    root = _clean_tag(TAG)
+    _publish_revs(spark, root, 1)
+    with pytest.raises(ValueError):
+        gc_snapshots(TAG, SF, keep_latest=0)
+    os.symlink(str(tmp_path), os.path.join(root, "evil_link"))
+    try:
+        with pytest.raises(RuntimeError):
+            list_snapshot_artifacts(TAG, SF)
+    finally:
+        os.unlink(os.path.join(root, "evil_link"))
+
+
+def test_gc_census_query_shape(spark):
+    df = QUERIES["q_snapshot_gc_census"].spark_fn(spark, SF).orderBy("rev_ix")
+    rows = df.collect()
+    assert [r.rev_ix for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.kept for r in rows] == [0, 1, 0, 1, 1]
+    for r in rows:
+        if r.kept:
+            assert r.n_docs is not None and r.n_docs > 0
+        else:
+            assert r.n_docs is None
+        assert (r.n_deleted, r.n_tmp_swept, r.n_skipped_incomplete) == (2, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# IVF refresh seams
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_refresh_reads_stored_base_index(spark):
+    """The refresh probe must read the BASE IVF artifact (members AND
+    centroids come from parquet — the seam that proves
+    assign-to-STORED-centroids, not re-derivation) and never plan a
+    cartesian or an index-side shuffle beyond the census rollup."""
+    from kafka_stream_service_spark.queries.round12 import (
+        build_ivf_base_index,
+        ivf_base_index_path,
+    )
+
+    build_ivf_base_index(spark, SF)
+    plan = physical_plan(QUERIES["q_knn_ivf_refresh"].spark_fn(spark, SF))
+    token = ivf_base_index_path(SF).rsplit("/", 1)[-1]
+    assert plan.count(token) >= 2, (
+        "refresh probe must scan BOTH artifact parts (members + centroids) "
+        f"of the stored base index:\n{plan}"
+    )
+    assert "CartesianProduct" not in plan
+    n = count_shuffle_exchanges(plan)
+    assert n <= 2, f"refresh probe plans {n} keyed shuffles (budget 2):\n{plan}"
+
+
+def test_ivf_refresh_does_not_rewrite_the_artifact(spark):
+    from kafka_stream_service_spark.queries.round12 import (
+        build_ivf_base_index,
+        ivf_base_index_path,
+    )
+
+    path = build_ivf_base_index(spark, SF)
+    before = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    QUERIES["q_knn_ivf_refresh"].spark_fn(spark, SF).count()
+    after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    assert before == after
+    assert ivf_base_index_path(SF) == path
+
+
+def test_ivf_base_members_exclude_delta_slice(spark):
+    from kafka_stream_service_spark.queries.round10b import _DELTA_MOD, _DELTA_REM
+    from kafka_stream_service_spark.queries.round12 import ivf_base_index
+
+    members = ivf_base_index(spark, SF)["members"]
+    n_delta = members.filter(
+        (F.col("vec_id") % _DELTA_MOD) == _DELTA_REM
+    ).count()
+    assert n_delta == 0, "base index must exclude the arrival slice"
+
+
+def test_ivf_refresh_merge_equals_rebuild_on_touched_lists(spark):
+    """Pin merge == rebuild engine-side too (the driver proves it vs
+    DuckDB; this keeps the invariant red under pytest alone): recompute
+    the census from a full in-engine rebuild and compare exactly."""
+    from kafka_stream_service_spark.queries.clustering import _assignments
+    from kafka_stream_service_spark.queries.corpus_ops import _quantized
+    from kafka_stream_service_spark.queries.round10b import _DELTA_MOD, _DELTA_REM
+    from kafka_stream_service_spark.tables import tables
+
+    probe = {
+        tuple(r)
+        for r in QUERIES["q_knn_ivf_refresh"].spark_fn(spark, SF).collect()
+    }
+    e = _quantized(tables(spark, SF)["embeddings"])
+    nrm = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qv"), lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    full = _assignments(spark, SF).join(e.select("vec_id", F.col("qv")), "vec_id").select(
+        "vec_id", "centroid_id", "dist2", nrm.alias("nrm")
+    )
+    touched = (
+        full.filter((F.col("vec_id") % _DELTA_MOD) == _DELTA_REM)
+        .select("centroid_id")
+        .distinct()
+    )
+    rebuild = {
+        tuple(r)
+        for r in full.join(F.broadcast(touched), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                ((F.col("vec_id") % _DELTA_MOD) == _DELTA_REM).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_delta"),
+            F.sum("dist2").cast("bigint").alias("sum_dist2"),
+            F.sum("nrm").cast("bigint").alias("sum_nrm"),
+        )
+        .collect()
+    }
+    assert probe == rebuild

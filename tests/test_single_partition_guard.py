@@ -1,0 +1,54 @@
+"""SinglePartition-exchange companion guard (ADVICE r11).
+
+``count_shuffle_exchanges`` counts only keyed (hash/range) shuffles, so a
+plan that collapses a data-scale subtree onto ONE partition — the classic
+un-partitioned ``Window.orderBy`` regression — would score zero against
+every shuffle budget while being the worst possible plan at scale. The
+``single_partition_offenders`` companion flags exactly that shape; these
+tests pin its behavior on both the pathological and the legitimate uses
+of SinglePartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_stream_service_spark.plans import (
+    assert_no_data_scale_single_partition,
+    physical_plan,
+    single_partition_offenders,
+)
+
+
+def _events(spark):
+    return spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+    )
+
+
+def test_global_window_orderby_is_flagged(spark):
+    df = _events(spark).withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    offenders = single_partition_offenders(physical_plan(df))
+    assert offenders, "un-partitioned Window.orderBy must flag a SinglePartition offender"
+
+
+def test_global_sort_collapse_not_misattributed(spark):
+    # A partitioned window is fine: hashpartitioning exchange, no
+    # SinglePartition collapse.
+    df = _events(spark).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+    )
+    assert_no_data_scale_single_partition(df)
+
+
+def test_post_aggregation_single_partition_is_safe(spark):
+    # Global aggregate: rows are reduced to ONE before the SinglePartition
+    # exchange — the legitimate scalar-attachment shape the catalog uses.
+    df = _events(spark).agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    assert_no_data_scale_single_partition(df)
+
+
+def test_limit_single_partition_is_safe(spark):
+    df = _events(spark).limit(5)
+    assert_no_data_scale_single_partition(df)
