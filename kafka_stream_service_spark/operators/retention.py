@@ -161,3 +161,53 @@ def gc_snapshots(
         tmp_swept=tuple(tmp_swept),
         skipped_incomplete=tuple(skipped),
     )
+
+
+def _live_artifact_paths(sf_dir: str) -> dict[str, tuple[str, ...]]:
+    """Tag -> the artifact paths CURRENT code resolves to — the pins a
+    production GC must honor regardless of recency (a just-rolled-back
+    revision token makes the live artifact the OLDER one). Imports stay
+    function-local: the queries package imports operators, not vice
+    versa."""
+    from ..queries.dedup2 import bucket_index_path, pair_index_path
+    from ..queries.round11 import sem_index_path
+    from ..queries.round11f import text_index_path
+    from ..queries.round11h import kn_lm_path
+    from ..queries.round11n import text_base_index_path
+    from ..queries.round12 import ivf_base_index_path
+
+    return {
+        "pair_index": (pair_index_path(sf_dir), bucket_index_path(sf_dir)),
+        "sem_index": (sem_index_path(sf_dir),),
+        "text_index": (text_index_path(sf_dir),),
+        "text_index_base": (text_base_index_path(sf_dir),),
+        "kn_lm": (kn_lm_path(sf_dir),),
+        "ivf_base": (ivf_base_index_path(sf_dir),),
+    }
+
+
+def gc_all_known_indexes(
+    sf_dir: str,
+    keep_latest: int = 2,
+    tmp_grace_s: float = DEFAULT_TMP_GRACE_S,
+    dry_run: bool = False,
+) -> dict[str, GcReport]:
+    """One maintenance pass over EVERY stored-index family the engine
+    publishes, each tag's LIVE artifact (the path current code resolves
+    to — revision token + source fingerprint) pinned explicitly so the
+    pass is safe to run at any time: recency keeps the newest
+    ``keep_latest`` for rollback, the pin protects the serving artifact
+    even when it is not the newest (post-rollback state). This is the
+    production retention job; q_snapshot_gc_census certifies the policy
+    mechanics against a DuckDB oracle on a dedicated demo tag."""
+    return {
+        tag: gc_snapshots(
+            tag,
+            sf_dir,
+            keep_latest=keep_latest,
+            keep_paths=pins,
+            tmp_grace_s=tmp_grace_s,
+            dry_run=dry_run,
+        )
+        for tag, pins in _live_artifact_paths(sf_dir).items()
+    }

@@ -218,3 +218,46 @@ def test_ivf_refresh_merge_equals_rebuild_on_touched_lists(spark):
         .collect()
     }
     assert probe == rebuild
+
+
+def test_gc_all_known_indexes_pins_live_artifacts(spark):
+    """The production retention pass must keep each tag's LIVE artifact
+    (the path current code resolves to) even when it is the OLDEST dir
+    in the family — the post-rollback state recency-only retention
+    would destroy."""
+    import shutil
+    import time as _time
+
+    from kafka_stream_service_spark.operators.retention import (
+        gc_all_known_indexes,
+    )
+    from kafka_stream_service_spark.queries.round12 import (
+        build_ivf_base_index,
+        ivf_base_index_path,
+    )
+
+    live = build_ivf_base_index(spark, SF)
+    root = os.path.dirname(live)
+    now = _time.time()
+    os.utime(live, (now - 9000, now - 9000))  # live artifact = oldest
+    decoys = []
+    for i in range(3):  # three newer decoy revisions
+        d = os.path.join(root, f"r0decoy{i}_deadbeef")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+        os.utime(d, (now - 600 + i * 60, now - 600 + i * 60))
+        decoys.append(d)
+    reports = gc_all_known_indexes(SF, keep_latest=1)
+    try:
+        assert os.path.exists(os.path.join(live, "_SUCCESS")), (
+            "GC deleted the LIVE (pinned) artifact"
+        )
+        rep = reports["ivf_base"]
+        assert os.path.basename(live) in rep.kept
+        # newest decoy survives as the keep_latest slot; older two die
+        assert os.path.exists(decoys[2])
+        assert not os.path.exists(decoys[0]) and not os.path.exists(decoys[1])
+        assert ivf_base_index_path(SF) == live
+    finally:
+        for d in decoys:
+            shutil.rmtree(d, ignore_errors=True)
