@@ -101,3 +101,67 @@ def exact_quantiles(
         .filter(F.col("quantile_pct").isNotNull())
         .select("quantile_pct", F.col(col).alias("value"))
     )
+
+
+NTILE_COL = "__global_ntile"
+
+
+def with_global_ntile(
+    df: DataFrame,
+    k: int,
+    col: str,
+    tiebreak: str,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Returns ``df`` + ``__global_ntile`` (1-based), bit-identical to
+    ``ntile(k) OVER (ORDER BY col, tiebreak)`` but computed from the
+    distributed global ranks — no single-partition window anywhere
+    (round-12: the replan the ntile-family docstrings promised, made
+    real; the catalog sweep in tests/test_single_partition_guard.py
+    keeps the promise enforced).
+
+    The SQL-standard tile split for N rows into k tiles: the first
+    (N mod k) tiles hold ceil(N/k) rows, the rest floor(N/k). From a
+    unique 1-based global rank r:
+
+        q = N div k, r0 = N mod k, pivot = r0 * (q + 1)
+        tile(r) = ceil(r / (q+1))                 for r <= pivot
+                = r0 + ceil((r - pivot) / q)      otherwise
+
+    (r > pivot implies q >= 1, so the otherwise-branch division is
+    safe; integer ceil(a/b) = (a + b - 1) div b.) N attaches as a
+    broadcast 1-row aggregate — the catalog's standard scalar shape.
+
+    DESC orders: rank on the negated column (callers pass a prepared
+    sort column); the tile arithmetic only sees ranks.
+    """
+    ranked = with_global_ranks(df, col, tiebreak, num_partitions)
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(NTILE_COL, ntile_from_rank(k))
+        .drop("__n")
+    )
+
+
+def ntile_from_rank(k: int) -> Column:
+    """The rank -> tile expression (expects ``__global_rank`` and the
+    broadcast-attached total count ``__n`` in scope) — exposed so a
+    caller that already carries global ranks (e.g. for cume_dist =
+    rank/N on a unique total order) derives its ntile from the SAME
+    ranked pass instead of paying a second range exchange."""
+    r = F.col(RANK_COL)
+    q = F.expr(f"__n DIV {k}")
+    r0 = F.col("__n") % k
+    pivot = r0 * (q + 1)
+    return (
+        # ceil(r / (q+1)) and r0 + ceil((r - pivot) / q), all integer DIV
+        F.when(r <= pivot, F.expr(f"({RANK_COL} + __n DIV {k}) DIV (__n DIV {k} + 1)"))
+        .otherwise(
+            r0
+            + F.expr(
+                f"({RANK_COL} - (__n % {k}) * (__n DIV {k} + 1) + __n DIV {k} - 1) "
+                f"DIV (__n DIV {k})"
+            )
+        )
+    ).cast("int")

@@ -66,38 +66,77 @@ def count_shuffle_exchanges(plan: str) -> int:
     return len(_KEYED_SHUFFLE.findall(plan))
 
 
-# Tree lines look like ``   +- Exchange (4)`` / ``:  +- * HashAggregate (3)``;
-# capture the operator name and node id at any indent.
-_TREE_NODE = re.compile(r"^[\s:+*-]*?(?:\+- |:- )?\*?\s?([A-Za-z][A-Za-z0-9]*)\s\((\d+)\)\s*$")
+# Tree lines look like ``   +- Exchange (4)`` / ``:  +- * HashAggregate (3)``
+# / ``   +- Scan parquet  (1)``; capture the (possibly multi-word) operator
+# name, its node id, and the indent depth.
+_TREE_NODE = re.compile(
+    r"^([\s:+*-]*?)(?:\+- |:- )?\*?\s?([A-Za-z][A-Za-z0-9]*(?: [a-z][A-Za-z0-9]*)*)\s+\((\d+)\)\s*$"
+)
 
-# SinglePartition children that legitimately collapse to one partition:
-# post-aggregation finals (rows already reduced to group cardinality) and
-# limit operators (row count bounded by the literal).
-_SP_SAFE_CHILDREN = frozenset(
-    {"HashAggregate", "ObjectHashAggregate", "SortAggregate", "LocalLimit", "GlobalLimit"}
+# Walking DOWN from a SinglePartition exchange toward the leaf:
+# - SAFE nodes bound the subtree's cardinality before the collapse —
+#   aggregation finals (group cardinality) and limits (literal bound);
+# - TRANSPARENT nodes preserve/shrink rows without bounding them — keep
+#   walking through;
+# - broadcast joins: the bounded side is the broadcast build; the STREAM
+#   side (printed first in formatted trees) determines cardinality, so
+#   the walk follows it;
+# - anything else (Scan, Generate, Expand, Union, shuffle joins, ...)
+#   is a data-scale source: offender.
+_SP_SAFE = frozenset(
+    {
+        "HashAggregate",
+        "ObjectHashAggregate",
+        "SortAggregate",
+        "LocalLimit",
+        "GlobalLimit",
+        "TakeOrderedAndProject",
+    }
+)
+_SP_TRANSPARENT = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Sort",
+        "Window",
+        "WindowGroupLimit",
+        "ColumnarToRow",
+        "InputAdapter",
+        "AQEShuffleRead",
+        "CoalesceExec",
+        "Coalesce",
+        "BroadcastHashJoin",  # stream side printed first: fall through
+        "BroadcastNestedLoopJoin",
+        "ReusedExchange",
+        "Exchange",  # a keyed exchange below doesn't bound rows either
+        "ShuffleQueryStage",
+        "BroadcastQueryStage",
+    }
 )
 
 
 def single_partition_offenders(plan: str) -> list[str]:
-    """Names of operators feeding a ``SinglePartition`` exchange that is
-    NOT preceded by aggregation or a limit — i.e. a data-scale subtree
-    being serialized onto one partition (the classic global
-    ``Window.orderBy`` regression).
+    """Names of data-scale operators feeding a ``SinglePartition``
+    exchange — i.e. an unbounded subtree being serialized onto one
+    partition (the classic global ``Window.orderBy`` regression).
 
     ``count_shuffle_exchanges`` deliberately ignores SinglePartition
     exchanges, so a budget alone would count such a plan as zero
     shuffles — exactly the scalability failure budgets exist to catch
-    (ADVICE r11). This companion makes the gap assertable: plan-shape
-    tests call :func:`assert_no_data_scale_single_partition` next to
-    their shuffle budget.
+    (ADVICE r11). This companion makes the gap assertable:
+    :func:`assert_no_data_scale_single_partition` and the catalog-wide
+    sweep in tests/test_single_partition_guard.py.
 
-    Works on FORMATTED plans: finds each ``Exchange (N)`` tree line whose
-    detail section says ``Arguments: SinglePartition``, then inspects the
-    exchange's direct child in the tree (the next tree line — formatted
-    trees print the child immediately below its parent).
+    Works on FORMATTED plans: finds each ``Exchange (N)`` tree line
+    whose detail section says ``Arguments: SinglePartition``, then walks
+    the exchange's child chain (formatted trees print a node's first
+    child immediately below it, one indent deeper) through
+    row-preserving operators and broadcast joins' stream side until a
+    cardinality-bounding node (aggregate/limit — safe) or a data-scale
+    source (scan/generate/expand — offender) decides it.
     """
     lines = plan.splitlines()
-    # node id -> detail-section text (the "(N) OpName" blocks)
+    # node ids whose detail section marks a SinglePartition exchange
     sp_ids: set[str] = set()
     current_id: str | None = None
     for ln in lines:
@@ -112,14 +151,27 @@ def single_partition_offenders(plan: str) -> list[str]:
             sp_ids.add(current_id)
     if not sp_ids:
         return []
+    tree_nodes = [
+        (m.group(2), m.group(3))
+        for ln in lines
+        if (m := _TREE_NODE.match(ln))
+    ]
     offenders: list[str] = []
-    tree_nodes = [(i, m.group(1), m.group(2)) for i, ln in enumerate(lines) if (m := _TREE_NODE.match(ln))]
-    for idx, (_, name, node_id) in enumerate(tree_nodes):
+    for idx, (name, node_id) in enumerate(tree_nodes):
         if name != "Exchange" or node_id not in sp_ids:
             continue
-        child = tree_nodes[idx + 1][1] if idx + 1 < len(tree_nodes) else "<leaf>"
-        if child not in _SP_SAFE_CHILDREN:
+        j = idx + 1
+        while j < len(tree_nodes):
+            child = tree_nodes[j][0]
+            if child in _SP_SAFE:
+                break
+            if child in _SP_TRANSPARENT:
+                j += 1
+                continue
             offenders.append(child)
+            break
+        else:
+            offenders.append("<leaf>")
     return offenders
 
 

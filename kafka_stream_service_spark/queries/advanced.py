@@ -524,17 +524,31 @@ def q_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def q_cume_dist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cume_dist + global ntile (single-partition window over the small
-    supplier dim — explicitly NOT a pattern for fact tables)."""
-    from pyspark.sql import Window as W
+    """cume_dist + global ntile over the supplier balance order — both
+    derived from ONE distributed ranked pass (round 12): supplier scales
+    with SF (~100M rows at 100 TB), so the old single-partition window
+    was a real collapse, not a dim-table freebie. On the unique total
+    order (s_acctbal, s_suppkey), cume_dist degenerates to rank/N
+    exactly (ties are impossible — suppkey is a key), and the tercile
+    is the SQL-standard tile split computed arithmetically from
+    (rank, N) — operators/ranks.py, no single-partition stage."""
+    from ..operators.ranks import RANK_COL, ntile_from_rank, with_global_ranks
 
-    s = tables(spark, sf_dir)["supplier"]
-    w = W.orderBy("s_acctbal", "s_suppkey")
-    return s.select(
-        "s_suppkey",
-        "s_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
-        F.ntile(3).over(w).alias("bal_tercile"),
+    s = tables(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    ranked = with_global_ranks(s, "s_acctbal", "s_suppkey")
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round(
+                F.col(RANK_COL).cast("double") / F.col("__n").cast("double"), 6
+            ).alias("bal_cume"),
+            ntile_from_rank(3).alias("bal_tercile"),
+        )
     )
 
 

@@ -208,20 +208,23 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-scaled micro units. A calibrated score has frac_pos rising
     monotonically with the bin.
 
-    Scale note: ntile requires a global order; at fixture scale that is
-    one window. At 100 TB the same bins come from repartitionByRange on
-    the score + per-partition counts folded into global bin edges (the
-    two-phase distributed ntile) or from approx-quantile edges — the
-    output contract (10 rows) is unchanged, which is why the operator
-    stays safe to re-plan.
+    Scale note (round 12): the bins come from the two-phase distributed
+    ntile for real now — operators/ranks.py range-partitions on the
+    score, windows per partition, folds per-partition counts into
+    driver-side offsets (bounded by the partition count), and derives
+    the exact SQL-standard tile split arithmetically from (rank, N).
+    No single-partition window remains; the output contract (10 rows)
+    is unchanged and hash-identical to the ntile oracle.
     """
+    from ..operators.ranks import NTILE_COL, with_global_ntile
+
     d = tables(spark, sf_dir)["documents"].select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("s"),
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
     )
-    binned = d.select(
-        "s", "label", F.ntile(10).over(Window.orderBy("s", "doc_id")).alias("bin")
+    binned = with_global_ntile(d, 10, "s", "doc_id").select(
+        "s", "label", F.col(NTILE_COL).alias("bin")
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

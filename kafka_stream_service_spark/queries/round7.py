@@ -329,23 +329,25 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float division in the hash. NTILE over the (cents DESC,
     event_id) total order is deterministic on both engines.
 
-    Scale shape: the ranking is the one global-order step; at 100 TB
-    NTILE over a single ORDER BY becomes the distributed-rank replan
-    documented for the single-partition-window family
-    (operators/ranks.py) — decile boundaries from per-partition counts,
-    then a broadcast bucket map; the per-decile rollup stays
+    Scale shape (round 12): the decile comes from the distributed
+    two-phase ranks (operators/ranks.py — one range exchange on the
+    NEGATED score so DESC order ranks ascending, per-partition windows,
+    driver offsets bounded by partition count) with the exact
+    SQL-standard tile split derived arithmetically from (rank, N) —
+    the replan this docstring used to merely promise; no
+    single-partition window remains. The per-decile rollup stays
     map-side-combinable."""
+    from ..operators.ranks import NTILE_COL, with_global_ntile
+
     ev = tables(spark, sf_dir)["events"]
-    scored = ev.select(
+    base = ev.select(
         _cents("value").alias("score_cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
         "event_id",
-    ).select(
-        "score_cents",
-        "pos",
-        F.ntile(10)
-        .over(W.orderBy(F.col("score_cents").desc(), F.col("event_id")))
-        .alias("decile"),
+        (-_cents("value")).alias("neg_cents"),
+    )
+    scored = with_global_ntile(base, 10, "neg_cents", "event_id").select(
+        "score_cents", "pos", F.col(NTILE_COL).alias("decile")
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
@@ -559,23 +561,23 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-Bernoulli / weighted / stratified tier. The key order makes
     the picked set reproducible run-to-run and engine-to-engine.
 
-    Scale shape: a global row_number is the single-partition-window
-    anti-pattern at 100 TB — the documented replan is
-    operators/ranks.py's distributed exact ranks (per-partition counts
-    + offset broadcast), after which the mod-k filter is map-side.
-    Here the window is the point of the oracle; the replan is
-    plan-asserted in q_distributed_exact_quantiles."""
-    o = tables(spark, sf_dir)["orders"]
-    rn = F.row_number().over(W.orderBy("o_orderkey"))
-    return (
-        o.select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-            rn.alias("rn"),
-        )
-        .filter(F.col("rn") % 25 == 1)
-        .drop("rn")
+    Scale shape (round 12): the global rank comes from
+    operators/ranks.py's distributed two-phase ranks (one range
+    exchange, per-partition windows, driver-side offsets bounded by the
+    partition count) — the replan this docstring used to merely
+    promise; no single-partition window remains
+    (tests/test_single_partition_guard.py sweeps the whole catalog).
+    The mod-k filter is map-side after the rank attach."""
+    from ..operators.ranks import RANK_COL, with_global_ranks
+
+    o = tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    ranked = with_global_ranks(o, "o_orderkey", "o_orderkey")
+    return ranked.filter(F.col(RANK_COL) % 25 == 1).drop(
+        RANK_COL, "__range_pid"
     )
 
 

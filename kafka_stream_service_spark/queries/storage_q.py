@@ -195,16 +195,24 @@ def q_multi_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "histogram", "stats"),
 )
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram of prices via ntile — the
-    optimizer-statistics shape. The tile order carries (orderkey,
-    linenumber) tie-breaks so bucket membership is a total order both
-    engines agree on exactly. Single-partition window over the sort —
-    at scale this is the one global-sort op in the family; the
-    approximate path is percentile_approx (q_approx_aggregates)."""
-    li = tables(spark, sf_dir)["lineitem"]
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    """Equi-depth (equal-count) histogram of prices via the distributed
+    exact ntile (round 12) — the optimizer-statistics shape. The tile
+    order carries (orderkey, linenumber) tie-breaks so bucket membership
+    is a total order both engines agree on exactly; the two columns
+    collapse into one unique bigint tiebreak (orderkey * 8 + linenumber
+    — linenumber is 1..7, so the packing is order-preserving), and the
+    buckets come from operators/ranks.py's two-phase ranks + the exact
+    SQL-standard tile split. No single-partition sort; the approximate
+    path remains percentile_approx (q_approx_aggregates)."""
+    from ..operators.ranks import NTILE_COL, with_global_ntile
+
+    li = tables(spark, sf_dir)["lineitem"].select(
+        "l_extendedprice",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__tb"),
+    )
     return (
-        li.select("l_extendedprice", F.ntile(8).over(w).alias("bucket"))
+        with_global_ntile(li, 8, "l_extendedprice", "__tb")
+        .select("l_extendedprice", F.col(NTILE_COL).alias("bucket"))
         .groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),

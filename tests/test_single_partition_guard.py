@@ -52,3 +52,44 @@ def test_post_aggregation_single_partition_is_safe(spark):
 def test_limit_single_partition_is_safe(spark):
     df = _events(spark).limit(5)
     assert_no_data_scale_single_partition(df)
+
+
+# Queries whose SinglePartition exchange feeds a subtree the WALKER can't
+# prove bounded but the DESIGN does — each entry carries the bound:
+_CATALOG_ALLOWLIST = {
+    # two-phase exact order statistic: the flagged window ranks ONLY the
+    # k-th rank's residual bucket (bucket occupancy, not corpus scale);
+    # the bucket census that picks it is post-aggregation (walker-safe)
+    "q_conformal_coverage",
+    # recursive CTE (UnionLoop) on the materialized day grain: <= 366
+    # rows by construction, SF-invariant after the first groupBy
+    "q_forecast_backtest",
+}
+
+
+def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
+    """Catalog-wide sweep (the ADVICE r11 companion made a gate, like
+    test_no_cartesian_anywhere_in_catalog): no query may serialize an
+    unbounded subtree onto one partition. Round 12 migrated the five
+    real offenders (ntile/row_number families) onto
+    operators/ranks.py's distributed two-phase ranks; the allowlist
+    holds only designs the WALKER cannot see are bounded, each with its
+    bound stated above."""
+    from kafka_stream_service_spark.queries.registry import QUERIES
+
+    SF = "/root/testdata/sf0.001"
+    bad = {}
+    for name, spec in QUERIES.items():
+        if name in _CATALOG_ALLOWLIST:
+            continue
+        try:
+            plan = physical_plan(spec.spark_fn(spark, SF))
+        except Exception:  # noqa: BLE001 - plan-only sweep
+            continue
+        off = single_partition_offenders(plan)
+        if off:
+            bad[name] = off
+    assert not bad, (
+        "data-scale SinglePartition collapse in: "
+        f"{bad} — migrate to operators/ranks.py or justify in the allowlist"
+    )
