@@ -409,6 +409,10 @@ DETAIL_ONLY = [
     # round-12 births (lifecycle tier): snapshot GC census + IVF refresh
     "q_snapshot_gc_census",
     "q_knn_ivf_refresh",
+    # round-12 rank migrations previously untimed anywhere: wall-time
+    # accountability for the distributed-ntile plans
+    "q_histogram_equidepth",
+    "q_cume_dist_percentiles",
 ]
 
 

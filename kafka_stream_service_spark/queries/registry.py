@@ -175,6 +175,14 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "q_snapshot_gc_census",
     "q_knn_ivf_refresh",
 )
+# r13 window plan (compute, don't trust): lead with NEW_THIS_ROUND's 2
+# births, then the 5 round-12 CHANGED rows as re-certs (the rank
+# migration: q_systematic_sample, q_decile_lift, q_calibration_bins,
+# q_cume_dist_percentiles, q_histogram_equidepth — outputs hash-proven
+# unchanged, but the driver verdict should cover the shipping plan),
+# then the oldest canaries by latest-verdict round (r3 first; 47 rows
+# carry r3-only verdicts) up to the 50 slots, and reset NEW_THIS_ROUND
+# to (). tests/test_registry_window.py fails if any of this is missed.
 
 
 def _ordered_specs() -> list[QuerySpec]:

@@ -261,3 +261,63 @@ def test_gc_all_known_indexes_pins_live_artifacts(spark):
     finally:
         for d in decoys:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact ntile (the round-12 single-partition migration)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_ntile_matches_window_ntile_exactly(spark):
+    """Pin with_global_ntile == ntile(k) OVER (ORDER BY ...) across the
+    tile-split edge cases (N mod k = 0, N < k, N mod k in the middle) —
+    the arithmetic the five migrated catalog rows now rely on."""
+    from pyspark.sql import Window
+
+    from kafka_stream_service_spark.operators.ranks import (
+        NTILE_COL,
+        with_global_ntile,
+    )
+
+    for n in (3, 7, 10, 23, 100, 101):
+        for k in (3, 10):
+            df = spark.range(n).select(
+                (F.col("id") * 7 % 13).alias("v"), F.col("id").alias("t")
+            )
+            ref = df.select(
+                "v", "t", F.ntile(k).over(Window.orderBy("v", "t")).alias("want")
+            )
+            got = with_global_ntile(df, k, "v", "t").select(
+                "v", "t", F.col(NTILE_COL).alias("got")
+            )
+            bad = (
+                ref.join(got, ["v", "t"])
+                .filter(F.col("want") != F.col("got"))
+                .count()
+            )
+            assert bad == 0, f"ntile mismatch at n={n}, k={k}: {bad} rows"
+
+
+def test_migrated_rank_queries_plan_shapes(spark):
+    """The five migrated rows: no SinglePartition offender, bounded
+    keyed-shuffle budgets (1 range exchange for the rank + the final
+    rollup where one exists), no cartesian."""
+    from kafka_stream_service_spark.plans import (
+        assert_no_data_scale_single_partition,
+        count_shuffle_exchanges,
+        physical_plan,
+    )
+
+    budgets = {
+        "q_systematic_sample": 1,  # range exchange only; mod-filter map-side
+        "q_cume_dist_percentiles": 1,  # range exchange + broadcast N
+        "q_calibration_bins": 2,  # range exchange + bin rollup
+        "q_histogram_equidepth": 2,  # range exchange + bucket rollup
+        "q_decile_lift": 3,  # range exchange + decile rollup + cum attach
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name].spark_fn(spark, SF)
+        plan = assert_no_data_scale_single_partition(df)
+        n = count_shuffle_exchanges(plan)
+        assert n <= budget, f"{name}: {n} keyed shuffles > budget {budget}:\n{plan}"
+        assert "CartesianProduct" not in plan
