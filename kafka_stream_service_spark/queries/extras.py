@@ -148,7 +148,7 @@ def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string")
+    @udtf(returnType="pos int, token string", useArrow=True)
     class TokenPositions:
         def eval(self, text: str):
             for i, tok in enumerate(text.split(" ")[:5]):

@@ -44,7 +44,7 @@ def q_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) — state is O(1) per group, the correct PTF contract."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, first_doc bigint, last_doc bigint")
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, first_doc bigint, last_doc bigint", useArrow=True)
     class LangSummary:
         def __init__(self):
             self.lang = None

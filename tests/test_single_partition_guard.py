@@ -70,21 +70,28 @@ _CATALOG_ALLOWLIST = {
 def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
     """Catalog-wide sweep (the ADVICE r11 companion made a gate, like
     test_no_cartesian_anywhere_in_catalog): no query may serialize an
-    unbounded subtree onto one partition. Round 12 migrated the five
-    real offenders (ntile/row_number families) onto
+    unbounded subtree onto one partition, and — same pass, since plans
+    are built anyway — no query may plan row-at-a-time Python
+    (BatchEvalPython; pandas/Arrow nodes are the sanctioned Python
+    path — round 12 flipped the two UDTFs to useArrow=True, closing
+    the last row-path nodes). Round 12 migrated the five real
+    single-partition offenders (ntile/row_number families) onto
     operators/ranks.py's distributed two-phase ranks; the allowlist
-    holds only designs the WALKER cannot see are bounded, each with its
-    bound stated above."""
+    holds only designs the WALKER cannot see are bounded, each with
+    its bound stated above."""
     from kafka_stream_service_spark.queries.registry import QUERIES
 
     SF = "/root/testdata/sf0.001"
     bad = {}
+    row_python = []
     for name, spec in QUERIES.items():
-        if name in _CATALOG_ALLOWLIST:
-            continue
         try:
             plan = physical_plan(spec.spark_fn(spark, SF))
         except Exception:  # noqa: BLE001 - plan-only sweep
+            continue
+        if "BatchEvalPython" in plan and "ArrowEvalPython" not in plan:
+            row_python.append(name)
+        if name in _CATALOG_ALLOWLIST:
             continue
         off = single_partition_offenders(plan)
         if off:
@@ -92,4 +99,8 @@ def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
     assert not bad, (
         "data-scale SinglePartition collapse in: "
         f"{bad} — migrate to operators/ranks.py or justify in the allowlist"
+    )
+    assert not row_python, (
+        f"row-at-a-time Python (BatchEvalPython) in: {row_python} — use a "
+        "pandas UDF / Arrow-optimized UDTF (useArrow=True)"
     )
