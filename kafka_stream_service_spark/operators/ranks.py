@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 PARTITION_COL = "__range_pid"
 RANK_COL = "__global_rank"
+# Above this partition count, offsets attach via a broadcast join on the
+# pid instead of a chained-when literal tree (deep when-nesting defeats
+# whole-stage codegen at cluster-scale partition counts).
+_OFFSET_WHEN_MAX = 32
 
 
 def with_global_ranks(
@@ -62,16 +66,33 @@ def with_global_ranks(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_col: Column = F.lit(0)
-    # chained whens over a partition-count-sized literal map: pure
-    # codegen, no join, no shuffle
-    for pid, off in offsets.items():
-        offset_col = F.when(F.col(PARTITION_COL) == pid, F.lit(off)).otherwise(
-            offset_col
-        )
-    return local.withColumn(
-        RANK_COL, (F.col("__local_rank") + offset_col).cast("bigint")
-    ).drop("__local_rank")
+    if len(offsets) <= _OFFSET_WHEN_MAX:
+        offset_col: Column = F.lit(0)
+        # chained whens over a partition-count-sized literal map: pure
+        # codegen, no join, no shuffle — the right shape while the
+        # expression tree stays small
+        for pid, off in offsets.items():
+            offset_col = F.when(F.col(PARTITION_COL) == pid, F.lit(off)).otherwise(
+                offset_col
+            )
+        return local.withColumn(
+            RANK_COL, (F.col("__local_rank") + offset_col).cast("bigint")
+        ).drop("__local_rank")
+    # Cluster-scale partition counts: a chained-when tree with hundreds
+    # of branches blows up codegen (deep expression nesting defeats
+    # whole-stage compilation). Attach offsets as a broadcast hash join
+    # on the partition id instead — |partitions| rows broadcast, still
+    # no data-scale shuffle.
+    spark = local.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        f"{PARTITION_COL} int, __offset bigint",
+    )
+    return (
+        local.join(F.broadcast(off_df), PARTITION_COL)
+        .withColumn(RANK_COL, (F.col("__local_rank") + F.col("__offset")).cast("bigint"))
+        .drop("__local_rank", "__offset")
+    )
 
 
 def exact_quantiles(

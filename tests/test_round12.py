@@ -321,3 +321,27 @@ def test_migrated_rank_queries_plan_shapes(spark):
         n = count_shuffle_exchanges(plan)
         assert n <= budget, f"{name}: {n} keyed shuffles > budget {budget}:\n{plan}"
         assert "CartesianProduct" not in plan
+
+
+def test_global_ranks_broadcast_offset_path(spark):
+    """Above _OFFSET_WHEN_MAX partitions the rank offsets attach via a
+    broadcast join (chained whens defeat codegen at cluster-scale
+    partition counts) — ranks must be identical on both paths."""
+    from kafka_stream_service_spark.operators.ranks import (
+        RANK_COL,
+        with_global_ranks,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") * 13 % 97).alias("v"), F.col("id").alias("t")
+    )
+    small = {
+        (r["v"], r["t"]): r[RANK_COL]
+        for r in with_global_ranks(df, "v", "t", num_partitions=4).collect()
+    }
+    large = {
+        (r["v"], r["t"]): r[RANK_COL]
+        for r in with_global_ranks(df, "v", "t", num_partitions=64).collect()
+    }
+    assert small == large
+    assert sorted(small.values()) == list(range(1, 501))
