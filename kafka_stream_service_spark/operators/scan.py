@@ -16,7 +16,10 @@ Algorithm:
 3. Per-partition column totals (|partitions| x |cols| scalars) are
    prefix-summed ON THE DRIVER — bounded by the partition count, never
    the data — and added back as chained-``when`` literal offsets (pure
-   codegen, no join, no extra shuffle).
+   codegen, no join, no extra shuffle) while the partition count stays
+   small, or as one broadcast hash join on the pid beyond
+   ``_OFFSET_WHEN_MAX`` partitions (deep when-nesting defeats
+   whole-stage codegen at cluster scale).
 
 Exactness: sums are over integer (or decimal) columns, so the result is
 independent of intra-partition evaluation order; the (order_cols) total
@@ -35,6 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PARTITION_COL = "__scan_pid"
+# Same threshold as ranks.py: beyond this, chained whens defeat codegen.
+_OFFSET_WHEN_MAX = 32
 
 
 def with_running_totals(
@@ -69,12 +74,32 @@ def with_running_totals(
         for c in sum_cols:
             offsets[c][pid] = acc[c]
             acc[c] += totals[pid][c] or 0
-    out = local
+    if len(totals) <= _OFFSET_WHEN_MAX:
+        out = local
+        for c in sum_cols:
+            off: Column = F.lit(0)
+            for pid, val in offsets[c].items():
+                off = F.when(F.col(PARTITION_COL) == pid, F.lit(val)).otherwise(off)
+            out = out.withColumn(
+                f"cum_{c}", (F.col(f"__local_{c}") + off).cast("bigint")
+            ).drop(f"__local_{c}")
+        return out.drop(PARTITION_COL)
+    # Cluster-scale partition counts: chained whens nest too deep for
+    # whole-stage codegen — attach all columns' offsets as ONE broadcast
+    # hash join on the pid (|partitions| rows, no data-scale shuffle);
+    # same fallback as ranks.with_global_ranks.
+    spark = local.sparkSession
+    schema = f"{PARTITION_COL} int, " + ", ".join(f"__off_{c} bigint" for c in sum_cols)
+    off_df = spark.createDataFrame(
+        [
+            (int(pid), *[int(offsets[c][pid]) for c in sum_cols])
+            for pid in sorted(totals)
+        ],
+        schema,
+    )
+    out = local.join(F.broadcast(off_df), PARTITION_COL)
     for c in sum_cols:
-        off: Column = F.lit(0)
-        for pid, val in offsets[c].items():
-            off = F.when(F.col(PARTITION_COL) == pid, F.lit(val)).otherwise(off)
         out = out.withColumn(
-            f"cum_{c}", (F.col(f"__local_{c}") + off).cast("bigint")
-        ).drop(f"__local_{c}")
+            f"cum_{c}", (F.col(f"__local_{c}") + F.col(f"__off_{c}")).cast("bigint")
+        ).drop(f"__local_{c}", f"__off_{c}")
     return out.drop(PARTITION_COL)

@@ -345,3 +345,29 @@ def test_global_ranks_broadcast_offset_path(spark):
     }
     assert small == large
     assert sorted(small.values()) == list(range(1, 501))
+
+
+def test_running_totals_broadcast_offset_path(spark):
+    """scan.with_running_totals' broadcast-offset fallback (same
+    cluster-scale codegen concern as the ranks path) must produce
+    identical prefix sums at small and large partition counts."""
+    from kafka_stream_service_spark.operators.scan import with_running_totals
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 11).alias("x")
+    )
+
+    def run(n):
+        return {
+            r["k"]: r["cum_x"]
+            for r in with_running_totals(df, ["k"], ["x"], num_partitions=n).collect()
+        }
+
+    small, large = run(4), run(64)
+    assert small == large
+    # spot the closed form: cum at k equals sum of (i*3 % 11) for i<=k
+    acc, want = 0, {}
+    for i in range(300):
+        acc += i * 3 % 11
+        want[i] = acc
+    assert small == want
