@@ -59,3 +59,60 @@ def test_shingle_wrapper_not_reintroduced_in_queries():
         for m in re.finditer(r"def\s+_?word_shingles\b", path.read_text()):
             offenders.append(str(path.relative_to(REPO)))
     assert not offenders, f"local shingle wrapper redefined: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Driver-side .collect() baseline (round 12)
+# ---------------------------------------------------------------------------
+
+# Every audited .collect() site in non-test source pulls BOUNDED rows to
+# the driver (partition counts, k centroids, 1-row scalar bounds, replay
+# fixture sentinels) — never data-scale results. This baseline makes any
+# NEW driver-side pull a conscious, reviewed act: adding one fails this
+# test until the count here is raised in the same diff (with the bound
+# stated in the call site's comment/docstring).
+_COLLECT_BASELINE = {
+    "operators/graph.py": 1,      # LPA/CC convergence flag (1 row)
+    "operators/ivf.py": 2,        # Lloyd centroids (k x dim) per iteration
+    "operators/ranks.py": 1,      # per-partition counts (|partitions| rows)
+    "operators/scan.py": 1,       # per-partition totals (|partitions| rows)
+    "queries/corpus_ops.py": 1,   # quantization scale bounds (1 row)
+    "queries/mlops.py": 1,        # fold census (k rows)
+    "queries/round11i.py": 3,     # k-center greedy: k pulls of ONE row each
+    "queries/round7j.py": 1,      # fixture time bounds (1 row)
+    "queries/round7m.py": 1,      # calendar bounds (1 row)
+    "queries/round9b.py": 1,      # split threshold (1 row)
+    "queries/round9c.py": 2,      # LM head/tail cuts (1 row each)
+    "queries/stataudit.py": 2,    # domain bounds (1 row each)
+    "queries/storage_q.py": 1,    # snapshot version pin (1 row)
+    "queries/streaming_replay.py": 8,  # replay fixtures: bounds/sentinels
+    "bench.py": 2,                # harness: 1-row aggregate scans, timed
+}
+
+
+def test_collect_sites_stay_at_audited_baseline():
+    found: dict[str, int] = {}
+    for path in _py_sources():
+        if not path.exists():
+            continue
+        n = path.read_text().count(".collect()")
+        if n:
+            try:
+                rel = str(path.relative_to(PKG))
+            except ValueError:
+                rel = str(path.relative_to(REPO))
+            found[rel] = n
+    new_or_grown = {
+        f: n for f, n in found.items() if n > _COLLECT_BASELINE.get(f, 0)
+    }
+    assert not new_or_grown, (
+        f"new driver-side .collect() sites beyond the audited baseline: "
+        f"{new_or_grown} — a collect must pull BOUNDED rows (partition "
+        "counts, k centroids, scalars); state the bound at the site and "
+        "raise _COLLECT_BASELINE in the same diff"
+    )
+    shrunk = {f: n for f, n in _COLLECT_BASELINE.items() if found.get(f, 0) < n}
+    assert not shrunk, (
+        f"stale _COLLECT_BASELINE entries (sites removed): {shrunk} — "
+        "lower the baseline so it cannot mask a future addition"
+    )
