@@ -87,78 +87,78 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-12 rotation (VERDICT r11 next-steps #1): the
-# ENTIRE window is the certification debt — no births, no re-certs of
-# already-green rows. Composition:
-# (a) the 18 round-11 births that never received a driver verdict
-#     (the r11 window rotation ran out of slots after batch 14;
-#     CORRECTNESS_r01..r11 ∌ these names),
-# (b) the 3 rows whose only driver verdict dates to r1
-#     (q_union_distinct, q_intersect_all, q_except_all),
-# (c) the 28 rows whose latest driver verdict dates to r2, and
-# (d) the rows-only sentinel q_dedup_minhash_lsh (its hash-green
-#     portable twin q_minhash_lsh_portable is r11-certified).
-# 18 + 3 + 28 + 1 = 50 exactly. This restores the invariant "every
-# declared query has a driver verdict, none older than the rotation
-# horizon" — now enforced by tests/test_registry_window.py, which
-# recomputes the debt from CORRECTNESS_r*.json instead of trusting
-# this comment. New r12 queries (if any) must be listed in
-# NEW_THIS_ROUND below and wait for the r13 window.
+# ``queries()``. Round-13 rotation (VERDICT r12 next-steps #1),
+# computed from CORRECTNESS_r*.json (tests/test_registry_window.py
+# recomputes the same debt and fails on drift):
+# (a) the 2 round-12 births, verdict-less by construction
+#     (q_snapshot_gc_census, q_knn_ivf_refresh — judge-green in the
+#     r12 full-catalog sweep, queued first exactly as prescribed),
+# (b) the 5 rows migrated onto the two-phase rank operator in r12
+#     (outputs hash-proven unchanged, but their latest driver
+#     verdicts — r3..r7 — predate the shipping plan; re-certify),
+# (c) 43 of the 47 rows whose latest driver verdict dates to r3,
+#     alphabetical (one of the 47, q_cume_dist_percentiles, already
+#     holds a re-cert seat in (b)); the remaining 3
+#     (q_union_missing_columns, q_unpivot_stack,
+#     q_volume_shipping_nation_pairs) cross the horizon in r14 and
+#     lead that window.
+# 2 + 5 + 43 = 50 exactly. NEW_THIS_ROUND resets to () at round
+# open per protocol; any r13 births are appended there and wait for
+# the r14 window.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 18 deferred round-11 births, in deferral order
-    "q_krippendorff_alpha",
-    "q_cramers_v",
-    "q_mcc_filters",
-    "q_odds_ratio_ci",
-    "q_pacf_daily",
-    "q_brown_forsythe",
-    "q_granger_lag1",
-    "q_stream_cusum_replay",
-    "q_ljung_box",
-    "q_page_hinkley",
-    "q_dunns_test",
-    "q_bm25_after_refresh",
-    "q_conformal_coverage",
-    "q_bradley_terry",
-    "q_diff_in_differences",
-    "q_shapley_attribution",
-    "q_copeland_condorcet",
-    "q_holm_bonferroni",
-    # (b) the 3 r1-only canaries
-    "q_union_distinct",
-    "q_intersect_all",
-    "q_except_all",
-    # (c) the 28 r2-only canaries
-    "q_agg_global_stats",
-    "q_agg_having",
-    "q_array_funcs",
-    "q_avro_roundtrip",
-    "q_collect_list_sorted",
-    "q_corpus_mixture",
-    "q_distinct_multi",
-    "q_event_dedup",
-    "q_gapfill_locf",
-    "q_grouped_map_zscore",
-    "q_join_cross",
-    "q_join_full_outer",
-    "q_join_left_outer",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_multimodal_frame_sample",
-    "q_multimodal_metadata",
-    "q_national_market_share",
-    "q_pivot",
-    "q_sort_limit_topk",
-    "q_stream_static_enrich",
-    "q_text_repetition",
-    "q_tfidf_top_terms",
-    "q_time_rollup_multigrain",
-    "q_tumbling_window",
-    "q_udf_pandas_scalar",
-    "q_udtf_token_positions",
-    "q_window_running_sum",
-    # (d) the rows-only sentinel (twin q_minhash_lsh_portable r11-green)
-    "q_dedup_minhash_lsh",
+    # (a) the 2 round-12 births
+    "q_snapshot_gc_census",
+    "q_knn_ivf_refresh",
+    # (b) the 5 rank-migration re-certs (r12 plan change)
+    "q_systematic_sample",
+    "q_decile_lift",
+    "q_calibration_bins",
+    "q_cume_dist_percentiles",
+    "q_histogram_equidepth",
+    # (c) 43 oldest canaries (latest driver verdict = r3)
+    "q_array_algebra",
+    "q_binary_encodings",
+    "q_corr_covar",
+    "q_correlated_exists",
+    "q_csv_roundtrip",
+    "q_customer_order_distribution",
+    "q_disjunctive_predicates",
+    "q_embedding_stats_by_label",
+    "q_excess_quantity_suppliers",
+    "q_explode_variants",
+    "q_from_json_struct",
+    "q_gapfill_interpolate",
+    "q_global_sales_opportunity",
+    "q_hash_functions",
+    "q_hash_sample",
+    "q_important_part_value",
+    "q_interval_arithmetic",
+    "q_join_anti",
+    "q_json_roundtrip",
+    "q_lang_source_profile",
+    "q_large_volume_customers",
+    "q_levenshtein_similarity",
+    "q_map_algebra",
+    "q_min_balance_supplier_per_region",
+    "q_orc_roundtrip",
+    "q_percentiles_exact",
+    "q_product_profit_by_nation_year",
+    "q_promo_revenue_ratio",
+    "q_regexp_extract_all",
+    "q_rollup_grouping_id",
+    "q_scalar_subquery",
+    "q_shipmode_buckets",
+    "q_small_quantity_revenue",
+    "q_sole_failed_supplier",
+    "q_stratified_sample",
+    "q_supplier_cnt_by_part_attrs",
+    "q_text_bigrams",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_redact_pii",
+    "q_text_repetition_charcov",
+    "q_text_token_stats",
+    "q_top_supplier_by_revenue",
 )
 # Queries declared for the first time in the CURRENT round (no driver
 # verdict yet, by construction — they were born after the last
@@ -167,23 +167,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # window (these births + rows going stale) still fits in 50 slots.
 # Reset to () at each round open, after moving the previous round's
 # births into PRIORITY_ORDER.
-NEW_THIS_ROUND: tuple[str, ...] = (
-    # round-12 births (queries/round12.py): the r12 window is fully
-    # spent on the 49-row certification debt, so these take their
-    # driver verdicts in the r13 window (judge full-catalog sweep +
-    # tools/verify_local.py cover them meanwhile).
-    "q_snapshot_gc_census",
-    "q_knn_ivf_refresh",
-)
-# r13 window plan (compute, don't trust): lead with NEW_THIS_ROUND's 2
-# births, then the 5 round-12 CHANGED rows as re-certs (the rank
-# migration: q_systematic_sample, q_decile_lift, q_calibration_bins,
-# q_cume_dist_percentiles, q_histogram_equidepth — outputs hash-proven
-# unchanged, but the driver verdict should cover the shipping plan),
-# then the oldest canaries by latest-verdict round (r3 first; 47 rows
-# carry r3-only verdicts) up to the 50 slots, and reset NEW_THIS_ROUND
-# to (). tests/test_registry_window.py fails if any of this is missed.
-
+NEW_THIS_ROUND: tuple[str, ...] = ()
+# r14 window plan (compute, don't trust): lead with any r13 births,
+# then the 3 r3-verdict rows left out of this window
+# (q_union_missing_columns, q_unpivot_stack,
+# q_volume_shipping_nation_pairs), then the oldest remaining canaries
+# (r4 tier) up to 50 slots. tests/test_registry_window.py fails if
+# this is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]
