@@ -67,10 +67,13 @@ def count_shuffle_exchanges(plan: str) -> int:
 
 
 # Tree lines look like ``   +- Exchange (4)`` / ``:  +- * HashAggregate (3)``
-# / ``   +- Scan parquet  (1)``; capture the (possibly multi-word) operator
-# name, its node id, and the indent depth.
+# / ``   +- Scan parquet  (1)`` / ``+- BroadcastHashJoin Inner BuildLeft (7)``;
+# capture the indent prefix (3 chars per level: "   " or ":  "), the full
+# operator title (joins carry their type/build side in the tree line), and
+# the node id. The optional trailing ``, Statistics(...)`` covers finalized
+# AQE trees.
 _TREE_NODE = re.compile(
-    r"^([\s:+*-]*?)(?:\+- |:- )?\*?\s?([A-Za-z][A-Za-z0-9]*(?: [a-z][A-Za-z0-9]*)*)\s+\((\d+)\)\s*$"
+    r"^([ :]*)([+:]- )?\*?\s?([A-Za-z][\w .#$=-]*?)\s*\((\d+)\)(?:,.*)?\s*$"
 )
 
 # Walking DOWN from a SinglePartition exchange toward the leaf:
@@ -105,14 +108,21 @@ _SP_TRANSPARENT = frozenset(
         "AQEShuffleRead",
         "CoalesceExec",
         "Coalesce",
-        "BroadcastHashJoin",  # stream side printed first: fall through
+        "BroadcastHashJoin",  # walk follows the STREAM side (see below)
         "BroadcastNestedLoopJoin",
-        "ReusedExchange",
         "Exchange",  # a keyed exchange below doesn't bound rows either
         "ShuffleQueryStage",
         "BroadcastQueryStage",
     }
 )
+
+# Subtree roots that mark a broadcast join's BUILD side — the bounded
+# side; cardinality through the join is decided by the OTHER child.
+_SP_BUILD_SIDE = frozenset(
+    {"BroadcastExchange", "BroadcastQueryStage", "ReusedExchange"}
+)
+
+_REUSE_REF = re.compile(r"Reuses operator id: (\d+)")
 
 
 def single_partition_offenders(plan: str) -> list[str]:
@@ -129,49 +139,99 @@ def single_partition_offenders(plan: str) -> list[str]:
 
     Works on FORMATTED plans: finds each ``Exchange (N)`` tree line
     whose detail section says ``Arguments: SinglePartition``, then walks
-    the exchange's child chain (formatted trees print a node's first
-    child immediately below it, one indent deeper) through
-    row-preserving operators and broadcast joins' stream side until a
+    the exchange's OWN child chain — depth-aware, so the walk can never
+    cross into an unrelated sibling subtree (ADVICE r12: the old
+    flattened walk did exactly that after a leaf-like node). Broadcast
+    joins follow the STREAM side (the child whose subtree root is not a
+    broadcast build — correct for BuildLeft and BuildRight alike);
+    ``ReusedExchange`` resolves through its ``Reuses operator id``
+    reference instead of falling off the tree. The walk ends at a
     cardinality-bounding node (aggregate/limit — safe) or a data-scale
-    source (scan/generate/expand — offender) decides it.
+    source (scan/generate/expand — offender).
     """
     lines = plan.splitlines()
-    # node ids whose detail section marks a SinglePartition exchange
+    # node ids whose detail section marks a SinglePartition exchange,
+    # and each ReusedExchange's referenced operator id
     sp_ids: set[str] = set()
+    reuse_ref: dict[str, str] = {}
     current_id: str | None = None
+    current_name: str | None = None
     for ln in lines:
-        m = re.match(r"^\((\d+)\) Exchange\b", ln)
+        m = re.match(r"^\((\d+)\) (\w+)", ln)
         if m:
-            current_id = m.group(1)
+            current_id, current_name = m.group(1), m.group(2)
+            # the reuse reference sits on the header line itself:
+            # ``(7) ReusedExchange [Reuses operator id: 5]``
+            if current_name == "ReusedExchange" and (r := _REUSE_REF.search(ln)):
+                reuse_ref[current_id] = r.group(1)
             continue
-        if re.match(r"^\(\d+\) ", ln):
-            current_id = None
+        if current_id is None:
             continue
-        if current_id and "Arguments:" in ln and "SinglePartition" in ln:
+        if current_name == "Exchange" and "Arguments:" in ln and "SinglePartition" in ln:
             sp_ids.add(current_id)
+        elif current_name == "ReusedExchange" and (r := _REUSE_REF.search(ln)):
+            reuse_ref[current_id] = r.group(1)
     if not sp_ids:
         return []
-    tree_nodes = [
-        (m.group(2), m.group(3))
-        for ln in lines
-        if (m := _TREE_NODE.match(ln))
-    ]
+
+    # (depth, root-word, node-id) per tree line, in document order.
+    # Depth = 3 chars per level; a node's children are the depth+1 nodes
+    # before the next node at depth <= its own (subquery trees restart
+    # at depth 0, which terminates any forward scan naturally).
+    nodes: list[tuple[int, str, str]] = []
+    for ln in lines:
+        m = _TREE_NODE.match(ln)
+        if not m:
+            continue
+        depth = len(m.group(1)) // 3 + (1 if m.group(2) else 0)
+        nodes.append((depth, m.group(3).split()[0], m.group(4)))
+    by_id = {node_id: i for i, (_, _, node_id) in enumerate(nodes)}
+
+    def children(i: int) -> list[int]:
+        d = nodes[i][0]
+        kids = []
+        for j in range(i + 1, len(nodes)):
+            if nodes[j][0] <= d:
+                break
+            if nodes[j][0] == d + 1:
+                kids.append(j)
+        return kids
+
     offenders: list[str] = []
-    for idx, (name, node_id) in enumerate(tree_nodes):
+    for idx, (_, name, node_id) in enumerate(nodes):
         if name != "Exchange" or node_id not in sp_ids:
             continue
-        j = idx + 1
-        while j < len(tree_nodes):
-            child = tree_nodes[j][0]
-            if child in _SP_SAFE:
+        cur = idx
+        hops = 0
+        while True:
+            hops += 1
+            if hops > len(nodes):  # reuse-reference cycle guard
+                offenders.append("<cycle>")
                 break
-            if child in _SP_TRANSPARENT:
-                j += 1
+            kids = children(cur)
+            if not kids:
+                offenders.append("<leaf>")
+                break
+            if nodes[cur][1] in ("BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+                stream = [k for k in kids if nodes[k][1] not in _SP_BUILD_SIDE]
+                child = stream[0] if stream else kids[0]
+            else:
+                child = kids[0]
+            cname, cid = nodes[child][1], nodes[child][2]
+            if cname in _SP_SAFE:
+                break
+            if cname == "ReusedExchange":
+                ref = reuse_ref.get(cid)
+                if ref is not None and ref in by_id:
+                    cur = by_id[ref]
+                    continue
+                offenders.append(cname)  # unresolvable reuse: conservative
+                break
+            if cname in _SP_TRANSPARENT:
+                cur = child
                 continue
-            offenders.append(child)
+            offenders.append(cname)
             break
-        else:
-            offenders.append("<leaf>")
     return offenders
 
 

@@ -54,6 +54,52 @@ def test_limit_single_partition_is_safe(spark):
     assert_no_data_scale_single_partition(df)
 
 
+def test_build_left_join_walks_stream_side(spark):
+    """ADVICE r12: a BuildLeft broadcast join prints its BUILD side
+    first, so the old flattened walk descended into the broadcast
+    subtree (and could cross into unrelated siblings after it). The
+    depth-aware walk must follow the STREAM side: here the stream side
+    is a data-scale Range feeding a global window — offender — and the
+    offender must be the stream-side source, not a build-side node."""
+    big = spark.range(100000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    small = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("lbl"))
+    df = (
+        small.hint("broadcast")
+        .join(big, "k")
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    plan = physical_plan(df)
+    assert "BuildLeft" in plan, f"fixture lost its BuildLeft shape:\n{plan[:1500]}"
+    offenders = single_partition_offenders(plan)
+    assert offenders == ["Range"], (
+        f"expected the stream-side Range as the offender, got {offenders}:\n{plan[:1500]}"
+    )
+
+
+def test_reused_exchange_resolves_through_reference(spark):
+    """A SinglePartition exchange fed through a ReusedExchange must
+    resolve the reference and keep walking the ORIGINAL subtree (here a
+    bounded aggregate — safe), instead of falling off the tree into a
+    sibling (old behavior) or flagging blindly."""
+    agg = (
+        spark.range(100000)
+        .select((F.col("id") % 7).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    joined = agg.alias("a").join(
+        agg.alias("b").withColumnRenamed("count", "c2"), "k"
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = physical_plan(joined.agg(F.sum("count").alias("s")))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if "ReusedExchange" not in plan:  # planner did not reuse: nothing to pin
+        return
+    assert not single_partition_offenders(plan), plan
+
+
 # Queries whose SinglePartition exchange feeds a subtree the WALKER can't
 # prove bounded but the DESIGN does — each entry carries the bound:
 _CATALOG_ALLOWLIST = {
@@ -65,6 +111,56 @@ _CATALOG_ALLOWLIST = {
     # rows by construction, SF-invariant after the first groupBy
     "q_forecast_backtest",
 }
+
+
+def _sweep_catalog(spark, queries, sf, sp_allowlist, build_allowlist):
+    """Build every query's physical plan and classify: plan-build
+    failures (``broken``), data-scale SinglePartition collapses
+    (``bad``), and row-at-a-time Python nodes (``row_python``).
+    Shared by the catalog gate and the red-path proof below."""
+    bad = {}
+    row_python = []
+    broken = {}
+    for name, spec in queries.items():
+        try:
+            plan = physical_plan(spec.spark_fn(spark, sf))
+        except Exception as exc:  # noqa: BLE001 - collected, asserted by callers
+            if name not in build_allowlist:
+                broken[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if "BatchEvalPython" in plan and "ArrowEvalPython" not in plan:
+            row_python.append(name)
+        if name in sp_allowlist:
+            continue
+        off = single_partition_offenders(plan)
+        if off:
+            bad[name] = off
+    return broken, bad, row_python
+
+
+def test_sweep_goes_red_on_plan_build_failure(spark):
+    """Red-path proof (VERDICT r12 next-steps #2): a query whose
+    spark_fn raises at plan time must surface in ``broken`` — the old
+    ``except Exception: continue`` made exactly this invisible."""
+
+    class _BrokenSpec:
+        @staticmethod
+        def spark_fn(spark, sf):
+            raise RuntimeError("deliberately broken for the red-path proof")
+
+    broken, _, _ = _sweep_catalog(
+        spark, {"q_deliberately_broken": _BrokenSpec}, "/root/testdata/sf0.001",
+        sp_allowlist=frozenset(), build_allowlist={},
+    )
+    assert "q_deliberately_broken" in broken
+    assert "RuntimeError" in broken["q_deliberately_broken"]
+    # and an allowlisted failure is NOT red (the escape hatch works)
+    broken2, _, _ = _sweep_catalog(
+        spark, {"q_deliberately_broken": _BrokenSpec}, "/root/testdata/sf0.001",
+        sp_allowlist=frozenset(),
+        build_allowlist={"q_deliberately_broken": "red-path proof"},
+    )
+    assert not broken2
 
 
 def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
@@ -82,20 +178,21 @@ def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
     from kafka_stream_service_spark.queries.registry import QUERIES
 
     SF = "/root/testdata/sf0.001"
-    bad = {}
-    row_python = []
-    for name, spec in QUERIES.items():
-        try:
-            plan = physical_plan(spec.spark_fn(spark, SF))
-        except Exception:  # noqa: BLE001 - plan-only sweep
-            continue
-        if "BatchEvalPython" in plan and "ArrowEvalPython" not in plan:
-            row_python.append(name)
-        if name in _CATALOG_ALLOWLIST:
-            continue
-        off = single_partition_offenders(plan)
-        if off:
-            bad[name] = off
+    # A query that fails to PLAN escapes the cartesian gate, this
+    # SinglePartition gate, and the row-Python lint in one breath
+    # (VERDICT r12 next-steps #2) — collect and assert, never skip.
+    # Empty today: all 454 queries plan cleanly at sf0.001.
+    plan_build_allowlist: dict[str, str] = {}
+    broken, bad, row_python = _sweep_catalog(
+        spark, QUERIES, SF,
+        sp_allowlist=_CATALOG_ALLOWLIST,
+        build_allowlist=plan_build_allowlist,
+    )
+    assert not broken, (
+        "queries whose plan failed to BUILD (these escape the cartesian, "
+        "SinglePartition, AND row-Python gates simultaneously — fix or "
+        f"allowlist with a reason): {broken}"
+    )
     assert not bad, (
         "data-scale SinglePartition collapse in: "
         f"{bad} — migrate to operators/ranks.py or justify in the allowlist"
