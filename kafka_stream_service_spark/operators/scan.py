@@ -38,19 +38,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PARTITION_COL = "__scan_pid"
-# Same threshold as ranks.py: beyond this, chained whens defeat codegen.
-_OFFSET_WHEN_MAX = 32
+# Same threshold as ranks.py: beyond this the O(partitions)-per-row
+# when chain loses to the O(1) broadcast hash probe (and deep nesting
+# defeats whole-stage codegen).
+_OFFSET_WHEN_MAX = 16
 
 
 def with_running_totals(
     df: DataFrame,
     order_cols: list[str],
     sum_cols: list[str],
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns ``df`` plus ``cum_<c>`` inclusive prefix sums for each
     ``c`` in ``sum_cols``, taken over the global ``order_cols`` order,
-    computed without any single-partition window."""
+    computed without any single-partition window. ``num_partitions=None``
+    (the default) data-sizes the range fan-out from the input frame —
+    see ranks.data_sized_partitions."""
+    if num_partitions is None:
+        from .ranks import data_sized_partitions
+
+        num_partitions = data_sized_partitions(df)
     ranged = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in order_cols]
     ).withColumn(PARTITION_COL, F.spark_partition_id())

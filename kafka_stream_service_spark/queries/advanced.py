@@ -532,20 +532,25 @@ def q_cume_dist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (ties are impossible — suppkey is a key), and the tercile
     is the SQL-standard tile split computed arithmetically from
     (rank, N) — operators/ranks.py, no single-partition stage."""
-    from ..operators.ranks import RANK_COL, ntile_from_rank, with_global_ranks
+    from ..operators.ranks import (
+        COUNT_COL,
+        RANK_COL,
+        ntile_from_rank,
+        with_global_ranks,
+    )
 
     s = tables(spark, sf_dir)["supplier"].select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
     ranked = with_global_ranks(s, "s_acctbal", "s_suppkey")
-    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias(COUNT_COL))
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .select(
             "s_suppkey",
             "s_nationkey",
             F.round(
-                F.col(RANK_COL).cast("double") / F.col("__n").cast("double"), 6
+                F.col(RANK_COL).cast("double") / F.col(COUNT_COL).cast("double"), 6
             ).alias("bal_cume"),
             ntile_from_rank(3).alias("bal_tercile"),
         )

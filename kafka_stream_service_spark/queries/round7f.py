@@ -407,7 +407,7 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to the (nondeterministic) id assignment
         .withColumn("tb", F.monotonically_increasing_id())
     )
-    ranked = with_global_ranks(slopes, "slope_q", "tb", num_partitions=16)
+    ranked = with_global_ranks(slopes, "slope_q", "tb")
     n_pairs = ranked.count()  # post-checkpoint, cheap
     target = (n_pairs + 1) // 2  # percentile_disc(0.5): rank ceil(n/2)
     return ranked.filter(F.col(RANK_COL) == target).select(

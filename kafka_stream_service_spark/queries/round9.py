@@ -186,7 +186,7 @@ def _ccnet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_proxy_q6"),
         )
     )
-    ranked = with_global_ranks(docs, "ppl_proxy_q6", "doc_id", num_partitions=8)
+    ranked = with_global_ranks(docs, "ppl_proxy_q6", "doc_id")
     n_total = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     return (
         ranked.crossJoin(F.broadcast(n_total))

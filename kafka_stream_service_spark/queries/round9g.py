@@ -257,7 +257,7 @@ def q_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     h = sh.select(portable_hash64(F.col("s"), 0).alias("hv")).distinct()
-    ranked = with_global_ranks(h, "hv", "hv", num_partitions=8)
+    ranked = with_global_ranks(h, "hv", "hv")
     n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     rn = ranked.crossJoin(F.broadcast(n))
     m = F.lit(_M60).cast("decimal(38,0)")

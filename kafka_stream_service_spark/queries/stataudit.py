@@ -381,7 +381,7 @@ def q_distributed_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderkey").alias("tb"),
     )
     return exact_quantiles(
-        orders, "v", "tb", [0.10, 0.25, 0.50, 0.75, 0.90], num_partitions=8
+        orders, "v", "tb", [0.10, 0.25, 0.50, 0.75, 0.90]
     ).select(F.col("quantile_pct").cast("bigint").alias("quantile_pct"), "value")
 
 
