@@ -55,7 +55,14 @@ class GcReport:
     kept: tuple[str, ...]
     deleted: tuple[str, ...]
     tmp_swept: tuple[str, ...]
+    # published-name dirs missing _SUCCESS (anomaly, surfaced not deleted)
     skipped_incomplete: tuple[str, ...]
+    # in-flight temp dirs within the grace period (a live builder's —
+    # a distinct state from the anomaly above; ADVICE r12)
+    tmp_young: tuple[str, ...] = ()
+    # rmtree left the path alive (e.g. permission error on one file) —
+    # the artifact is NOT gone and must not be reported as deleted
+    delete_failed: tuple[str, ...] = ()
 
 
 def _dir_bytes(path: str) -> int:
@@ -132,15 +139,27 @@ def gc_snapshots(
     deleted: list[str] = []
     tmp_swept: list[str] = []
     skipped: list[str] = []
+    tmp_young: list[str] = []
+    delete_failed: list[str] = []
+
+    def _remove(a: SnapshotArtifact, done: list[str]) -> None:
+        """Delete and VERIFY: rmtree(ignore_errors=True) can fail partway
+        (e.g. a permission error on one file) and the report must never
+        claim an artifact was removed while it is still alive on disk
+        (ADVICE r12)."""
+        if dry_run:
+            done.append(a.name)
+            return
+        shutil.rmtree(a.path, ignore_errors=True)
+        (done if not os.path.exists(a.path) else delete_failed).append(a.name)
+
     n_recent = 0
     for a in artifacts:  # newest first
         if a.is_tmp:
             if now - a.mtime >= tmp_grace_s:
-                if not dry_run:
-                    shutil.rmtree(a.path, ignore_errors=True)
-                tmp_swept.append(a.name)
+                _remove(a, tmp_swept)
             else:
-                skipped.append(a.name)
+                tmp_young.append(a.name)
             continue
         if not a.complete:
             skipped.append(a.name)
@@ -152,14 +171,14 @@ def gc_snapshots(
             kept.append(a.name)
             n_recent += 1
             continue
-        if not dry_run:
-            shutil.rmtree(a.path, ignore_errors=True)
-        deleted.append(a.name)
+        _remove(a, deleted)
     return GcReport(
         kept=tuple(kept),
         deleted=tuple(deleted),
         tmp_swept=tuple(tmp_swept),
         skipped_incomplete=tuple(skipped),
+        tmp_young=tuple(tmp_young),
+        delete_failed=tuple(delete_failed),
     )
 
 

@@ -96,10 +96,15 @@ def q_snapshot_gc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retention import gc_snapshots
     from ._util import publish_atomic, snapshot_dir, table_fingerprint
 
-    root = snapshot_dir(_GC_TAG, sf_dir)
-    # Deterministic slate: this is a DEMO tag owned by this query alone —
-    # wipe and rebuild so every invocation (driver gate, bench passes,
-    # pytest) certifies one full lifecycle from scratch.
+    # Per-PROCESS demo slate (ADVICE r12): the driver gate, bench passes,
+    # and the pytest plan sweeps all build this query — concurrent
+    # processes racing on ONE shared scratch tag could delete each
+    # other's in-flight revisions or flip the hash. A pid-suffixed tag
+    # isolates each invocation; within a process invocations are
+    # sequential, and the wipe-on-entry below keeps the slate
+    # deterministic across repeated runs in one process.
+    gc_tag = f"{_GC_TAG}_pid{os.getpid()}"
+    root = snapshot_dir(gc_tag, sf_dir)
     for name in os.listdir(root):
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
@@ -126,7 +131,7 @@ def q_snapshot_gc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(incomplete)
 
     report = gc_snapshots(
-        _GC_TAG,
+        gc_tag,
         sf_dir,
         keep_latest=_GC_KEEP_LATEST,
         keep_paths=(paths[_GC_PIN_REV],),

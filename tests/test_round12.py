@@ -92,6 +92,33 @@ def test_gc_sweeps_stale_tmp_spares_fresh_tmp_and_incomplete(spark):
     assert os.path.exists(fresh), "live builder temp dir must survive the grace period"
     assert os.path.exists(incomplete), "incomplete published dir must be skipped, not deleted"
     assert "rev8" in report.skipped_incomplete
+    # ADVICE r12: a fresh temp dir is a LIVE builder, not an anomaly —
+    # two distinct states, two distinct report fields
+    assert report.tmp_young == ("rev9.tmp.222",)
+    assert "rev9.tmp.222" not in report.skipped_incomplete
+    assert report.delete_failed == ()
+
+
+def test_gc_failed_delete_is_not_reported_as_deleted(spark, monkeypatch):
+    """ADVICE r12: rmtree(ignore_errors=True) can fail partway; the
+    report must record the artifact under delete_failed — claiming it
+    deleted while the path is alive would poison every downstream
+    census."""
+    from kafka_stream_service_spark.operators import retention
+
+    real_rmtree = retention.shutil.rmtree
+    root = _clean_tag(TAG)
+    paths = _publish_revs(spark, root, 3)
+    monkeypatch.setattr(retention.shutil, "rmtree", lambda *a, **k: None)
+    report = gc_snapshots(TAG, SF, keep_latest=1)
+    assert report.deleted == ()
+    assert set(report.delete_failed) == {"rev1", "rev0"}
+    assert all(os.path.exists(p) for p in paths)
+    monkeypatch.setattr(retention.shutil, "rmtree", real_rmtree)
+    # and the real pass afterwards converges to the policy state
+    report2 = gc_snapshots(TAG, SF, keep_latest=1)
+    assert set(report2.deleted) == {"rev1", "rev0"}
+    assert report2.delete_failed == ()
 
 
 def test_gc_refuses_zero_keep_and_symlinks(spark, tmp_path):
