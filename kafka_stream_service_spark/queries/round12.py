@@ -182,39 +182,64 @@ def q_snapshot_gc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stored BASE IVF index (corpus minus the delta slice) + incremental refresh
 # ---------------------------------------------------------------------------
 
-IVF_BASE_REV = f"r1k{K}"  # bump when quantization/assignment derivation changes
+IVF_BASE_REV = f"r2k{K}"  # r2: members range-partitioned by centroid_id (prune layout)
 
 
-def ivf_base_index_path(sf_dir: str) -> str:
+def ivf_base_index_path(
+    sf_dir: str,
+    k: int = K,
+    delta_mod: int = _DELTA_MOD,
+    delta_rem: int = _DELTA_REM,
+) -> str:
     import os
 
     from ._util import snapshot_dir, table_fingerprint
 
+    # Catalog artifact keeps its r12 token; probe-built variants
+    # (delta-proportional k, probe arrival slices — SCALE.md's prune
+    # demonstration) get their own revision tokens so they never
+    # collide with the certified artifact.
+    rev = (
+        IVF_BASE_REV
+        if (k, delta_mod, delta_rem) == (K, _DELTA_MOD, _DELTA_REM)
+        else f"r1k{k}d{delta_mod}r{delta_rem}"
+    )
     return os.path.join(
         snapshot_dir("ivf_base", sf_dir),
-        f"{IVF_BASE_REV}_{table_fingerprint(sf_dir, 'embeddings')}",
+        f"{rev}_{table_fingerprint(sf_dir, 'embeddings')}",
     )
 
 
-def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
+def build_ivf_base_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    delta_mod: int = _DELTA_MOD,
+    delta_rem: int = _DELTA_REM,
+) -> str:
     """Persist the BASE IVF index: ``members`` = (vec_id, centroid_id,
     dist2, nrm) for every vector EXCLUDING the delta slice (vec_id %
-    {_DELTA_MOD} == {_DELTA_REM}, the repo's standing "newly arrived"
-    convention), sorted by centroid_id for zone-map-pruned per-list
-    reads, plus ``centroids`` = the K frozen seed centroids (cid, cqv)
-    — stored IN the artifact so a refresh assigns against the index's
-    own centroids, never re-deriving them from the (possibly moved)
-    corpus. Published atomically (temp parent + _SUCCESS + one
+    delta_mod == delta_rem; defaults to the repo's standing "newly
+    arrived" convention), range-partitioned AND sorted by centroid_id so
+    a touched-list read skips whole files and row groups via parquet
+    min/max zone maps, plus ``centroids`` = the k frozen seed centroids
+    (cid, cqv) — stored IN the artifact so a refresh assigns against the
+    index's own centroids, never re-deriving them from the (possibly
+    moved) corpus. Published atomically (temp parent + _SUCCESS + one
     os.rename), the round11n multi-part artifact contract.
+
+    ``k`` defaults to the catalog's K; SCALE.md's prune demonstration
+    builds delta-proportional variants (k up to hundreds of lists) under
+    their own revision tokens.
     """
     import os
     import shutil
 
     e = _quantized(tables(spark, sf_dir)["embeddings"])
-    cent = e.filter(F.col("vec_id") < K).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
     )
-    base = e.filter((F.col("vec_id") % _DELTA_MOD) != _DELTA_REM)
+    base = e.filter((F.col("vec_id") % delta_mod) != delta_rem)
     diff2 = F.aggregate(
         F.zip_with(
             F.col("qv"),
@@ -225,7 +250,7 @@ def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
         lambda acc, x: acc + x,
     )
     keyed = base.select("vec_id", "qv").crossJoin(F.broadcast(cent)).select(
-        "vec_id", (diff2 * K + F.col("cid")).alias("key")
+        "vec_id", (diff2 * k + F.col("cid")).alias("key")
     )
     assign = keyed.groupBy("vec_id").agg(F.min("key").alias("key"))
     nrm = F.aggregate(
@@ -237,14 +262,21 @@ def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
     )
     members = assign.join(base.select("vec_id", "qv"), "vec_id").select(
         "vec_id",
-        (F.col("key") % K).cast("int").alias("centroid_id"),
-        F.expr(f"key DIV {K}").cast("bigint").alias("dist2"),
+        (F.col("key") % k).cast("int").alias("centroid_id"),
+        F.expr(f"key DIV {k}").cast("bigint").alias("dist2"),
         nrm.alias("nrm"),
     )
-    out = ivf_base_index_path(sf_dir)
+    out = ivf_base_index_path(sf_dir, k, delta_mod, delta_rem)
     tmp = f"{out}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    members.sortWithinPartitions("centroid_id", "vec_id").write.mode(
+    # Range-partition on centroid_id BEFORE the within-partition sort:
+    # without it every output file spans the whole centroid range (rows
+    # arrive hash-distributed from the groupBy) and a touched-list read
+    # can never skip a file — the zone-map prune the census depends on
+    # needs each file to cover a narrow, disjoint centroid slice.
+    members.repartitionByRange(
+        max(8, min(k, 64)), "centroid_id"
+    ).sortWithinPartitions("centroid_id", "vec_id").write.mode(
         "overwrite"
     ).parquet(os.path.join(tmp, "members"))
     cent.sortWithinPartitions("cid").write.mode("overwrite").parquet(
@@ -259,15 +291,21 @@ def build_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def ivf_base_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def ivf_base_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    delta_mod: int = _DELTA_MOD,
+    delta_rem: int = _DELTA_REM,
+) -> dict[str, DataFrame]:
     """Stored base IVF index for the refresh probe: {members, centroids}
     frames reading the persisted artifact, building once if absent
     (self-healing, same contract as the other index artifacts)."""
     import os
 
-    out = ivf_base_index_path(sf_dir)
+    out = ivf_base_index_path(sf_dir, k, delta_mod, delta_rem)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        build_ivf_base_index(spark, sf_dir)
+        build_ivf_base_index(spark, sf_dir, k, delta_mod, delta_rem)
     return {
         "members": spark.read.parquet(os.path.join(out, "members")),
         "centroids": spark.read.parquet(os.path.join(out, "centroids")),
@@ -321,22 +359,41 @@ def q_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the corpus is scanned ONLY for the ~10%
     delta (partition-prunable on an arrival key in production);
     centroids are a K-row broadcast; the merged census reads ONLY the
-    touched lists' member rows — centroid_id-sorted parquet makes that
-    a zone-map-pruned read. Refresh cost is O(delta x K + touched-list
-    occupancy), decoupled from index size — the q_text_index_delta
-    contract lifted to embedding space.
+    touched lists' member rows — the touched ids (bounded by K) come
+    back to the driver and re-enter as an In() predicate on the
+    centroid_id-range-partitioned, sorted members parquet, so the read
+    is literally file/row-group-skipped (PushedFilters, pinned by the
+    seam test), not a post-scan join filter. Refresh cost is
+    O(delta x K + touched-list occupancy), decoupled from index size —
+    the q_text_index_delta contract lifted to embedding space.
+    SCALE.md's r13 probe demonstrates the prune at delta-proportional
+    k (tools/probe_round12.py).
     """
-    idx = ivf_base_index(spark, sf_dir)
+    return ivf_refresh_census(spark, sf_dir)
+
+
+def ivf_refresh_census(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    delta_mod: int = _DELTA_MOD,
+    delta_rem: int = _DELTA_REM,
+) -> DataFrame:
+    """Parametric body of q_knn_ivf_refresh (the catalog query pins the
+    defaults; the SCALE.md probe passes delta-proportional k and a
+    small arrival slice to demonstrate the zone-map prune)."""
+    idx = ivf_base_index(spark, sf_dir, k, delta_mod, delta_rem)
     # The K stored centroids collapse into ONE broadcast array row, so
     # assignment is a map-side argmin over the delta — zero shuffles on
-    # the arrival slice (the seam test pins the whole refresh at <= 2
-    # keyed exchanges: touched-list distinct + the census rollup).
+    # the arrival slice (the seam test pins the census job at <= 2 keyed
+    # exchanges; the touched-list distinct runs in the bounded
+    # collect job below).
     cent_arr = idx["centroids"].agg(
         F.collect_list(F.struct(F.col("cid"), F.col("cqv"))).alias("cents")
     )
     delta = _quantized(
         tables(spark, sf_dir)["embeddings"].filter(
-            (F.col("vec_id") % _DELTA_MOD) == _DELTA_REM
+            (F.col("vec_id") % delta_mod) == delta_rem
         )
     )
 
@@ -350,7 +407,7 @@ def q_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        return d2 * K + c["cid"].cast("bigint")
+        return d2 * k + c["cid"].cast("bigint")
 
     nrm = F.aggregate(
         F.zip_with(
@@ -369,23 +426,39 @@ def q_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            (F.col("key") % K).cast("int").alias("centroid_id"),
-            F.expr(f"key DIV {K}").cast("bigint").alias("dist2"),
+            (F.col("key") % k).cast("int").alias("centroid_id"),
+            F.expr(f"key DIV {k}").cast("bigint").alias("dist2"),
             "nrm",
             F.lit(1).cast("int").alias("is_delta"),
         )
     )
-    merged = idx["members"].select(
-        "vec_id", "centroid_id", "dist2", "nrm", F.lit(0).cast("int").alias("is_delta")
-    ).unionByName(delta_members)
-    touched = delta_members.select("centroid_id").distinct()
-    return (
-        merged.join(F.broadcast(touched), "centroid_id")
-        .groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.sum("is_delta").cast("bigint").alias("n_delta"),
-            F.sum("dist2").cast("bigint").alias("sum_dist2"),
-            F.sum("nrm").cast("bigint").alias("sum_nrm"),
+    # Touched list ids to the driver — BOUNDED by k (<= a few hundred
+    # even at delta-proportional k), the catalog's standard bounded-pull
+    # shape — and back in as a LITERAL In() predicate: unlike the old
+    # broadcast join, a literal predicate reaches the parquet scan as a
+    # PushedFilter, so the range-partitioned, centroid-sorted members
+    # artifact is read with file/row-group zone-map skipping. This is
+    # the O(delta x occupancy) read the refresh contract claims; the
+    # seam test pins the pushed filter.
+    touched_ids = sorted(
+        r["centroid_id"]
+        for r in delta_members.select("centroid_id").distinct().collect()
+    )
+    merged = (
+        idx["members"]
+        .filter(F.col("centroid_id").isin(touched_ids))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "dist2",
+            "nrm",
+            F.lit(0).cast("int").alias("is_delta"),
         )
+        .unionByName(delta_members)
+    )
+    return merged.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("is_delta").cast("bigint").alias("n_delta"),
+        F.sum("dist2").cast("bigint").alias("sum_dist2"),
+        F.sum("nrm").cast("bigint").alias("sum_nrm"),
     )

@@ -79,6 +79,7 @@ _COLLECT_BASELINE = {
     "queries/corpus_ops.py": 1,   # quantization scale bounds (1 row)
     "queries/mlops.py": 1,        # fold census (k rows)
     "queries/round11i.py": 3,     # k-center greedy: k pulls of ONE row each
+    "queries/round12.py": 1,      # IVF refresh touched-list ids (<= k rows)
     "queries/round7j.py": 1,      # fixture time bounds (1 row)
     "queries/round7m.py": 1,      # calendar bounds (1 row)
     "queries/round9b.py": 1,      # split threshold (1 row)

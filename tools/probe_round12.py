@@ -114,6 +114,120 @@ def main() -> None:
         )
         print(f"x{m}: rebuild / refresh-probe = {ratio}x")
 
+    prune_series(spark, dirs[16])
+
+
+def prune_series(spark, sf_dir: str) -> None:
+    """VERDICT r12 next-steps #3: demonstrate the zone-map prune at
+    delta-proportional k instead of asserting it.
+
+    At the catalog's K=8 a ~10% delta touches ALL lists, so the census
+    reads the whole member table and the refresh win is only the
+    skipped re-assignment. Production IVF sizes k ~ sqrt(N) (hundreds+
+    of lists) while an arrival batch is bounded, so touched ~= |batch|
+    << k — THAT is the regime where the In(centroid_id) PushedFilter
+    skips most of the artifact. Emulated here at x16 (32k vectors) with
+    a bounded arrival slice (vec_id % 512 == 3, ~62 vectors) and
+    k in {8, 64, 256}: touched/k falls, the rebuild comparator grows
+    O(N*k), and the refresh/rebuild ratio widens with k.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_service_spark.queries.corpus_ops import _quantized
+    from kafka_stream_service_spark.queries.round12 import (
+        build_ivf_base_index,
+        ivf_refresh_census,
+    )
+    from kafka_stream_service_spark.tables import tables
+
+    D_MOD, D_REM = 512, 3
+
+    def rebuild_census(k: int):
+        """Non-incremental comparator at parametric k: re-assign the
+        FULL corpus to the same k seed centroids, census touched lists."""
+        e = _quantized(tables(spark, sf_dir)["embeddings"])
+        cent = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+        )
+        diff2 = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("cqv"),
+                lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        nrm = F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("qv"),
+                lambda a, b: a.cast("bigint") * b.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        keyed = e.select("vec_id", "qv").crossJoin(F.broadcast(cent)).select(
+            "vec_id", (diff2 * k + F.col("cid")).alias("key")
+        )
+        assign = keyed.groupBy("vec_id").agg(F.min("key").alias("key"))
+        full = assign.join(e.select("vec_id", "qv"), "vec_id").select(
+            "vec_id",
+            (F.col("key") % k).cast("int").alias("centroid_id"),
+            F.expr(f"key DIV {k}").cast("bigint").alias("dist2"),
+            nrm.alias("nrm"),
+        )
+        touched = (
+            full.filter((F.col("vec_id") % D_MOD) == D_REM)
+            .select("centroid_id")
+            .distinct()
+        )
+        return (
+            full.join(F.broadcast(touched), "centroid_id")
+            .groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                F.sum(((F.col("vec_id") % D_MOD) == D_REM).cast("int"))
+                .cast("bigint")
+                .alias("n_delta"),
+                F.sum("dist2").cast("bigint").alias("sum_dist2"),
+                F.sum("nrm").cast("bigint").alias("sum_nrm"),
+            )
+        )
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    print()
+    print("prune series (x16 corpus, |delta| ~= N/512):")
+    print("k     touched  touched/k  refresh  rebuild  ratio")
+    for k in (8, 64, 256):
+        build_ivf_base_index(spark, sf_dir, k=k, delta_mod=D_MOD, delta_rem=D_REM)
+        force(ivf_refresh_census(spark, sf_dir, k=k, delta_mod=D_MOD, delta_rem=D_REM))
+        touched = ivf_refresh_census(
+            spark, sf_dir, k=k, delta_mod=D_MOD, delta_rem=D_REM
+        ).count()
+        t_refresh = None
+        for _ in range(2):
+            t0 = time.time()
+            force(
+                ivf_refresh_census(
+                    spark, sf_dir, k=k, delta_mod=D_MOD, delta_rem=D_REM
+                )
+            )
+            t_refresh = min(t_refresh or 9e9, time.time() - t0)
+        t_rebuild = None
+        for _ in range(2):
+            t0 = time.time()
+            force(rebuild_census(k))
+            t_rebuild = min(t_rebuild or 9e9, time.time() - t0)
+        print(
+            f"{k:<5} {touched:<8} {touched / k:<10.2f}"
+            f" {t_refresh:<8.2f} {t_rebuild:<8.2f}"
+            f" {t_rebuild / t_refresh:.1f}x"
+        )
+
 
 if __name__ == "__main__":
     main()
