@@ -632,6 +632,25 @@ def main() -> None:
     timings = {name: medians[name] for name in HEADLINE}
     detail_timings = {name: medians[name] for name in DETAIL_ONLY}
 
+    # VERDICT r12 next-steps #7: the ~150 registered rows outside the two
+    # 3-pass tiers (the trivial scalar/relational tier — families all
+    # represented above) get ONE timed pass each, so a perf regression
+    # there is visible round-over-round at all. Single-pass by design:
+    # these are sub-second rows and a 3-pass protocol would double the
+    # bench runtime for noise-level precision; the cost of THIS section
+    # is recorded alongside it.
+    covered = set(all_timed)
+    rest = [n for n in QUERIES if n not in covered]
+    rest_single_pass: dict[str, float] = {}
+    t_rest0 = time.time()
+    for qi, name in enumerate(rest):
+        if qi % 12 == 0:
+            reclaim()
+        t0 = time.time()
+        force(QUERIES[name].spark_fn(spark, sf_dir))
+        rest_single_pass[name] = round(time.time() - t0, 3)
+    rest_section_sec = round(time.time() - t_rest0, 1)
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
@@ -648,6 +667,13 @@ def main() -> None:
         "queries_median": timings,
         "detail_only_median": detail_timings,
         "queries_all_passes": runs,
+        "rest_single_pass": rest_single_pass,
+        "rest_single_pass_section_sec": rest_section_sec,
+        "bench_coverage": {
+            "timed_3pass": len(all_timed),
+            "timed_single_pass": len(rest),
+            "total_registered": len(QUERIES),
+        },
         "replay_harness_vs_stream": replay_split,
         "pipeline_throughput": pipe,
         "compaction": compaction,
@@ -661,6 +687,12 @@ def main() -> None:
                 "single-JVM medians on this shared host swing +/-30% "
                 "between whole-process runs (q01 measured 1.2-1.7 s same "
                 "code); compare totals and trends, not single cells"
+            ),
+            "rest_single_pass": (
+                "one timed pass per registered row outside the 3-pass "
+                "tiers (VERDICT r12 #7) — regression visibility for the "
+                "scalar/relational tier; single-pass values carry full "
+                "host-band noise, so compare trends only"
             ),
         },
     }

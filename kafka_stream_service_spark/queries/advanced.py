@@ -132,12 +132,20 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = tables(spark, sf_dir)["lineitem"]
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # The DISTINCT aggregate is computed in its own scan and broadcast-
+    # attached (1 row), NOT mixed into the sketch agg: combining
+    # countDistinct with approx_count_distinct + a percentile forces the
+    # distinct-rewrite Expand to duplicate every row and drag the
+    # HLL++/digest buffers through the expanded branches — measured 32 s
+    # at sf0.1 vs ~2.5 s split (caught by bench's rest_single_pass tier,
+    # r13); any pair without all three stays cheap. Two scans of the
+    # fact beat one Expand-doubled scan at every scale.
+    exact_d = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
     agg = li.agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx(cents, F.lit(0.5), F.lit(1000)).alias("approx_median_cents"),
         F.percentile(cents, F.lit(0.5)).alias("exact_median_cents"),
-    )
+    ).crossJoin(F.broadcast(exact_d))
     return agg.select(
         F.col("exact_orders").cast("bigint").alias("exact_orders"),
         (F.col("exact_median_cents") * 2).cast("bigint").alias("exact_median_cents_x2"),
