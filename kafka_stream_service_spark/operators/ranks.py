@@ -65,8 +65,10 @@ def data_sized_partitions(df: DataFrame) -> int:
     spark = df.sparkSession
     cluster = spark.sparkContext.defaultParallelism
     try:
+        # py4j returns small BigInts as Python ints and large ones as
+        # JavaObjects; str() round-trips both
         size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
         max_bytes = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
