@@ -107,6 +107,23 @@ def q_snapshot_gc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = snapshot_dir(gc_tag, sf_dir)
     for name in os.listdir(root):
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    # ...and retire DEAD processes' demo slates (a GC demo must not
+    # itself leak): sibling gc_demo_pid* tag dirs untouched for an hour
+    # belong to exited drivers/benches/pytests — no live invocation
+    # holds one that long, so this never races a concurrent builder.
+    parent, mine = os.path.split(root)
+    prefix = os.path.basename(root).split(f"pid{os.getpid()}")[0]
+    cutoff = _time.time() - 3600
+    for sib in os.listdir(parent):
+        p = os.path.join(parent, sib)
+        if (
+            sib != mine
+            and sib.startswith(prefix)
+            and not os.path.islink(p)
+            and os.path.isdir(p)
+            and os.lstat(p).st_mtime < cutoff
+        ):
+            shutil.rmtree(p, ignore_errors=True)
 
     d = tables(spark, sf_dir)["documents"]
     fp = table_fingerprint(sf_dir, "documents")

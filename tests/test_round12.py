@@ -454,3 +454,27 @@ def test_data_sized_partitions_derivation(spark):
         spark.range(1 << 20).selectExpr("id AS id2")
     )
     assert data_sized_partitions(big) == 8 * cluster
+
+
+def test_gc_census_sweeps_dead_process_slates(spark):
+    """The per-pid demo isolation (ADVICE r12) must not itself leak:
+    sibling gc_demo_pid* tag dirs older than an hour (exited processes)
+    are retired on entry; fresh siblings (a live concurrent process)
+    survive."""
+    import shutil
+
+    mine = snapshot_dir(f"gc_demo_pid{os.getpid()}", SF)
+    parent = os.path.dirname(mine)
+    stale = os.path.join(parent, "snap_gc_demo_pid99998_deadbeef")
+    fresh = os.path.join(parent, "snap_gc_demo_pid99999_deadbeef")
+    now = time.time()
+    for p, age in ((stale, 7200), (fresh, 60)):
+        os.makedirs(p, exist_ok=True)
+        os.utime(p, (now - age, now - age))
+    try:
+        QUERIES["q_snapshot_gc_census"].spark_fn(spark, SF).count()
+        assert not os.path.exists(stale), "dead process slate not swept"
+        assert os.path.exists(fresh), "live process slate must survive"
+    finally:
+        for p in (stale, fresh):
+            shutil.rmtree(p, ignore_errors=True)
