@@ -649,6 +649,20 @@ def main() -> None:
         t0 = time.time()
         force(QUERIES[name].spark_fn(spark, sf_dir))
         rest_single_pass[name] = round(time.time() - t0, 3)
+        if name.endswith("_replay"):
+            # same harness-vs-stream accountability as the 3-pass tier:
+            # a 13 s replay cell here is mostly fixture materialization,
+            # and the split is what says so
+            replay_split.setdefault(name, []).append(
+                {
+                    "harness_sec": round(
+                        streaming_replay.LAST_TIMINGS["write_chunks_sec"], 3
+                    ),
+                    "stream_sec": round(
+                        streaming_replay.LAST_TIMINGS["stream_run_sec"], 3
+                    ),
+                }
+            )
     rest_section_sec = round(time.time() - t_rest0, 1)
 
     import tempfile
