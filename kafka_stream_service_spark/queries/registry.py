@@ -87,78 +87,81 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-13 rotation (VERDICT r12 next-steps #1),
+# ``queries()``. Round-14 rotation (VERDICT r13 next-steps #1 and #4),
 # computed from CORRECTNESS_r*.json (tests/test_registry_window.py
 # recomputes the same debt and fails on drift):
-# (a) the 2 round-12 births, verdict-less by construction
-#     (q_snapshot_gc_census, q_knn_ivf_refresh — judge-green in the
-#     r12 full-catalog sweep, queued first exactly as prescribed),
-# (b) the 5 rows migrated onto the two-phase rank operator in r12
-#     (outputs hash-proven unchanged, but their latest driver
-#     verdicts — r3..r7 — predate the shipping plan; re-certify),
-# (c) 43 of the 47 rows whose latest driver verdict dates to r3,
-#     alphabetical (one of the 47, q_cume_dist_percentiles, already
-#     holds a re-cert seat in (b)); the remaining 3
-#     (q_union_missing_columns, q_unpivot_stack,
-#     q_volume_shipping_nation_pairs) cross the horizon in r14 and
-#     lead that window.
-# 2 + 5 + 43 = 50 exactly. NEW_THIS_ROUND resets to () at round
-# open per protocol; any r13 births are appended there and wait for
-# the r14 window.
+# (a) the 3 rows whose latest driver verdict is r3 — they cross the
+#     10-round staleness horizon THIS round and the gate is red until
+#     they are seated (q_union_missing_columns, q_unpivot_stack,
+#     q_volume_shipping_nation_pairs);
+# (b) 1 plan-change re-cert prescribed by the r13 judge:
+#     q_knn_ivf_refresh moves from the fixed K=8 module constant to
+#     delta-proportional K≈sqrt(N), so its certified plan changes and
+#     the r13 verdict no longer covers the shipping plan;
+# (c) 43 canaries = the ENTIRE r4-verdict tier, alphabetical — after
+#     this window lands, the oldest remaining verdict is r5;
+# (d) 3 oldest r5-tier canaries, alphabetical, filling to exactly 50
+#     (q_approx_aggregates leads them: its plan changed in r13 — the
+#     distinct-rewrite Expand fix — so the re-cert is overdue anyway).
+# 3 + 1 + 43 + 3 = 50 exactly. NEW_THIS_ROUND resets to () at round
+# open per protocol; any r14 births are appended there and wait for
+# the r15 window.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 2 round-12 births
-    "q_snapshot_gc_census",
+    # (a) the 3 rows at the staleness horizon (r3 verdicts)
+    "q_union_missing_columns",
+    "q_unpivot_stack",
+    "q_volume_shipping_nation_pairs",
+    # (b) plan-change re-cert: delta-proportional IVF K (r13 verdict #4)
     "q_knn_ivf_refresh",
-    # (b) the 5 rank-migration re-certs (r12 plan change)
-    "q_systematic_sample",
-    "q_decile_lift",
-    "q_calibration_bins",
-    "q_cume_dist_percentiles",
-    "q_histogram_equidepth",
-    # (c) 43 oldest canaries (latest driver verdict = r3)
-    "q_array_algebra",
-    "q_binary_encodings",
-    "q_corr_covar",
-    "q_correlated_exists",
-    "q_csv_roundtrip",
-    "q_customer_order_distribution",
-    "q_disjunctive_predicates",
-    "q_embedding_stats_by_label",
-    "q_excess_quantity_suppliers",
-    "q_explode_variants",
-    "q_from_json_struct",
-    "q_gapfill_interpolate",
-    "q_global_sales_opportunity",
-    "q_hash_functions",
-    "q_hash_sample",
-    "q_important_part_value",
-    "q_interval_arithmetic",
-    "q_join_anti",
-    "q_json_roundtrip",
-    "q_lang_source_profile",
-    "q_large_volume_customers",
-    "q_levenshtein_similarity",
-    "q_map_algebra",
-    "q_min_balance_supplier_per_region",
-    "q_orc_roundtrip",
-    "q_percentiles_exact",
-    "q_product_profit_by_nation_year",
-    "q_promo_revenue_ratio",
-    "q_regexp_extract_all",
-    "q_rollup_grouping_id",
-    "q_scalar_subquery",
-    "q_shipmode_buckets",
-    "q_small_quantity_revenue",
-    "q_sole_failed_supplier",
-    "q_stratified_sample",
-    "q_supplier_cnt_by_part_attrs",
-    "q_text_bigrams",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_redact_pii",
-    "q_text_repetition_charcov",
-    "q_text_token_stats",
-    "q_top_supplier_by_revenue",
+    # (c) the full r4-verdict canary tier (43 rows)
+    "q03_top_orders_by_revenue",
+    "q05_regional_supplier_volume",
+    "q06_forecast_revenue_filter",
+    "q10_returned_items",
+    "q_asof_join",
+    "q_bitwise_ops",
+    "q_codec_dlq_split",
+    "q_codec_roundtrip",
+    "q_cohort_retention",
+    "q_continuous_aggregate",
+    "q_conversion_funnel",
+    "q_cosine_pairs_blocked",
+    "q_decontaminate_ngram",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_exact_hash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embedding_quantize_int8",
+    "q_knn_cosine_int8",
+    "q_knn_ivf",
+    "q_knn_lsh_buckets",
+    "q_multimodal_decode_stub",
+    "q_multimodal_resize_stub",
+    "q_ohlc_resample",
+    "q_pack_sequences",
+    "q_partitioned_pruning",
+    "q_salted_count_distinct",
+    "q_salted_skew_join",
+    "q_schema_evolution_merge",
+    "q_sequence_generate",
+    "q_session_window",
+    "q_stateful_running_totals_replay",
+    "q_stream_dedup_replay",
+    "q_stream_incremental_dedup",
+    "q_stream_stream_join_replay",
+    "q_stream_watermark_drop",
+    "q_text_quality_score",
+    "q_text_unigram_logprob",
+    "q_text_wordcount",
+    "q_training_corpus_pipeline",
+    "q_weighted_sample",
+    "q_window_topk_per_group",
+    # (d) 3 oldest r5-tier canaries (q_approx_aggregates also carries
+    #     the r13 Expand-fix plan change)
+    "q_approx_aggregates",
+    "q_audio_decode",
+    "q_audio_frame_energy",
 )
 # Queries declared for the first time in the CURRENT round (no driver
 # verdict yet, by construction — they were born after the last
@@ -168,12 +171,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # Reset to () at each round open, after moving the previous round's
 # births into PRIORITY_ORDER.
 NEW_THIS_ROUND: tuple[str, ...] = ()
-# r14 window plan (compute, don't trust): lead with any r13 births,
-# then the 3 r3-verdict rows left out of this window
-# (q_union_missing_columns, q_unpivot_stack,
-# q_volume_shipping_nation_pairs), then the oldest remaining canaries
-# (r4 tier) up to 50 slots. tests/test_registry_window.py fails if
-# this is missed.
+# r15 window plan (compute, don't trust): lead with any r14 births,
+# then the oldest remaining canaries — the 41 r5-verdict rows not
+# seated this round, then the r6 tier — up to 50 slots. No row crosses
+# the horizon in r15 (after this window lands the oldest verdict is
+# r5, with a 10-round horizon at r15 that is floor r5 — exactly at the
+# boundary, so the r5 tier MUST lead). tests/test_registry_window.py
+# fails if this is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]

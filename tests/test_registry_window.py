@@ -109,6 +109,36 @@ def test_no_query_rots_past_the_horizon():
     )
 
 
+def test_steady_state_capacity_inequality():
+    """VERDICT r13 next-steps #2: the look-ahead test above only checks
+    the NEXT round's fit; a birth spree can pass it for several rounds
+    and still doom the rotation years before any row actually rots. The
+    steady-state constraint is arithmetic: every declared query needs a
+    window seat at least once per STALE_ROUNDS, and plan-change re-certs
+    consume seats on top of that, so
+
+        len(QUERIES) + EXPECTED_RECERTS_PER_ROUND * STALE_ROUNDS
+            <= WINDOW_SIZE * STALE_ROUNDS
+
+    must hold or debt accrues unboundedly. EXPECTED_RECERTS_PER_ROUND is
+    the budget reserved for plan-change re-certs (observed: 5 in r12, 0
+    in r13, 1 in r14 — 4 is a conservative ceiling). The failure message
+    carries the capacity math so a future birth is priced in slots, not
+    discovered as rot."""
+    queries, _, _ = _registry()
+    expected_recerts_per_round = 4
+    capacity = WINDOW_SIZE * STALE_ROUNDS
+    demand = len(queries) + expected_recerts_per_round * STALE_ROUNDS
+    assert demand <= capacity, (
+        f"certification capacity exceeded: {len(queries)} queries need a seat "
+        f"every {STALE_ROUNDS} rounds plus {expected_recerts_per_round} "
+        f"re-cert seats/round * {STALE_ROUNDS} = {demand} seat-demand vs "
+        f"{WINDOW_SIZE} slots * {STALE_ROUNDS} rounds = {capacity} capacity; "
+        f"headroom for new births is {capacity - demand + len(queries)} total "
+        f"queries — retire rows, widen the window, or stop declaring queries"
+    )
+
+
 def test_next_round_debt_fits_one_window():
     """Feasibility look-ahead: assuming the current window lands green this
     round, the NEXT round's mandatory window is this round's births plus
