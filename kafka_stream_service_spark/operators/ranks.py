@@ -86,7 +86,10 @@ def _parse_bytes(v: str) -> int:
     v = v.strip().lower()
     for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
         if v.endswith(suf):
-            return int(float(v[: -len(suf)])) * _BYTE_SUFFIX[suf[0]]
+            # multiply BEFORE truncating: '1.5g' is 1.5 GiB, not 1 GiB
+            # (ADVICE r13 — truncating first skewed the partition
+            # estimate for every fractional maxPartitionBytes setting)
+            return int(float(v[: -len(suf)]) * _BYTE_SUFFIX[suf[0]])
     return int(v)
 
 

@@ -178,8 +178,26 @@ def single_partition_offenders(plan: str) -> list[str]:
     # Depth = 3 chars per level; a node's children are the depth+1 nodes
     # before the next node at depth <= its own (subquery trees restart
     # at depth 0, which terminates any forward scan naturally).
+    # Tree parsing is gated per SECTION (ADVICE r13): inside a detail
+    # section, a line that happens to end in a bare ``(N)`` — an
+    # expression id in Arguments:, a literal — would otherwise inject a
+    # phantom depth-0 node that truncates children() scans mid-tree.
+    # Formatted layout: main tree, then its detail sections
+    # (``(N) Op`` headers at column 0), then ``===== Subqueries =====``
+    # with each ``Subquery:K Hosting...`` header introducing ANOTHER
+    # tree followed by its own detail sections — so tree-mode switches
+    # off at each detail header and back on at each subquery header.
     nodes: list[tuple[int, str, str]] = []
+    in_tree = True
     for ln in lines:
+        if re.match(r"^\(\d+\) ", ln):
+            in_tree = False
+            continue
+        if ln.startswith("Subquery:") or ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if not in_tree:
+            continue
         m = _TREE_NODE.match(ln)
         if not m:
             continue

@@ -98,12 +98,15 @@ def query(
 #     q_knn_ivf_refresh moves from the fixed K=8 module constant to
 #     delta-proportional K≈sqrt(N), so its certified plan changes and
 #     the r13 verdict no longer covers the shipping plan;
-# (c) 43 canaries = the ENTIRE r4-verdict tier, alphabetical — after
-#     this window lands, the oldest remaining verdict is r5;
-# (d) 3 oldest r5-tier canaries, alphabetical, filling to exactly 50
+# (c) 41 canaries = the ENTIRE live r4-verdict tier, alphabetical
+#     (the tier's other 2 verdicts name since-retired rows,
+#     q_multimodal_{decode,resize}_stub, superseded by the real
+#     codec-backed rows which carry later verdicts) — after this
+#     window lands, the oldest remaining verdict is r5;
+# (d) 5 oldest r5-tier canaries, alphabetical, filling to exactly 50
 #     (q_approx_aggregates leads them: its plan changed in r13 — the
 #     distinct-rewrite Expand fix — so the re-cert is overdue anyway).
-# 3 + 1 + 43 + 3 = 50 exactly. NEW_THIS_ROUND resets to () at round
+# 3 + 1 + 41 + 5 = 50 exactly. NEW_THIS_ROUND resets to () at round
 # open per protocol; any r14 births are appended there and wait for
 # the r15 window.
 PRIORITY_ORDER: tuple[str, ...] = (
@@ -113,7 +116,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_volume_shipping_nation_pairs",
     # (b) plan-change re-cert: delta-proportional IVF K (r13 verdict #4)
     "q_knn_ivf_refresh",
-    # (c) the full r4-verdict canary tier (43 rows)
+    # (c) the full live r4-verdict canary tier (41 rows)
     "q03_top_orders_by_revenue",
     "q05_regional_supplier_volume",
     "q06_forecast_revenue_filter",
@@ -136,8 +139,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_knn_cosine_int8",
     "q_knn_ivf",
     "q_knn_lsh_buckets",
-    "q_multimodal_decode_stub",
-    "q_multimodal_resize_stub",
     "q_ohlc_resample",
     "q_pack_sequences",
     "q_partitioned_pruning",
@@ -157,11 +158,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_training_corpus_pipeline",
     "q_weighted_sample",
     "q_window_topk_per_group",
-    # (d) 3 oldest r5-tier canaries (q_approx_aggregates also carries
+    # (d) 5 oldest r5-tier canaries (q_approx_aggregates also carries
     #     the r13 Expand-fix plan change)
     "q_approx_aggregates",
     "q_audio_decode",
     "q_audio_frame_energy",
+    "q_audio_mixdown_decimate",
+    "q_boilerplate_bigrams",
 )
 # Queries declared for the first time in the CURRENT round (no driver
 # verdict yet, by construction — they were born after the last
@@ -172,7 +175,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # births into PRIORITY_ORDER.
 NEW_THIS_ROUND: tuple[str, ...] = ()
 # r15 window plan (compute, don't trust): lead with any r14 births,
-# then the oldest remaining canaries — the 41 r5-verdict rows not
+# then the oldest remaining canaries — the 39 r5-verdict rows not
 # seated this round, then the r6 tier — up to 50 slots. No row crosses
 # the horizon in r15 (after this window lands the oldest verdict is
 # r5, with a 10-round horizon at r15 that is floor r5 — exactly at the

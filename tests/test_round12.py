@@ -218,12 +218,15 @@ def test_ivf_refresh_does_not_rewrite_the_artifact(spark):
 
 
 def test_ivf_base_members_exclude_delta_slice(spark):
-    from kafka_stream_service_spark.queries.round10b import _DELTA_MOD, _DELTA_REM
-    from kafka_stream_service_spark.queries.round12 import ivf_base_index
+    from kafka_stream_service_spark.queries.round12 import (
+        IVF_DELTA_MOD,
+        IVF_DELTA_REM,
+        ivf_base_index,
+    )
 
     members = ivf_base_index(spark, SF)["members"]
     n_delta = members.filter(
-        (F.col("vec_id") % _DELTA_MOD) == _DELTA_REM
+        (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
     ).count()
     assert n_delta == 0, "base index must exclude the arrival slice"
 
@@ -231,17 +234,39 @@ def test_ivf_base_members_exclude_delta_slice(spark):
 def test_ivf_refresh_merge_equals_rebuild_on_touched_lists(spark):
     """Pin merge == rebuild engine-side too (the driver proves it vs
     DuckDB; this keeps the invariant red under pytest alone): recompute
-    the census from a full in-engine rebuild and compare exactly."""
-    from kafka_stream_service_spark.queries.clustering import _assignments
+    the census from a full in-engine rebuild — at the CATALOG k
+    (delta-proportional, r14) and the 1% IVF arrival slice — and
+    compare exactly."""
     from kafka_stream_service_spark.queries.corpus_ops import _quantized
-    from kafka_stream_service_spark.queries.round10b import _DELTA_MOD, _DELTA_REM
+    from kafka_stream_service_spark.queries.round12 import (
+        IVF_DELTA_MOD,
+        IVF_DELTA_REM,
+        ivf_catalog_k,
+    )
     from kafka_stream_service_spark.tables import tables
 
     probe = {
         tuple(r)
         for r in QUERIES["q_knn_ivf_refresh"].spark_fn(spark, SF).collect()
     }
+    k = ivf_catalog_k(SF)
     e = _quantized(tables(spark, SF)["embeddings"])
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cqv"),
+            lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    keyed = e.select("vec_id", "qv").crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qv", (diff2 * k + F.col("cid")).alias("key")
+    )
+    assign = keyed.groupBy("vec_id").agg(F.min("key").alias("key"))
     nrm = F.aggregate(
         F.zip_with(
             F.col("qv"), F.col("qv"), lambda a, b: a.cast("bigint") * b.cast("bigint")
@@ -249,11 +274,14 @@ def test_ivf_refresh_merge_equals_rebuild_on_touched_lists(spark):
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    full = _assignments(spark, SF).join(e.select("vec_id", F.col("qv")), "vec_id").select(
-        "vec_id", "centroid_id", "dist2", nrm.alias("nrm")
+    full = assign.join(e.select("vec_id", F.col("qv")), "vec_id").select(
+        "vec_id",
+        (F.col("key") % k).cast("int").alias("centroid_id"),
+        F.expr(f"key DIV {k}").cast("bigint").alias("dist2"),
+        nrm.alias("nrm"),
     )
     touched = (
-        full.filter((F.col("vec_id") % _DELTA_MOD) == _DELTA_REM)
+        full.filter((F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM)
         .select("centroid_id")
         .distinct()
     )
@@ -264,7 +292,7 @@ def test_ivf_refresh_merge_equals_rebuild_on_touched_lists(spark):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
             F.sum(
-                ((F.col("vec_id") % _DELTA_MOD) == _DELTA_REM).cast("int")
+                ((F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM).cast("int")
             )
             .cast("bigint")
             .alias("n_delta"),
@@ -444,6 +472,10 @@ def test_data_sized_partitions_derivation(spark):
     assert _parse_bytes("1g") == 1 << 30
     assert _parse_bytes("64k") == 64 << 10
     assert _parse_bytes("4096") == 4096
+    # fractional values multiply BEFORE truncating (ADVICE r13:
+    # '1.5g' used to parse as 1 GiB, skewing the estimate by 33%)
+    assert _parse_bytes("1.5g") == 3 << 29
+    assert _parse_bytes("0.5m") == 1 << 19
 
     cluster = spark.sparkContext.defaultParallelism
     # a tiny frame floors at max(cluster, 8) — never under-parallelized

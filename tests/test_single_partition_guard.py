@@ -100,6 +100,58 @@ def test_reused_exchange_resolves_through_reference(spark):
     assert not single_partition_offenders(plan), plan
 
 
+def test_detail_lines_cannot_inject_phantom_tree_nodes():
+    """ADVICE r13: tree-node parsing used to scan the WHOLE formatted
+    plan, so a detail-section line that happens to end in a bare
+    ``(N)`` injected a phantom node. Worst case (modeled here): the
+    phantom's id shadows a REAL node id in the id->index map, so a
+    ReusedExchange reference resolves to the phantom — whose empty
+    forward scan reports a ``<leaf>`` offender on a plan that is
+    actually a bounded post-aggregation attachment. Tree parsing is now
+    gated per section (off at each ``(N) Op`` detail header, back on at
+    each ``Subquery:`` header), so the phantom line is never parsed."""
+    plan = """== Physical Plan ==
+* HashAggregate (6)
++- Exchange (5)
+   +- ReusedExchange (4)
+
+(4) ReusedExchange [Reuses operator id: 2]
+Output [1]: [n#10L]
+
+(5) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+
+(6) HashAggregate
+Functions: [sum(n#10L)]
+
+===== Subqueries =====
+
+Subquery:1 Hosting operator id = 6 Hosting Expression = Subquery scalar
+* HashAggregate (3)
++- Exchange (2)
+   +- * HashAggregate (1)
+      +- Scan parquet (0)
+
+(0) Scan parquet
+Output [1]: [v#1L]
+ReadSchema struct stats note (2)
+
+(1) HashAggregate
+Functions: [partial_count(v#1L)]
+
+(2) Exchange
+Arguments: hashpartitioning(v#1L, 32), ENSURE_REQUIREMENTS
+
+(3) HashAggregate
+Functions: [count(v#1L)]
+"""
+    assert single_partition_offenders(plan) == [], (
+        "the ReusedExchange must resolve to the real Exchange (2) — whose "
+        "child is a bounded aggregate — not to the phantom node injected "
+        "by the detail line ending in (2)"
+    )
+
+
 # Queries whose SinglePartition exchange feeds a subtree the WALKER can't
 # prove bounded but the DESIGN does — each entry carries the bound:
 _CATALOG_ALLOWLIST = {
