@@ -610,13 +610,19 @@ def main() -> None:
             if qi % 12 == 0:
                 reclaim()
             fn = QUERIES[name].spark_fn
+            streaming_replay.LAST_TIMINGS.update(
+                write_chunks_sec=0.0, stream_run_sec=0.0
+            )
             t0 = time.time()
             force(fn(spark, sf_dir))
             runs[name].append(round(time.time() - t0, 3))
-            if name.endswith("_replay"):
+            if any(streaming_replay.LAST_TIMINGS.values()):
                 # harness (chunk materialization) vs checkpointed
                 # streaming run, stamped by streaming_replay's
-                # side-channel during the call above
+                # side-channel during the call above. Detected by USE
+                # of the side channel, not by name (VERDICT r13 #6:
+                # replay-shaped rows without the _replay suffix —
+                # q_continuous_aggregate — were invisible to the split)
                 replay_split.setdefault(name, []).append(
                     {
                         "harness_sec": round(
@@ -646,13 +652,16 @@ def main() -> None:
     for qi, name in enumerate(rest):
         if qi % 12 == 0:
             reclaim()
+        streaming_replay.LAST_TIMINGS.update(
+            write_chunks_sec=0.0, stream_run_sec=0.0
+        )
         t0 = time.time()
         force(QUERIES[name].spark_fn(spark, sf_dir))
         rest_single_pass[name] = round(time.time() - t0, 3)
-        if name.endswith("_replay"):
+        if any(streaming_replay.LAST_TIMINGS.values()):
             # same harness-vs-stream accountability as the 3-pass tier:
             # a 13 s replay cell here is mostly fixture materialization,
-            # and the split is what says so
+            # and the split is what says so (use-detected, as above)
             replay_split.setdefault(name, []).append(
                 {
                     "harness_sec": round(

@@ -29,7 +29,14 @@ pre-aggregated histogram frame, one row per distinct key).
 The ``localCheckpoint`` between (2) and (3) pins partition ids: AQE
 re-plans range exchanges per job, so without it the collected totals and
 the downstream job could see different pid assignments (same hazard
-documented in operators/ranks.py).
+documented in operators/ranks.py). Storage bill (VERDICT r13 #5): the
+checkpoint materializes the ranged frame — input rows at input width
+plus the pid and running-sum columns — to executor MEMORY_AND_DISK for
+the query's lifetime. Callers pass pre-aggregated histogram frames
+(one row per distinct key), so the bill is distinct-key-sized, not
+corpus-sized; at 100 TB it is the histogram's bytes spread over
+executor local storage, never the driver. See
+ranks.with_global_ranks's docstring for the full accounting.
 """
 
 from __future__ import annotations

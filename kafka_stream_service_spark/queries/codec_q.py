@@ -68,10 +68,17 @@ def q_codec_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts a header-derived value on the good lane, proving the decode
     ran rather than just counting rows).
     """
+    from ..operators.ranks import cpu_fanout
     from ..pipeline import run_pipeline_with_dlq
     from ..transform import identity_function
 
-    ev = tables(spark, sf_dir)["events"]
+    # The wire codec is a CPU-bound Arrow lane: fan the scan out to
+    # cluster width when the fixture under-splits (one small file = one
+    # task = four single-core Python crossings — the r13 13s row); a
+    # no-op on production-sized inputs. Both lanes stay FULL-table: the
+    # routing contract and the byte-exact parity proof are certified
+    # over every frame, not a slice.
+    ev = cpu_fanout(tables(spark, sf_dir)["events"])
     headers = F.create_map(
         F.lit("id"), F.array(F.col("event_id").cast("string")),
         F.lit("mod7"), F.array((F.col("event_id") % 7 == 0).cast("string")),

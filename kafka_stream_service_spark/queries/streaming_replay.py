@@ -679,6 +679,7 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat_path = os.path.join(base, "materialized")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.time()
     try:
         q = continuous_aggregate(
             stream,
@@ -694,6 +695,11 @@ def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # harness-vs-stream accountability (VERDICT r13 #6): this row is
+    # replay-shaped without the _replay suffix, so it stamps the same
+    # side channel the _run_* helpers do and bench's harness-use
+    # detection records the split
+    LAST_TIMINGS["stream_run_sec"] = time.time() - t0
     return read_continuous_aggregate(spark, mat_path, window_size_sec=86400)
 
 
