@@ -68,7 +68,17 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     total = directory_bytes(spark, src_path)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    current = df.rdd.getNumPartitions()
+    # Scan width from plan-time size estimation (bytes / maxPartitionBytes,
+    # the same arithmetic FilePartition uses), not df.rdd — the RDD probe
+    # finalizes the plan (ranks.py's r13 lesson). Compaction's common
+    # direction (many small files -> few big ones) therefore keeps the
+    # narrow no-shuffle coalesce; only genuine splitting shuffles.
+    from .ranks import _parse_bytes
+
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    current = max(1, -(-total // max(max_bytes, 1)))
     sized = df.coalesce(n_files) if current >= n_files else df.repartition(n_files)
     sized.write.mode("overwrite").option("compression", compression).parquet(dst_path)
     return spark.read.parquet(dst_path)

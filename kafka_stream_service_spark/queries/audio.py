@@ -50,9 +50,10 @@ def wav_files_df(spark: SparkSession, sf_dir: str, modulus: int) -> DataFrame:
     codec cost is the wall-clock and the scan arrives as one file."""
     d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % modulus == 0)
     binary_df = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    target = spark.sparkContext.defaultParallelism
-    if binary_df.rdd.getNumPartitions() < target:
-        binary_df = binary_df.repartition(target, "doc_id")
+    # plan-time fan-out decision (no .rdd probe) — see multimodal.py
+    from ..operators.ranks import cpu_fanout
+
+    binary_df = cpu_fanout(binary_df)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

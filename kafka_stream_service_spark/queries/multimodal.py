@@ -67,10 +67,13 @@ def png_images_df(spark: SparkSession, sf_dir: str, modulus: int) -> DataFrame:
     # fixture corpus arrives as ONE parquet file -> one task serializing
     # every decode. Fan the codec work across the cluster when the scan
     # is narrower than the available slots; at real scale the source
-    # already has thousands of partitions and this branch never fires.
-    target = spark.sparkContext.defaultParallelism
-    if binary_df.rdd.getNumPartitions() < target:
-        binary_df = binary_df.repartition(target, "doc_id")
+    # already has thousands of partitions and this is a no-op.
+    # (cpu_fanout decides from plan-time Catalyst stats — the old
+    # .rdd.getNumPartitions() probe finalized the plan, r13's ranks
+    # lesson applied here in r14.)
+    from ..operators.ranks import cpu_fanout
+
+    binary_df = cpu_fanout(binary_df)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
