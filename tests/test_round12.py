@@ -488,6 +488,41 @@ def test_data_sized_partitions_derivation(spark):
     assert data_sized_partitions(big) == 8 * cluster
 
 
+def test_cpu_fanout_widens_narrow_scans_only(spark):
+    """cpu_fanout (VERDICT r13 #3 root cause): a small file scan must
+    gain a round-robin exchange so Arrow lanes use every core; a frame
+    whose plan-time size estimate already exceeds cluster width x
+    maxPartitionBytes must come back IDENTICAL — no shuffle added to
+    production-sized inputs."""
+    from kafka_stream_service_spark.operators.ranks import cpu_fanout
+    from kafka_stream_service_spark.plans import physical_plan
+    from kafka_stream_service_spark.tables import tables
+
+    ev = tables(spark, SF)["events"]
+    fanned = cpu_fanout(ev)
+    plan = physical_plan(fanned)
+    assert "RoundRobinPartitioning" in plan, (
+        f"small single-file scan must fan out to cluster width:\n{plan[:1200]}"
+    )
+    # 2^30 bigint rows -> ~8 GiB estimated: est (64) >= 32-way cluster
+    big = spark.range(1 << 30)
+    assert cpu_fanout(big) is big, "wide input must pass through untouched"
+
+
+def test_dlq_split_python_lanes_are_fanned_out(spark):
+    """The r13 13s row: every Arrow crossing in q_codec_dlq_split ran on
+    ONE task because the events fixture is one small parquet file. The
+    framed stage (the part of the row's plan visible before the
+    pipeline's lazy localCheckpoint truncates lineage) must carry the
+    cpu_fanout round-robin exchange upstream of the encode UDF."""
+    from kafka_stream_service_spark.plans import physical_plan
+    from kafka_stream_service_spark.queries.codec_q import framed_events
+
+    plan = physical_plan(framed_events(spark, SF))
+    assert "RoundRobinPartitioning" in plan, plan[:1500]
+    assert "ArrowEvalPython" in plan, plan[:1500]
+
+
 def test_gc_census_sweeps_dead_process_slates(spark):
     """The per-pid demo isolation (ADVICE r12) must not itself leak:
     sibling gc_demo_pid* tag dirs older than an hour (exited processes)
