@@ -203,6 +203,38 @@ def test_ivf_refresh_parametric_k_matches_catalog_defaults(spark):
     assert a == b
 
 
+def test_ivf_superseded_revisions_are_swept_on_build(spark):
+    """ADVICE r13: rev-token bumps and probe k-sweeps must not strand
+    orphan ivf_base artifacts forever. The on-build sweep deletes
+    stale (>1h) siblings, keeps fresh ones (a live probe's variants),
+    and unconditionally pins the catalog artifact even when IT is
+    stale-aged."""
+    import shutil
+    import time as _time
+
+    from kafka_stream_service_spark.queries._util import snapshot_dir
+    from kafka_stream_service_spark.queries.round12 import (
+        build_ivf_base_index,
+        ivf_base_index_path,
+    )
+
+    root = snapshot_dir("ivf_base", SF)
+    old = os.path.join(root, "r1k8d10r7_feedc0de")
+    fresh = os.path.join(root, "r1k64d50r3_feedc0de")
+    os.makedirs(old, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    stale_t = _time.time() - 7200
+    os.utime(old, (stale_t, stale_t))
+    catalog = build_ivf_base_index(spark, SF)
+    os.utime(catalog, (stale_t, stale_t))  # stale-aged catalog artifact
+    build_ivf_base_index(spark, SF)  # no-op rebuild -> sweep runs
+    assert not os.path.exists(old), "stale superseded revision must be swept"
+    assert os.path.exists(fresh), "fresh sibling (live probe variant) must survive"
+    assert os.path.exists(catalog), "catalog artifact is pinned regardless of age"
+    assert ivf_base_index_path(SF) == catalog
+    shutil.rmtree(fresh, ignore_errors=True)
+
+
 def test_ivf_refresh_does_not_rewrite_the_artifact(spark):
     from kafka_stream_service_spark.queries.round12 import (
         build_ivf_base_index,
