@@ -171,7 +171,18 @@ def assign_cells(
         out[null] = -1
         return pd.Series(out)
 
-    return corpus.withColumn("cell", nearest(F.col(emb_col)))
+    # coalesce(-1) is a semantic no-op (the UDF already emits -1 for
+    # null embeddings, never NULL) but it makes ``cell`` provably
+    # NON-NULLABLE to Catalyst. Without it, an inner join on cell
+    # infers isnotnull(cell) and pushes that predicate through any
+    # upstream exchange — re-evaluating the Python UDF BELOW the
+    # fan-out at raw scan width (one task on a single-file fixture;
+    # caught by the python-lane plan gate). With it, the inferred
+    # IsNotNull folds to true and the UDF runs once, above the
+    # exchange.
+    return corpus.withColumn(
+        "cell", F.coalesce(nearest(F.col(emb_col)), F.lit(-1))
+    )
 
 
 def nearest_cells(
@@ -212,9 +223,17 @@ def ivf_knn(
     """
     from pyspark.sql import Window as W
 
+    # Null embeddings are rejected JVM-side BEFORE the assignment UDF:
+    # an isNotNull predicate pushes to the scan, whereas the old
+    # post-UDF ``cell >= 0`` filter was pushed through any upstream
+    # fan-out exchange BY CATALYST — dragging the ArrowEvalPython
+    # evaluation below the exchange, back onto the raw scan's width
+    # (one task on a single-file fixture; the python-lane gate caught
+    # it). With non-null input every cell id is >= 0 by construction.
     cells = (
-        assign_cells(corpus, centroids, emb_col=emb_col)
-        .filter(F.col("cell") >= 0)
+        assign_cells(
+            corpus.filter(F.col(emb_col).isNotNull()), centroids, emb_col=emb_col
+        )
         .select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"), "cell")
     )
 

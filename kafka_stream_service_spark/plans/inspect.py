@@ -125,6 +125,51 @@ _SP_BUILD_SIDE = frozenset(
 _REUSE_REF = re.compile(r"Reuses operator id: (\d+)")
 
 
+def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
+    """(depth, full-title, node-id) per tree line, in document order.
+    Depth = 3 chars per level; a node's children are the depth+1 nodes
+    before the next node at depth <= its own (subquery trees restart
+    at depth 0, which terminates any forward scan naturally).
+    Tree parsing is gated per SECTION (ADVICE r13): inside a detail
+    section, a line that happens to end in a bare ``(N)`` — an
+    expression id in Arguments:, a literal — would otherwise inject a
+    phantom depth-0 node that truncates children() scans mid-tree (or
+    shadow a real node id). Formatted layout: main tree, then its
+    detail sections (``(N) Op`` headers at column 0), then
+    ``===== Subqueries =====`` with each ``Subquery:K Hosting...``
+    header introducing ANOTHER tree followed by its own detail
+    sections — so tree-mode switches off at each detail header and
+    back on at each subquery header."""
+    nodes: list[tuple[int, str, str]] = []
+    in_tree = True
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            in_tree = False
+            continue
+        if ln.startswith("Subquery:") or ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if not in_tree:
+            continue
+        m = _TREE_NODE.match(ln)
+        if not m:
+            continue
+        depth = len(m.group(1)) // 3 + (1 if m.group(2) else 0)
+        nodes.append((depth, m.group(3), m.group(4)))
+    return nodes
+
+
+def _children(nodes: list[tuple[int, str, str]], i: int) -> list[int]:
+    d = nodes[i][0]
+    kids = []
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        if nodes[j][0] == d + 1:
+            kids.append(j)
+    return kids
+
+
 def single_partition_offenders(plan: str) -> list[str]:
     """Names of data-scale operators feeding a ``SinglePartition``
     exchange — i.e. an unbounded subtree being serialized onto one
@@ -174,46 +219,11 @@ def single_partition_offenders(plan: str) -> list[str]:
     if not sp_ids:
         return []
 
-    # (depth, root-word, node-id) per tree line, in document order.
-    # Depth = 3 chars per level; a node's children are the depth+1 nodes
-    # before the next node at depth <= its own (subquery trees restart
-    # at depth 0, which terminates any forward scan naturally).
-    # Tree parsing is gated per SECTION (ADVICE r13): inside a detail
-    # section, a line that happens to end in a bare ``(N)`` — an
-    # expression id in Arguments:, a literal — would otherwise inject a
-    # phantom depth-0 node that truncates children() scans mid-tree.
-    # Formatted layout: main tree, then its detail sections
-    # (``(N) Op`` headers at column 0), then ``===== Subqueries =====``
-    # with each ``Subquery:K Hosting...`` header introducing ANOTHER
-    # tree followed by its own detail sections — so tree-mode switches
-    # off at each detail header and back on at each subquery header.
-    nodes: list[tuple[int, str, str]] = []
-    in_tree = True
-    for ln in lines:
-        if re.match(r"^\(\d+\) ", ln):
-            in_tree = False
-            continue
-        if ln.startswith("Subquery:") or ln.startswith("== Physical Plan =="):
-            in_tree = True
-            continue
-        if not in_tree:
-            continue
-        m = _TREE_NODE.match(ln)
-        if not m:
-            continue
-        depth = len(m.group(1)) // 3 + (1 if m.group(2) else 0)
-        nodes.append((depth, m.group(3).split()[0], m.group(4)))
+    nodes = [(d, title.split()[0], nid) for d, title, nid in _tree_nodes(plan)]
     by_id = {node_id: i for i, (_, _, node_id) in enumerate(nodes)}
 
     def children(i: int) -> list[int]:
-        d = nodes[i][0]
-        kids = []
-        for j in range(i + 1, len(nodes)):
-            if nodes[j][0] <= d:
-                break
-            if nodes[j][0] == d + 1:
-                kids.append(j)
-        return kids
+        return _children(nodes, i)
 
     offenders: list[str] = []
     for idx, (_, name, node_id) in enumerate(nodes):
@@ -251,6 +261,106 @@ def single_partition_offenders(plan: str) -> list[str]:
             offenders.append(cname)
             break
     return offenders
+
+
+# Python-eval nodes: each is an Arrow crossing whose throughput is
+# bounded by the partition count of its INPUT. (BatchEvalPython is
+# banned outright by the Arrow gate; it is listed so a violation there
+# is reported as a narrow lane too, not silently skipped here.)
+_PY_NODES = frozenset(
+    {
+        "ArrowEvalPython",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "AggregateInPandas",
+        "WindowInPandas",
+        "BatchEvalPython",
+    }
+)
+
+# Subtree roots that prove the Python node's input is (or inherits) a
+# cluster-width distribution: any exchange (keyed, round-robin, or an
+# AQE stage), a cached/checkpointed RDD (inherits its producer's
+# width — the DLQ pipeline's lazy localCheckpoint inherits cpu_fanout's),
+# or a Range (splits into defaultParallelism slices by construction).
+_PY_WIDE_PREFIXES = (
+    "Exchange",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "ReusedExchange",
+    "BroadcastExchange",  # only reachable on a build side; bounded anyway
+    "InMemoryTableScan",
+    "Scan ExistingRDD",
+    "Range",
+)
+
+
+def python_lane_offenders(plan: str) -> list[str]:
+    """Python-eval nodes whose input chain reaches a FILE SCAN with no
+    exchange in between — i.e. an Arrow lane whose parallelism is
+    whatever the file split produced. On this repo's single-file,
+    single-row-group fixtures that is ONE task, serializing every
+    pandas_udf/mapInPandas crossing onto one core (the r14
+    q_codec_dlq_split finding: 13.6 s -> 2.5 s from fanning exactly
+    this shape). At production scan widths the same plan is fine, which
+    is why the gate checks the PLAN SHAPE (no exchange below the Python
+    node), not a partition count: the fix — ``ranks.cpu_fanout`` — is a
+    no-op on wide inputs, so a plan that passes here is right at every
+    scale, and one that fails here is a latent single-core lane at
+    whatever scale the scan under-splits.
+
+    Walks the first-child (input) chain of each Python node in the
+    FORMATTED plan; broadcast joins follow the stream side;
+    ReusedExchange and cached/RDD scans count as wide (they inherit
+    their producer's distribution). Returns one entry per narrow lane:
+    ``"<PyNode> <- <leaf title>"``.
+    """
+    nodes = _tree_nodes(plan)
+    offenders: list[str] = []
+    for i, (_, title, _nid) in enumerate(nodes):
+        root = title.split()[0]
+        if root not in _PY_NODES:
+            continue
+        j = i
+        narrow_leaf: str | None = None
+        hops = 0
+        while True:
+            hops += 1
+            if hops > len(nodes):
+                narrow_leaf = "<cycle>"
+                break
+            kids = _children(nodes, j)
+            if not kids:
+                narrow_leaf = nodes[j][1]
+                break
+            if nodes[j][1].split()[0] in ("BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+                stream = [
+                    k for k in kids if nodes[k][1].split()[0] not in _SP_BUILD_SIDE
+                ]
+                j = stream[0] if stream else kids[0]
+            else:
+                j = kids[0]
+            ctitle = nodes[j][1]
+            if any(ctitle.startswith(p) for p in _PY_WIDE_PREFIXES):
+                narrow_leaf = None
+                break
+        if narrow_leaf is not None:
+            offenders.append(f"{root} <- {narrow_leaf}")
+    return offenders
+
+
+def assert_no_narrow_python_lane(df: DataFrame) -> str:
+    plan = physical_plan(df)
+    bad = python_lane_offenders(plan)
+    assert not bad, (
+        f"Python-eval node(s) fed straight from a file scan {bad} — the Arrow "
+        f"lane runs at file-split width (one task on small fixtures); fan the "
+        f"input with operators.ranks.cpu_fanout:\n{plan}"
+    )
+    return plan
 
 
 def assert_no_data_scale_single_partition(df: DataFrame) -> str:

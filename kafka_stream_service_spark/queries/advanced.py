@@ -346,7 +346,10 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_tokens_udf(texts: pd.Series) -> pd.Series:
         return texts.str.split(" ").map(len).astype("int32")
 
-    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 3 == 0)
+    from ..operators.ranks import cpu_fanout
+
+    # corpus-proportional Arrow lane: fan a narrow scan (no-op at scale)
+    d = cpu_fanout(tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 3 == 0))
     nt = n_tokens_udf(F.col("text"))
     return d.select(
         "doc_id",

@@ -149,7 +149,10 @@ def q_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "n_tokens", "n_bytes"],
             )
 
-    d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    from ..operators.ranks import cpu_fanout
+
+    # corpus-proportional Arrow lane: fan a narrow scan (no-op at scale)
+    d = cpu_fanout(tables(spark, sf_dir)["documents"].select("doc_id", "text"))
     m = d.mapInArrow(stats, "doc_id long, n_tokens long, n_bytes long")
     return m.agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),

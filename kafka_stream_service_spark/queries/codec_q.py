@@ -29,8 +29,17 @@ from .registry import query
     tags=("codec", "reference-parity"),
 )
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """encode_message -> decode_message identity over real rows."""
-    d = tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 10 == 0)
+    """encode_message -> decode_message identity over real rows.
+
+    The slice is corpus-proportional (10% of documents), so the Arrow
+    codec lane gets the cpu_fanout treatment like the DLQ row: without
+    it the single-file fixture serializes both crossings onto one core
+    (no-op at production scan widths)."""
+    from ..operators.ranks import cpu_fanout
+
+    d = cpu_fanout(
+        tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 10 == 0)
+    )
     headers = F.create_map(
         F.lit("lang"), F.array(F.col("lang")),
         F.lit("source"), F.array(F.col("source")),

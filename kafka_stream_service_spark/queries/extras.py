@@ -301,7 +301,10 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    d = tables(spark, sf_dir)["documents"]
+    from ..operators.ranks import cpu_fanout
+
+    # two corpus-wide Python codec passes: fan a narrow scan (no-op at scale)
+    d = cpu_fanout(tables(spark, sf_dir)["documents"])
     wire = d.select(
         to_avro(F.struct("doc_id", "lang", "text", "n_chars"), sch).alias("value")
     )

@@ -111,8 +111,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the 8 nearest cells per query (the scale path next to
     q_knn_cosine_bruteforce's exact baseline)."""
     from ..operators.ivf import ivf_knn, train_ivf_centroids_sampled
+    from ..operators.ranks import cpu_fanout
 
-    e = tables(spark, sf_dir)["embeddings"]
+    # the trainer/assignment distance kernels are Arrow lanes over the
+    # corpus — fan a narrow scan to cluster width (no-op at scale)
+    e = cpu_fanout(tables(spark, sf_dir)["embeddings"])
     cents = train_ivf_centroids_sampled(e, k=16, iterations=3, sample_size=2048)
     q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_knn(e, q, cents, k=5, n_probe=8).orderBy("query_id", "rank")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kafka_stream_service_spark.plans import (
     assert_no_data_scale_single_partition,
     physical_plan,
+    python_lane_offenders,
     single_partition_offenders,
 )
 
@@ -165,13 +166,58 @@ _CATALOG_ALLOWLIST = {
 }
 
 
-def _sweep_catalog(spark, queries, sf, sp_allowlist, build_allowlist):
+def test_python_lane_walker_flags_scan_fed_udf(spark):
+    """A pandas UDF straight over a file scan = narrow lane (flagged);
+    the same lane behind cpu_fanout's round-robin exchange = wide; a
+    lane behind a groupBy's hash exchange = wide too (any exchange
+    re-distributes)."""
+    from kafka_stream_service_spark.operators.ranks import cpu_fanout
+    from kafka_stream_service_spark.tables import tables
+
+    # lambda form: no type hints to resolve under future-annotations
+    plus1 = F.pandas_udf(lambda s: s + 1, "long")
+
+    ev = tables(spark, "/root/testdata/sf0.001")["events"]
+    narrow = ev.select(plus1(F.col("event_id")).alias("x"))
+    assert python_lane_offenders(physical_plan(narrow)) == [
+        "ArrowEvalPython <- Scan parquet"
+    ]
+    fanned = cpu_fanout(ev).select(plus1(F.col("event_id")).alias("x"))
+    assert python_lane_offenders(physical_plan(fanned)) == []
+    shuffled = (
+        ev.groupBy("user_id")
+        .agg(F.max("event_id").alias("m"))
+        .select(plus1(F.col("m")).alias("x"))
+    )
+    assert python_lane_offenders(physical_plan(shuffled)) == []
+
+
+# Python lanes the WIDTH walker flags but whose one-task shape is right
+# by construction — each entry carries the bound:
+_PY_LANE_ALLOWLIST = {
+    # bounded slice by construction (o_orderkey < 2000): 2000 rows at
+    # EVERY SF, so one task IS the right width at any scale and a
+    # fan-out would add a pointless shuffle of a constant-size frame
+    "q_proto_roundtrip",
+    # binaryFile source: scan width = file count by construction (one
+    # split per file); at production image volumes that is thousands of
+    # tasks — the fixture's file count is the narrowness, not the plan
+    "q_binaryfile_ingest",
+}
+
+
+def _sweep_catalog(spark, queries, sf, sp_allowlist, build_allowlist,
+                   py_lane_allowlist=frozenset()):
     """Build every query's physical plan and classify: plan-build
     failures (``broken``), data-scale SinglePartition collapses
-    (``bad``), and row-at-a-time Python nodes (``row_python``).
+    (``bad``), row-at-a-time Python nodes (``row_python``), and Python
+    lanes running at raw file-scan width (``narrow_python`` — the r14
+    q_codec_dlq_split finding generalized: one small fixture file means
+    ONE task under every Arrow crossing unless the input is fanned).
     Shared by the catalog gate and the red-path proof below."""
     bad = {}
     row_python = []
+    narrow_python = {}
     broken = {}
     for name, spec in queries.items():
         try:
@@ -182,12 +228,16 @@ def _sweep_catalog(spark, queries, sf, sp_allowlist, build_allowlist):
             continue
         if "BatchEvalPython" in plan and "ArrowEvalPython" not in plan:
             row_python.append(name)
+        if name not in py_lane_allowlist:
+            narrow = python_lane_offenders(plan)
+            if narrow:
+                narrow_python[name] = narrow
         if name in sp_allowlist:
             continue
         off = single_partition_offenders(plan)
         if off:
             bad[name] = off
-    return broken, bad, row_python
+    return broken, bad, row_python, narrow_python
 
 
 def test_sweep_goes_red_on_plan_build_failure(spark):
@@ -200,14 +250,14 @@ def test_sweep_goes_red_on_plan_build_failure(spark):
         def spark_fn(spark, sf):
             raise RuntimeError("deliberately broken for the red-path proof")
 
-    broken, _, _ = _sweep_catalog(
+    broken, _, _, _ = _sweep_catalog(
         spark, {"q_deliberately_broken": _BrokenSpec}, "/root/testdata/sf0.001",
         sp_allowlist=frozenset(), build_allowlist={},
     )
     assert "q_deliberately_broken" in broken
     assert "RuntimeError" in broken["q_deliberately_broken"]
     # and an allowlisted failure is NOT red (the escape hatch works)
-    broken2, _, _ = _sweep_catalog(
+    broken2, _, _, _ = _sweep_catalog(
         spark, {"q_deliberately_broken": _BrokenSpec}, "/root/testdata/sf0.001",
         sp_allowlist=frozenset(),
         build_allowlist={"q_deliberately_broken": "red-path proof"},
@@ -235,10 +285,11 @@ def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
     # (VERDICT r12 next-steps #2) — collect and assert, never skip.
     # Empty today: all 454 queries plan cleanly at sf0.001.
     plan_build_allowlist: dict[str, str] = {}
-    broken, bad, row_python = _sweep_catalog(
+    broken, bad, row_python, narrow_python = _sweep_catalog(
         spark, QUERIES, SF,
         sp_allowlist=_CATALOG_ALLOWLIST,
         build_allowlist=plan_build_allowlist,
+        py_lane_allowlist=_PY_LANE_ALLOWLIST,
     )
     assert not broken, (
         "queries whose plan failed to BUILD (these escape the cartesian, "
@@ -252,4 +303,10 @@ def test_no_data_scale_single_partition_anywhere_in_catalog(spark):
     assert not row_python, (
         f"row-at-a-time Python (BatchEvalPython) in: {row_python} — use a "
         "pandas UDF / Arrow-optimized UDTF (useArrow=True)"
+    )
+    assert not narrow_python, (
+        "Python-eval node fed straight from a file scan (one task on the "
+        f"single-file fixtures — the r14 13s-row shape) in: {narrow_python} "
+        "— fan the input with operators.ranks.cpu_fanout or justify in "
+        "_PY_LANE_ALLOWLIST"
     )
