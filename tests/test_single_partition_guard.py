@@ -192,6 +192,33 @@ def test_python_lane_walker_flags_scan_fed_udf(spark):
     assert python_lane_offenders(physical_plan(shuffled)) == []
 
 
+def test_filter_consumer_drags_udf_below_the_exchange_and_is_flagged(spark):
+    """Pins the Catalyst interaction the gate exists for: a filter on a
+    UDF-produced column ABOVE a repartition gets pushed through the
+    exchange (predicates push through Repartition), dragging the
+    ArrowEvalPython evaluation below it — the lane is narrow again even
+    though the author fanned the input. The gate must flag this shape;
+    the sanctioned fixes are a barrier before the filter (the DLQ
+    pipeline's localCheckpoint), a provably non-nullable UDF column
+    when the predicate is an inferred join IsNotNull (operators/ivf.py
+    r14), or restructuring the consumer into an aggregate (which does
+    not push through)."""
+    from kafka_stream_service_spark.operators.ranks import cpu_fanout
+    from kafka_stream_service_spark.tables import tables
+
+    plus1 = F.pandas_udf(lambda s: s + 1, "long")
+    ev = tables(spark, "/root/testdata/sf0.001")["events"]
+    df = (
+        cpu_fanout(ev)
+        .select(plus1(F.col("event_id")).alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    plan = physical_plan(df)
+    assert python_lane_offenders(plan) == ["ArrowEvalPython <- Scan parquet"], (
+        f"pushed-through filter must leave a detectable narrow lane:\n{plan[:1200]}"
+    )
+
+
 # Python lanes the WIDTH walker flags but whose one-task shape is right
 # by construction — each entry carries the bound:
 _PY_LANE_ALLOWLIST = {
