@@ -302,3 +302,99 @@ def ntile_from_rank(k: int) -> Column:
             )
         )
     ).cast("int")
+
+
+def group_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cont: tuple[float, ...] = (),
+    disc: tuple[float, ...] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-GROUP percentiles via a ranked VALUE HISTOGRAM — the
+    scale-safe replacement for ``percentile()`` / ``percentile_disc``
+    GROUP BY aggregates, whose TypedImperativeAggregate buffers EVERY
+    value of a group in one reducer: with few groups (the common audit
+    shape — 3 return flags) that is |corpus| / |groups| bytes on a
+    single task, the inverse of the many-groups caveat usually
+    documented.
+
+    Shape: (1) one map-side-combined aggregate to per-(group, value)
+    counts — the corpus collapses to its value histogram before any
+    ordered work; (2) scan.with_running_totals prefix-sums the counts
+    over the (group, value) order (range exchange on the HISTOGRAM,
+    never the corpus; a huge group spans partitions); (3) each
+    histogram row then covers the in-group rank interval
+    [cum - cnt + 1, cum] (after subtracting the group's broadcast
+    offset), and every requested percentile is the value whose interval
+    contains its computed rank. No task ever holds more than a range
+    slice of distinct values.
+
+    ``cont`` percentiles interpolate like SQL percentile_cont /
+    Spark ``percentile`` / DuckDB quantile_cont: pos = 1 + (n-1)*p,
+    v = v_k + (pos-k) * (v_{k+1} - v_k) in double. ``disc`` picks the
+    SQL percentile_disc value: v at rank ceil(p * n).
+
+    Returns one row per group: ``group_col``, ``n`` (bigint), then
+    ``cont_<p>`` / ``disc_<p>`` doubles with p spelled without the
+    leading "0." (cont_25, disc_5 for 0.25 / 0.5; trailing zeros
+    trimmed). Group stats attach by broadcast (no driver collect —
+    group cardinality may scale)."""
+    from .scan import with_running_totals
+
+    def _tag(p: float) -> str:
+        s = f"{p:.10f}".rstrip("0")
+        return s.split(".")[1] if "." in s else s
+
+    h = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    ct = with_running_totals(h, [group_col, value_col], ["__cnt"], num_partitions)
+    cum = F.col("cum___cnt")
+    g = ct.groupBy(group_col).agg(
+        F.sum("__cnt").cast("bigint").alias("__n_g"),
+        F.min(cum - F.col("__cnt")).cast("bigint").alias("__off_g"),
+    )
+    j = ct.join(F.broadcast(g), group_col)
+    n_g = F.col("__n_g")
+    start = cum - F.col("__cnt") + 1 - F.col("__off_g")
+    end = cum - F.col("__off_g")
+
+    def _k_cont(p: float) -> Column:
+        return F.floor(F.lit(1.0) + (n_g - 1).cast("double") * F.lit(p)).cast("bigint")
+
+    def _k_disc(p: float) -> Column:
+        return F.greatest(
+            (-F.floor(-(n_g.cast("double") * F.lit(p)))).cast("bigint"), F.lit(1)
+        )
+
+    def _covers(k: Column) -> Column:
+        return (start <= k) & (k <= end)
+
+    need = F.lit(False)
+    for p in cont:
+        need = need | _covers(_k_cont(p)) | _covers(_k_cont(p) + 1)
+    for p in disc:
+        need = need | _covers(_k_disc(p))
+    sel = j.filter(need)
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for p in cont:
+        t = _tag(p)
+        aggs.append(F.max(F.when(_covers(_k_cont(p)), v)).alias(f"__vk_{t}"))
+        aggs.append(F.max(F.when(_covers(_k_cont(p) + 1), v)).alias(f"__vk1_{t}"))
+    for p in disc:
+        aggs.append(F.max(F.when(_covers(_k_disc(p)), v)).alias(f"__vd_{_tag(p)}"))
+    out = sel.groupBy(group_col, "__n_g").agg(*aggs)
+    cols = [F.col(group_col), F.col("__n_g").alias("n")]
+    for p in cont:
+        t = _tag(p)
+        pos = F.lit(1.0) + (F.col("__n_g") - 1).cast("double") * F.lit(p)
+        frac = pos - F.floor(pos)
+        vk = F.col(f"__vk_{t}")
+        vk1 = F.coalesce(F.col(f"__vk1_{t}"), vk)
+        cols.append((vk + frac * (vk1 - vk)).alias(f"cont_{t}"))
+    for p in disc:
+        cols.append(F.col(f"__vd_{_tag(p)}").alias(f"disc_{_tag(p)}"))
+    return out.select(*cols)

@@ -30,17 +30,35 @@ from .registry import query
     tags=("agg", "percentile"),
 )
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles: Spark `percentile` (interpolated, = quantile_cont)
-    and `median`; the discrete variant via percentile_approx with exact
-    accuracy bound."""
+    """Exact per-group percentiles via DISTRIBUTED RANKS (r14 replan).
+
+    The previous plan used ``percentile()`` / exact percentile_approx
+    GROUP BY aggregates, whose TypedImperativeAggregate buffers every
+    value of a group in ONE reducer — with 3 return flags at 100 TB
+    that is a third of the corpus per task, the inverse of the
+    many-groups caveat and a guaranteed OOM. The replan range-partitions
+    on (group, value) (operators/ranks.group_exact_percentiles): a
+    group spans partitions, each percentile is the value at a computed
+    per-group rank, interpolation matches SQL percentile_cont exactly,
+    and no task ever holds more than a range slice. Two ranked passes
+    (one per value column), group stats attached by broadcast."""
+    from ..operators.ranks import group_exact_percentiles
+
     li = tables(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
-        F.round(
-            F.expr("percentile_approx(l_extendedprice, 0.5, 2147483647)").cast("double"), 6
-        ).alias("median_price_disc"),
+    qty = group_exact_percentiles(
+        li.select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity", cont=(0.5,),
+    )
+    pr = group_exact_percentiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", cont=(0.25, 0.95), disc=(0.5,),
+    )
+    return qty.join(pr, "l_returnflag").select(
+        "l_returnflag",
+        F.round(qty["cont_5"], 6).alias("median_qty"),
+        F.round(pr["cont_25"], 6).alias("p25_price"),
+        F.round(pr["cont_95"], 6).alias("p95_price"),
+        F.round(pr["disc_5"], 6).alias("median_price_disc"),
     )
 
 

@@ -758,16 +758,28 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip decision — are bit-exact), and the clipped values stay
     2-decimal money, so the winsorized sum runs in exact DECIMAL.
 
-    Scale shape: exact per-group percentiles are one sort-based agg per
-    group (Spark's percentile_disc aggregates per group; at extreme
-    cardinality swap approx_percentile per audit policy); the tiny
-    bounds table broadcasts back onto the fact stream, and clipping is
-    map-side. Two shuffles total (bounds agg, final agg).
+    Scale shape (r14 replan): the bounds come from the distributed
+    rank operator (operators/ranks.group_exact_percentiles) — the old
+    ``percentile_disc`` GROUP BY buffered each group's every value in
+    one reducer (3 groups = a third of the corpus per task at 100 TB);
+    now the corpus is range-partitioned on (group, value) and each
+    bound is the value at a computed per-group rank, identical by
+    definition. The tiny bounds table broadcasts back onto the fact
+    stream, and clipping is map-side.
     """
+    from ..operators.ranks import group_exact_percentiles
+
     li = tables(spark, sf_dir)["lineitem"]
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)").alias("lo"),
-        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("hi"),
+    bounds = group_exact_percentiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", disc=(0.05, 0.95),
+    ).select(
+        "l_returnflag",
+        # money values are 2-decimal: the double<->decimal round trip is
+        # exact, and keeping lo/hi DECIMAL keeps every clip comparison
+        # and the winsorized sum in exact decimal arithmetic
+        F.col("disc_05").cast("decimal(12,2)").alias("lo"),
+        F.col("disc_95").cast("decimal(12,2)").alias("hi"),
     )
     clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",

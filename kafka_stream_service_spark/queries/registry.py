@@ -175,12 +175,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # births into PRIORITY_ORDER.
 NEW_THIS_ROUND: tuple[str, ...] = ()
 # r15 window plan (compute, don't trust): lead with any r14 births,
-# then the oldest remaining canaries — the 39 r5-verdict rows not
-# seated this round, then the r6 tier — up to 50 slots. No row crosses
-# the horizon in r15 (after this window lands the oldest verdict is
-# r5, with a 10-round horizon at r15 that is floor r5 — exactly at the
-# boundary, so the r5 tier MUST lead). tests/test_registry_window.py
-# fails if this is missed.
+# then the 39 r5-verdict rows not seated this round (they hit the
+# horizon boundary at r15 and MUST all seat), then the r14
+# plan-change re-certs whose rows had no r14 seat — in r14, 21 rows
+# changed plans (cpu_fanout on the Arrow codec/fixture lanes, the
+# IVF delta-k + prune regime, the percentile rank replan, the
+# continuous-aggregate stamp); 8 of them hold r14 seats already
+# (q_audio_decode, q_audio_frame_energy, q_audio_mixdown_decimate,
+# q_codec_dlq_split, q_codec_roundtrip, q_continuous_aggregate,
+# q_knn_ivf, q_knn_ivf_refresh), leaving 12 for r15's 11 free slots:
+# q_percentiles_exact, q_winsorized_stats, q_udf_pandas_scalar,
+# q_avro_roundtrip, q_arrow_map_batches, q_multimodal_decode,
+# q_multimodal_resize, q_multimodal_metadata, q_image_ahash,
+# q_image_dhash, q_image_augment, q_audio_zero_crossing — seat the
+# first 11, and the last (q_audio_zero_crossing, the smallest plan
+# delta: exchange kind only) goes to r16 alongside the 47-row r6 tier
+# (47 + 1 = 48 <= 50, checked). q_binaryfile_ingest is NOT owed a
+# seat: only its fixture's write parallelism changed, its read plan
+# and outputs are untouched. tests/test_registry_window.py fails if
+# the r5 tier is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]

@@ -520,6 +520,47 @@ def test_data_sized_partitions_derivation(spark):
     assert data_sized_partitions(big) == 8 * cluster
 
 
+def test_group_exact_percentiles_matches_sql_aggregates(spark):
+    """The histogram-ranked per-group percentile operator (r14: replaces
+    the per-group-buffer percentile()/percentile_disc aggregates in
+    q_percentiles_exact / q_winsorized_stats) must equal Spark's own
+    aggregate definitions exactly — cont == percentile(), disc ==
+    percentile_disc — including duplicate-heavy and 1-row groups."""
+    from kafka_stream_service_spark.operators.ranks import group_exact_percentiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"),
+        # duplicate-heavy values, deliberately unordered arrival
+        ((F.col("id") * 37) % 19).cast("double").alias("v"),
+    ).union(spark.range(1).select(F.lit(9).alias("g"), F.lit(42.0).alias("v")))
+    got = {
+        r["g"]: r
+        for r in group_exact_percentiles(
+            df, "g", "v", cont=(0.25, 0.5), disc=(0.05, 0.95)
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(v, 0.25)").alias("c25"),
+            F.expr("percentile(v, 0.5)").alias("c5"),
+            F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY v)").alias("d05"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").alias("d95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g, w in want.items():
+        r = got[g]
+        assert r["n"] == w["n"], (g, r, w)
+        assert abs(r["cont_25"] - w["c25"]) < 1e-9, (g, r, w)
+        assert abs(r["cont_5"] - w["c5"]) < 1e-9, (g, r, w)
+        assert r["disc_05"] == w["d05"], (g, r, w)
+        assert r["disc_95"] == w["d95"], (g, r, w)
+
+
 def test_cpu_fanout_widens_narrow_scans_only(spark):
     """cpu_fanout (VERDICT r13 #3 root cause): a small file scan must
     gain a round-robin exchange so Arrow lanes use every core; a frame
