@@ -310,26 +310,30 @@ def group_exact_percentiles(
     value_col: str,
     cont: tuple[float, ...] = (),
     disc: tuple[float, ...] = (),
-    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact per-GROUP percentiles via a ranked VALUE HISTOGRAM — the
-    scale-safe replacement for ``percentile()`` / ``percentile_disc``
+    """Exact per-GROUP percentiles over the per-group VALUE HISTOGRAM —
+    the scale-safe replacement for ``percentile()`` / ``percentile_disc``
     GROUP BY aggregates, whose TypedImperativeAggregate buffers EVERY
     value of a group in one reducer: with few groups (the common audit
-    shape — 3 return flags) that is |corpus| / |groups| bytes on a
-    single task, the inverse of the many-groups caveat usually
-    documented.
+    shape — 3 return flags, 5 priorities) that is |corpus| / |groups|
+    bytes on a single task, the inverse of the many-groups caveat
+    usually documented.
 
     Shape: (1) one map-side-combined aggregate to per-(group, value)
     counts — the corpus collapses to its value histogram before any
-    ordered work; (2) scan.with_running_totals prefix-sums the counts
-    over the (group, value) order (range exchange on the HISTOGRAM,
-    never the corpus; a huge group spans partitions); (3) each
-    histogram row then covers the in-group rank interval
-    [cum - cnt + 1, cum] (after subtracting the group's broadcast
-    offset), and every requested percentile is the value whose interval
-    contains its computed rank. No task ever holds more than a range
-    slice of distinct values.
+    ordered work; (2) one window pass over the histogram, partitioned
+    by group and ordered by value, yields each distinct value's
+    in-group rank interval [cum - cnt + 1, cum] and the group total;
+    (3) every requested percentile is the value whose interval contains
+    its computed rank. The only per-task state is ONE GROUP'S DISTINCT
+    VALUES — bounded by the value DOMAIN (50 quantities, ~10^7 2-dp
+    money values, ~10^3 day lags), not by corpus size, which is what
+    makes this exact form safe at 100 TB where the buffering aggregate
+    is not. For genuinely unbounded-domain values (raw doubles), the
+    histogram degenerates to the corpus and the range-partitioned rank
+    tier (with_global_ranks / exact_quantiles) is the right tool
+    instead — callers pick by domain, and every catalog caller here has
+    a bounded domain.
 
     ``cont`` percentiles interpolate like SQL percentile_cont /
     Spark ``percentile`` / DuckDB quantile_cont: pos = 1 + (n-1)*p,
@@ -339,9 +343,7 @@ def group_exact_percentiles(
     Returns one row per group: ``group_col``, ``n`` (bigint), then
     ``cont_<p>`` / ``disc_<p>`` doubles with p spelled without the
     leading "0." (cont_25, disc_5 for 0.25 / 0.5; trailing zeros
-    trimmed). Group stats attach by broadcast (no driver collect —
-    group cardinality may scale)."""
-    from .scan import with_running_totals
+    trimmed)."""
 
     def _tag(p: float) -> str:
         s = f"{p:.10f}".rstrip("0")
@@ -350,16 +352,22 @@ def group_exact_percentiles(
     h = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )
-    ct = with_running_totals(h, [group_col, value_col], ["__cnt"], num_partitions)
-    cum = F.col("cum___cnt")
-    g = ct.groupBy(group_col).agg(
-        F.sum("__cnt").cast("bigint").alias("__n_g"),
-        F.min(cum - F.col("__cnt")).cast("bigint").alias("__off_g"),
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    j = ct.join(F.broadcast(g), group_col)
+    w_all = Window.partitionBy(group_col)
+    j = h.select(
+        group_col,
+        value_col,
+        "__cnt",
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_all).alias("__n_g"),
+    )
     n_g = F.col("__n_g")
-    start = cum - F.col("__cnt") + 1 - F.col("__off_g")
-    end = cum - F.col("__off_g")
+    start = F.col("__cum") - F.col("__cnt") + 1
+    end = F.col("__cum")
 
     def _k_cont(p: float) -> Column:
         return F.floor(F.lit(1.0) + (n_g - 1).cast("double") * F.lit(p)).cast("bigint")

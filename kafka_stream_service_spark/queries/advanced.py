@@ -36,12 +36,14 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY aggregates, whose TypedImperativeAggregate buffers every
     value of a group in ONE reducer — with 3 return flags at 100 TB
     that is a third of the corpus per task, the inverse of the
-    many-groups caveat and a guaranteed OOM. The replan range-partitions
-    on (group, value) (operators/ranks.group_exact_percentiles): a
-    group spans partitions, each percentile is the value at a computed
-    per-group rank, interpolation matches SQL percentile_cont exactly,
-    and no task ever holds more than a range slice. Two ranked passes
-    (one per value column), group stats attached by broadcast."""
+    many-groups caveat and a guaranteed OOM. The replan
+    (operators/ranks.group_exact_percentiles) collapses the corpus to
+    its per-(group, value) histogram map-side, windows the HISTOGRAM
+    per group for rank intervals, and reads each percentile as the
+    value whose interval contains its computed rank — interpolation
+    matches SQL percentile_cont exactly, and per-task state is bounded
+    by the value DOMAIN (50 quantities / ~10^7 2-dp prices), never the
+    corpus. Two histogram passes (one per value column)."""
     from ..operators.ranks import group_exact_percentiles
 
     li = tables(spark, sf_dir)["lineitem"]

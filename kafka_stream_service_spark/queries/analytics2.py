@@ -131,30 +131,32 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med, MAD, deviations, and the 3*MAD comparison are all exact decimal
     arithmetic — no interpolation, no float summation.
 
-    Scale shape: two sort-based per-group percentile aggregations (the
-    exact-percentile policy of q_winsorized_stats; swap approx_percentile
-    at extreme group cardinality) plus two BROADCAST joins of the
-    |event_type|-row med/MAD frames back onto the stream — the base
-    table shuffles once per percentile, never for the joins.
+    Scale shape (r14 replan): both medians come from the distributed
+    ranked-histogram operator (operators/ranks.group_exact_percentiles
+    — no reducer ever buffers a group's values; the 2-dp value
+    histogram is at most ~10^4 rows per type at any corpus size), plus
+    two BROADCAST joins of the |event_type|-row med/MAD frames back
+    onto the stream — the base table shuffles once per percentile pass,
+    never for the joins.
     """
+    from ..operators.ranks import group_exact_percentiles
+
     ev = tables(spark, sf_dir)["events"]
     v = ev.select("event_type", dec("value", 10, 2).alias("v"))
-    # Spark's percentile_disc returns DOUBLE; the picked value is a real
-    # 2-dp data element, so the cast back to DECIMAL is exact and keeps
-    # the deviation arithmetic decimal on both engines.
-    med = v.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
-        .cast("decimal(10,2)")
-        .alias("med")
+    # r14 replan: both medians come from the distributed ranked-histogram
+    # operator instead of the per-group-buffering percentile_disc
+    # aggregate (see group_exact_percentiles). The picked value is a
+    # real 2-dp data element, so the double->DECIMAL cast is exact and
+    # keeps the deviation arithmetic decimal on both engines.
+    med = group_exact_percentiles(v, "event_type", "v", disc=(0.5,)).select(
+        "event_type", F.col("disc_5").cast("decimal(10,2)").alias("med")
     )
     dev = v.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("v") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
-        .cast("decimal(11,2)")
-        .alias("mad")
-    )
+    mad = group_exact_percentiles(
+        dev.select("event_type", "d"), "event_type", "d", disc=(0.5,)
+    ).select("event_type", F.col("disc_5").cast("decimal(11,2)").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

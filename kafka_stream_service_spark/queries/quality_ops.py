@@ -758,14 +758,16 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip decision — are bit-exact), and the clipped values stay
     2-decimal money, so the winsorized sum runs in exact DECIMAL.
 
-    Scale shape (r14 replan): the bounds come from the distributed
-    rank operator (operators/ranks.group_exact_percentiles) — the old
+    Scale shape (r14 replan): the bounds come from the ranked-histogram
+    operator (operators/ranks.group_exact_percentiles) — the old
     ``percentile_disc`` GROUP BY buffered each group's every value in
     one reducer (3 groups = a third of the corpus per task at 100 TB);
-    now the corpus is range-partitioned on (group, value) and each
-    bound is the value at a computed per-group rank, identical by
-    definition. The tiny bounds table broadcasts back onto the fact
-    stream, and clipping is map-side.
+    now the corpus collapses map-side to its per-(group, value)
+    histogram and each bound is the value whose in-group rank interval
+    contains ceil(p*n) — identical by definition, with per-task state
+    bounded by the 2-dp price DOMAIN, never the corpus. The tiny bounds
+    table broadcasts back onto the fact stream, and clipping is
+    map-side.
     """
     from ..operators.ranks import group_exact_percentiles
 

@@ -184,16 +184,17 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 # (q_audio_decode, q_audio_frame_energy, q_audio_mixdown_decimate,
 # q_codec_dlq_split, q_codec_roundtrip, q_continuous_aggregate,
 # q_knn_ivf, q_knn_ivf_refresh), leaving 12 for r15's 11 free slots:
-# q_percentiles_exact, q_winsorized_stats, q_udf_pandas_scalar,
-# q_avro_roundtrip, q_arrow_map_batches, q_multimodal_decode,
-# q_multimodal_resize, q_multimodal_metadata, q_image_ahash,
-# q_image_dhash, q_image_augment, q_audio_zero_crossing — seat the
-# first 11, and the last (q_audio_zero_crossing, the smallest plan
-# delta: exchange kind only) goes to r16 alongside the 47-row r6 tier
-# (47 + 1 = 48 <= 50, checked). q_binaryfile_ingest is NOT owed a
-# seat: only its fixture's write parallelism changed, its read plan
-# and outputs are untouched. tests/test_registry_window.py fails if
-# the r5 tier is missed.
+# q_percentiles_exact, q_winsorized_stats, q_order_cycle_time,
+# q_mad_outliers, q_udf_pandas_scalar, q_avro_roundtrip,
+# q_arrow_map_batches, q_multimodal_metadata, q_image_ahash,
+# q_image_dhash, q_audio_zero_crossing — exactly 11 (three more
+# plan-changed rows — q_multimodal_decode, q_multimodal_resize,
+# q_image_augment — are ALREADY r15-mandatory: their latest verdicts
+# are r5, so the mandatory tier covers their re-cert for free).
+# 39 + 11 = 50 exactly. q_binaryfile_ingest is NOT owed a seat: only
+# its fixture's write parallelism changed, its read plan and outputs
+# are untouched. tests/test_registry_window.py fails if the r5 tier
+# is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]

@@ -363,12 +363,16 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, percentile_disc picks real elements: every output cell is
     integer-exact.
 
-    Scale shape: one fact-fact equi-join on the natural key (orderkey —
-    co-partitioned shuffle, AQE-coalesced), then a sort-based exact
-    percentile per priority class (5 groups; the
-    approx_percentile swap applies at extreme group counts per the
-    winsorized-stats policy).
+    Scale shape (r14 replan): one fact-fact equi-join on the natural
+    key (orderkey — co-partitioned shuffle, AQE-coalesced), then exact
+    per-class percentiles from the distributed ranked-histogram
+    operator (operators/ranks.group_exact_percentiles) — the old
+    percentile_disc GROUP BY buffered a fifth of the join output per
+    reducer; the histogram of day-lags is a few hundred rows per class
+    regardless of corpus size.
     """
+    from ..operators.ranks import group_exact_percentiles
+
     t = tables(spark, sf_dir)
     lead = t["orders"].join(
         t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey")
@@ -376,13 +380,17 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
     )
-    return lead.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)")
-        .cast("bigint")
-        .alias("p50_days"),
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)")
-        .cast("bigint")
-        .alias("p90_days"),
-        F.max("days").cast("bigint").alias("max_days"),
+    pct = group_exact_percentiles(
+        lead, "o_orderpriority", "days", disc=(0.5, 0.9)
+    ).select(
+        "o_orderpriority",
+        F.col("n").alias("n_items"),
+        F.col("disc_5").cast("bigint").alias("p50_days"),
+        F.col("disc_9").cast("bigint").alias("p90_days"),
+    )
+    mx = lead.groupBy("o_orderpriority").agg(
+        F.max("days").cast("bigint").alias("max_days")
+    )
+    return pct.join(mx, "o_orderpriority").select(
+        "o_orderpriority", "n_items", "p50_days", "p90_days", "max_days"
     )

@@ -396,7 +396,15 @@ def test_skyline_windows_only_aggregated_series(spark):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("q_mad_outliers", 4),        # two percentile aggs + final regroup
+        # r14: each median is now a ranked-HISTOGRAM pass (map-combined
+        # (type, value) agg + window by type). The STATIC count is 7:
+        # the med subplan's 2 exchanges appear again inside the dev
+        # branch's two consumers before AQE stage-reuse dedupes them at
+        # runtime, and every one of the new exchanges moves the value
+        # histogram (domain-bounded) — never the corpus — in exchange
+        # for no reducer ever buffering a group's raw values
+        ("q_mad_outliers", 7),
+
         ("q_mom_growth", 3),          # month agg + series window
         ("q_attribution_last_touch", 3),  # user window + channel agg
         ("q_eval_auc_pr", 5),         # score agg + series windows + 1-row folds
