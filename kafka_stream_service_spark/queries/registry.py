@@ -185,13 +185,15 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 # q_codec_dlq_split, q_codec_roundtrip, q_continuous_aggregate,
 # q_knn_ivf, q_knn_ivf_refresh), leaving 12 for r15's 11 free slots:
 # q_percentiles_exact, q_winsorized_stats, q_order_cycle_time,
-# q_mad_outliers, q_udf_pandas_scalar, q_avro_roundtrip,
+# q_mad_outliers, q_qq_points, q_udf_pandas_scalar, q_avro_roundtrip,
 # q_arrow_map_batches, q_multimodal_metadata, q_image_ahash,
-# q_image_dhash, q_audio_zero_crossing — exactly 11 (three more
-# plan-changed rows — q_multimodal_decode, q_multimodal_resize,
-# q_image_augment — are ALREADY r15-mandatory: their latest verdicts
-# are r5, so the mandatory tier covers their re-cert for free).
-# 39 + 11 = 50 exactly. q_binaryfile_ingest is NOT owed a seat: only
+# q_image_dhash — exactly 11 (three more plan-changed rows —
+# q_multimodal_decode, q_multimodal_resize, q_image_augment — are
+# ALREADY r15-mandatory: their latest verdicts are r5, so the
+# mandatory tier covers their re-cert for free; the 12th,
+# q_audio_zero_crossing — the smallest plan delta, exchange kind only,
+# verdict r8 — goes to r16 alongside the 47-row r6 tier: 47 + 1 = 48
+# <= 50, checked). 39 + 11 = 50 exactly. q_binaryfile_ingest is NOT owed a seat: only
 # its fixture's write parallelism changed, its read plan and outputs
 # are untouched. tests/test_registry_window.py fails if the r5 tier
 # is missed.

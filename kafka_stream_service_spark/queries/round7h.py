@@ -279,17 +279,20 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     says WHERE. percentile_disc picks actual data elements, so every
     emitted double is a real stored value and hashes exactly.
 
-    Scale shape: percentile_disc aggregates PER GROUP (two groups,
-    parallel partial aggregation; no global-order window); the pivot
-    is a 9-row reshape. For thousands of groups the same plan holds;
-    for extreme cardinality swap in operators/ranks.exact_quantiles."""
+    Scale shape (r14 replan): the nine deciles per group come from the
+    ranked-histogram operator (operators/ranks.group_exact_percentiles)
+    — the old percentile_disc GROUP BY buffered HALF the corpus per
+    reducer with these two groups; per-task state is now bounded by the
+    2-dp value domain, never the corpus. The pivot stays a 9-row
+    reshape."""
+    from ..operators.ranks import group_exact_percentiles
+
     ev = tables(spark, sf_dir)["events"].filter(F.col("event_type").isin("click", "error"))
-    aggs = [
-        F.expr(f"percentile_disc(0.{p}) WITHIN GROUP (ORDER BY value)").alias(f"p{p}0")
-        for p in range(1, 10)
-    ]
-    g = ev.groupBy("event_type").agg(*aggs)
-    stack_args = ", ".join(f"{p}0, p{p}0" for p in range(1, 10))
+    ps = tuple(p / 10 for p in range(1, 10))
+    g = group_exact_percentiles(
+        ev.select("event_type", "value"), "event_type", "value", disc=ps
+    )
+    stack_args = ", ".join(f"{p}0, disc_{p}" for p in range(1, 10))
     stacked = g.select(
         "event_type", F.expr(f"stack(9, {stack_args}) AS (pct, v)")
     )

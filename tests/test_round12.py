@@ -561,6 +561,35 @@ def test_group_exact_percentiles_matches_sql_aggregates(spark):
         assert r["disc_95"] == w["d95"], (g, r, w)
 
 
+def test_group_exact_percentiles_disc_boundaries(spark):
+    """percentile_disc at EXACT boundaries (n*p integral): the operator's
+    ceil(n*p) runs in double, so a p whose double sits above the decimal
+    rational (0.1, 0.3, ...) could flip the rank at multiples. Sweep
+    boundary-rich (n, p) combinations against Spark's own aggregate —
+    IEEE rounding sends n*p back to the exact integer whenever the
+    rational is integral (error n*eps_p stays under half an ULP up to
+    ~1e13 rows/group), so the selections must be identical."""
+    from kafka_stream_service_spark.operators.ranks import group_exact_percentiles
+
+    ps = (0.05, 0.1, 0.2, 0.25, 0.5, 0.75, 0.8, 0.9, 0.95)
+    for n in (10, 20, 40, 100, 400):
+        df = spark.range(1, n + 1).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+        )
+        want = df.agg(
+            *[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)").alias(
+                    f"x{i}"
+                )
+                for i, p in enumerate(ps)
+            ]
+        ).collect()[0]
+        got = group_exact_percentiles(df, "g", "v", disc=ps).collect()[0]
+        for i, p in enumerate(ps):
+            tag = f"{p:.10f}".rstrip("0").split(".")[1]
+            assert got[f"disc_{tag}"] == want[f"x{i}"], (n, p, got, want)
+
+
 def test_cpu_fanout_widens_narrow_scans_only(spark):
     """cpu_fanout (VERDICT r13 #3 root cause): a small file scan must
     gain a round-robin exchange so Arrow lanes use every core; a frame
