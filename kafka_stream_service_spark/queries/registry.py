@@ -87,84 +87,81 @@ def query(
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``queries()``. Round-14 rotation (VERDICT r13 next-steps #1 and #4),
+# ``queries()``. Round-15 rotation (VERDICT r14 next-steps #1),
 # computed from CORRECTNESS_r*.json (tests/test_registry_window.py
 # recomputes the same debt and fails on drift):
-# (a) the 3 rows whose latest driver verdict is r3 — they cross the
-#     10-round staleness horizon THIS round and the gate is red until
-#     they are seated (q_union_missing_columns, q_unpivot_stack,
-#     q_volume_shipping_nation_pairs);
-# (b) 1 plan-change re-cert prescribed by the r13 judge:
-#     q_knn_ivf_refresh moves from the fixed K=8 module constant to
-#     delta-proportional K≈sqrt(N), so its certified plan changes and
-#     the r13 verdict no longer covers the shipping plan;
-# (c) 41 canaries = the ENTIRE live r4-verdict tier, alphabetical
-#     (the tier's other 2 verdicts name since-retired rows,
-#     q_multimodal_{decode,resize}_stub, superseded by the real
-#     codec-backed rows which carry later verdicts) — after this
-#     window lands, the oldest remaining verdict is r5;
-# (d) 5 oldest r5-tier canaries, alphabetical, filling to exactly 50
-#     (q_approx_aggregates leads them: its plan changed in r13 — the
-#     distinct-rewrite Expand fix — so the re-cert is overdue anyway).
-# 3 + 1 + 41 + 5 = 50 exactly. NEW_THIS_ROUND resets to () at round
-# open per protocol; any r14 births are appended there and wait for
-# the r15 window.
+# (a) 0 r14 births (the freeze held — NEW_THIS_ROUND was empty);
+# (b) the ENTIRE 39-row r5-verdict tier not seated in r14 — these
+#     rows cross the 10-round staleness horizon at r16, so r15 is
+#     their last compliant seat (the look-ahead gate
+#     test_next_round_debt_fits_one_window is red otherwise);
+# (c) 11 plan-change re-certs from r14's 21 plan-changed rows:
+#     the percentile family moved onto group_exact_percentiles
+#     (q_percentiles_exact, q_winsorized_stats, q_order_cycle_time,
+#     q_mad_outliers, q_qq_points), the cpu_fanout Arrow-lane rework
+#     (q_udf_pandas_scalar, q_avro_roundtrip, q_arrow_map_batches,
+#     q_multimodal_metadata, q_image_ahash, q_image_dhash). 8 other
+#     plan-changed rows got r14 seats; q_multimodal_decode,
+#     q_multimodal_resize, q_image_augment are covered by (b); the
+#     12th, q_audio_zero_crossing (exchange-kind-only delta, verdict
+#     r8), rides to r16 with the 47-row r6 tier (47+1 <= 50, checked).
+# 39 + 11 = 50 exactly. NEW_THIS_ROUND resets to () at round open
+# per protocol; any r15 births are appended there and wait for r16.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # (a) the 3 rows at the staleness horizon (r3 verdicts)
-    "q_union_missing_columns",
-    "q_unpivot_stack",
-    "q_volume_shipping_nation_pairs",
-    # (b) plan-change re-cert: delta-proportional IVF K (r13 verdict #4)
-    "q_knn_ivf_refresh",
-    # (c) the full live r4-verdict canary tier (41 rows)
-    "q03_top_orders_by_revenue",
-    "q05_regional_supplier_volume",
-    "q06_forecast_revenue_filter",
-    "q10_returned_items",
-    "q_asof_join",
-    "q_bitwise_ops",
-    "q_codec_dlq_split",
-    "q_codec_roundtrip",
-    "q_cohort_retention",
-    "q_continuous_aggregate",
-    "q_conversion_funnel",
-    "q_cosine_pairs_blocked",
-    "q_decontaminate_ngram",
-    "q_dedup_clusters",
-    "q_dedup_embedding_cosine",
-    "q_dedup_exact_hash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_quantize_int8",
-    "q_knn_cosine_int8",
-    "q_knn_ivf",
-    "q_knn_lsh_buckets",
-    "q_ohlc_resample",
-    "q_pack_sequences",
-    "q_partitioned_pruning",
-    "q_salted_count_distinct",
-    "q_salted_skew_join",
-    "q_schema_evolution_merge",
-    "q_sequence_generate",
-    "q_session_window",
-    "q_stateful_running_totals_replay",
-    "q_stream_dedup_replay",
-    "q_stream_incremental_dedup",
-    "q_stream_stream_join_replay",
-    "q_stream_watermark_drop",
-    "q_text_quality_score",
-    "q_text_unigram_logprob",
-    "q_text_wordcount",
-    "q_training_corpus_pipeline",
-    "q_weighted_sample",
-    "q_window_topk_per_group",
-    # (d) 5 oldest r5-tier canaries (q_approx_aggregates also carries
-    #     the r13 Expand-fix plan change)
-    "q_approx_aggregates",
-    "q_audio_decode",
-    "q_audio_frame_energy",
-    "q_audio_mixdown_decimate",
-    "q_boilerplate_bigrams",
+    # (b) the full unseated r5-verdict tier (39 rows, alphabetical) —
+    #     must seat at r15 or rot at r16
+    "q_bpe_merge_candidates",
+    "q_bucketed_join",
+    "q_cdc_snapshot_diff",
+    "q_chunk_documents",
+    "q_csv_permissive_dirty",
+    "q_data_quality_report",
+    "q_event_transitions",
+    "q_ewma_smoothing",
+    "q_groupwise_regression",
+    "q_image_augment",
+    "q_incremental_cagg_merge",
+    "q_inverted_index",
+    "q_ivf_probe_portable",
+    "q_jaccard_prefix_join",
+    "q_key_skew_profile",
+    "q_kmeans_assign_int8",
+    "q_kmeans_update_int8",
+    "q_knn_lsh_buckets_portable",
+    "q_length_bucketing",
+    "q_multi_format_join",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_pagerank_candidates",
+    "q_partition_overwrite",
+    "q_repeated_ngram_spans",
+    "q_rolling_anomaly",
+    "q_scd2_history",
+    "q_segment_dedup_reconstruct",
+    "q_simhash_portable",
+    "q_split_leakage",
+    "q_stream_dedup_then_window_replay",
+    "q_stream_outer_join_replay",
+    "q_stream_semi_join_replay",
+    "q_stream_session_window_replay",
+    "q_table_profile",
+    "q_triangle_candidates",
+    "q_upsert_merge",
+    "q_vocab_coverage",
+    "q_zorder_cells",
+    # (c) r14 plan-change re-certs without an r14 seat (11 rows):
+    #     percentile-histogram family, then cpu_fanout Arrow lanes
+    "q_percentiles_exact",
+    "q_winsorized_stats",
+    "q_order_cycle_time",
+    "q_mad_outliers",
+    "q_qq_points",
+    "q_udf_pandas_scalar",
+    "q_avro_roundtrip",
+    "q_arrow_map_batches",
+    "q_multimodal_metadata",
+    "q_image_ahash",
+    "q_image_dhash",
 )
 # Queries declared for the first time in the CURRENT round (no driver
 # verdict yet, by construction — they were born after the last
@@ -174,29 +171,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
 # Reset to () at each round open, after moving the previous round's
 # births into PRIORITY_ORDER.
 NEW_THIS_ROUND: tuple[str, ...] = ()
-# r15 window plan (compute, don't trust): lead with any r14 births,
-# then the 39 r5-verdict rows not seated this round (they hit the
-# horizon boundary at r15 and MUST all seat), then the r14
-# plan-change re-certs whose rows had no r14 seat — in r14, 21 rows
-# changed plans (cpu_fanout on the Arrow codec/fixture lanes, the
-# IVF delta-k + prune regime, the percentile rank replan, the
-# continuous-aggregate stamp); 8 of them hold r14 seats already
-# (q_audio_decode, q_audio_frame_energy, q_audio_mixdown_decimate,
-# q_codec_dlq_split, q_codec_roundtrip, q_continuous_aggregate,
-# q_knn_ivf, q_knn_ivf_refresh), leaving 12 for r15's 11 free slots:
-# q_percentiles_exact, q_winsorized_stats, q_order_cycle_time,
-# q_mad_outliers, q_qq_points, q_udf_pandas_scalar, q_avro_roundtrip,
-# q_arrow_map_batches, q_multimodal_metadata, q_image_ahash,
-# q_image_dhash — exactly 11 (three more plan-changed rows —
-# q_multimodal_decode, q_multimodal_resize, q_image_augment — are
-# ALREADY r15-mandatory: their latest verdicts are r5, so the
-# mandatory tier covers their re-cert for free; the 12th,
-# q_audio_zero_crossing — the smallest plan delta, exchange kind only,
-# verdict r8 — goes to r16 alongside the 47-row r6 tier: 47 + 1 = 48
-# <= 50, checked). 39 + 11 = 50 exactly. q_binaryfile_ingest is NOT owed a seat: only
-# its fixture's write parallelism changed, its read plan and outputs
-# are untouched. tests/test_registry_window.py fails if the r5 tier
-# is missed.
+# r16 window plan (compute, don't trust): lead with any r15 births,
+# then the 47-row r6-verdict tier (it crosses the horizon at r17, so
+# r16 is its last compliant seat), then q_audio_zero_crossing (r14
+# plan change, exchange-kind-only delta, verdict r8, deferred from
+# r15 by one-slot overflow), then any r15 plan-change re-certs.
+# 47 + 1 = 48 <= 50, leaving 2 free slots before re-certs.
+# tests/test_registry_window.py fails if the r6 tier is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]
