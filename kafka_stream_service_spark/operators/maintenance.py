@@ -36,6 +36,18 @@ def directory_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(p).getLength()
 
 
+def directory_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, file_count) from the same one-RPC ContentSummary
+    listing as directory_bytes — both fields come back together, so the
+    file count is free wherever the byte total is already needed."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    summary = fs.getContentSummary(p)
+    return summary.getLength(), summary.getFileCount()
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
@@ -66,19 +78,30 @@ def compact_parquet(
             "write to a temp dir and swap"
         )
     df = spark.read.parquet(src_path)
-    total = directory_bytes(spark, src_path)
+    total, n_src_files = directory_stats(spark, src_path)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    # Scan width from plan-time size estimation (bytes / maxPartitionBytes,
-    # the same arithmetic FilePartition uses), not df.rdd — the RDD probe
-    # finalizes the plan (ranks.py's r13 lesson). Compaction's common
-    # direction (many small files -> few big ones) therefore keeps the
-    # narrow no-shuffle coalesce; only genuine splitting shuffles.
+    # Scan width from plan-time estimation, not df.rdd — the RDD probe
+    # finalizes the plan (ranks.py's r13 lesson). The estimate follows
+    # FilePartition's own packing arithmetic: each file pays
+    # openCostInBytes of padding and splits/packs into maxPartitionBytes
+    # bins, so width >= ceil((bytes + files * openCost) / maxBytes).
+    # Bytes alone (the pre-r15 form, ADVICE r14) undercounts a
+    # many-tiny-files source — the exact shape compaction exists for —
+    # which flipped the decision to a full repartition shuffle where the
+    # narrow coalesce suffices. The bin-packing bound means the estimate
+    # never EXCEEDS the real width, so whenever it picks coalesce the
+    # real width is >= n_files and the coalesce genuinely lands on
+    # n_files output files rather than no-opping.
     from .ranks import _parse_bytes
 
     max_bytes = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    current = max(1, -(-total // max(max_bytes, 1)))
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    padded = total + n_src_files * open_cost
+    current = max(1, -(-padded // max(max_bytes, 1)))
     sized = df.coalesce(n_files) if current >= n_files else df.repartition(n_files)
     sized.write.mode("overwrite").option("compression", compression).parquet(dst_path)
     return spark.read.parquet(dst_path)

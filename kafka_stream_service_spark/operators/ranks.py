@@ -340,17 +340,34 @@ def group_exact_percentiles(
     v = v_k + (pos-k) * (v_{k+1} - v_k) in double. ``disc`` picks the
     SQL percentile_disc value: v at rank ceil(p * n).
 
+    NULL values are skipped — same semantics as SQL percentile_cont /
+    percentile_disc and DuckDB quantile_* (``n`` counts non-null values
+    only), so the operator stays a drop-in replacement on nullable
+    columns: without the filter the histogram would keep a NULL row
+    that sorts first in the ascending window and silently shifts every
+    rank.
+
     Returns one row per group: ``group_col``, ``n`` (bigint), then
     ``cont_<p>`` / ``disc_<p>`` doubles with p spelled without the
     leading "0." (cont_25, disc_5 for 0.25 / 0.5; trailing zeros
-    trimmed)."""
+    trimmed; the endpoints p=0.0 / p=1.0 tag as 0 / 100)."""
 
     def _tag(p: float) -> str:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile p must be in [0, 1], got {p}")
+        # f"{0.0:.10f}".rstrip("0") is "0." whose fraction part is "" —
+        # the endpoints get explicit percent-style tags instead.
+        if p == 0.0:
+            return "0"
+        if p == 1.0:
+            return "100"
         s = f"{p:.10f}".rstrip("0")
         return s.split(".")[1] if "." in s else s
 
-    h = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
     w_cum = (
         Window.partitionBy(group_col)

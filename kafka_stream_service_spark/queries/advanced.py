@@ -150,6 +150,8 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL runs at rsd=0.01 and t-digest at accuracy=1000, so the 5%% bound
     is ~5 sigma — deterministic data, no flakiness margin needed.
     """
+    from ..operators.ranks import group_exact_percentiles
+
     li = tables(spark, sf_dir)["lineitem"]
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     # The DISTINCT aggregate is computed in its own scan and broadcast-
@@ -161,11 +163,28 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13); any pair without all three stays cheap. Two scans of the
     # fact beat one Expand-doubled scan at every scale.
     exact_d = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.percentile_approx(cents, F.lit(0.5), F.lit(1000)).alias("approx_median_cents"),
-        F.percentile(cents, F.lit(0.5)).alias("exact_median_cents"),
-    ).crossJoin(F.broadcast(exact_d))
+    # Exact median via the value-histogram operator (r15: the last
+    # surviving F.percentile call site, caught by the new source lint —
+    # a GLOBAL percentile is the single-group worst case of the
+    # buffering aggregate: every lineitem cents value in ONE reducer).
+    # The histogram state is bounded by the 2-dp money DOMAIN, and its
+    # one-group window ranks |distinct cents| rows, not |lineitem|.
+    exact_m = group_exact_percentiles(
+        li.select(cents.alias("__cents"), F.lit(1).alias("__g")),
+        "__g",
+        "__cents",
+        cont=(0.5,),
+    ).select(F.col("cont_5").alias("exact_median_cents"))
+    agg = (
+        li.agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.percentile_approx(cents, F.lit(0.5), F.lit(1000)).alias(
+                "approx_median_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(exact_d))
+        .crossJoin(F.broadcast(exact_m))
+    )
     return agg.select(
         F.col("exact_orders").cast("bigint").alias("exact_orders"),
         (F.col("exact_median_cents") * 2).cast("bigint").alias("exact_median_cents_x2"),

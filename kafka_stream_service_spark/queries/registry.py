@@ -175,8 +175,10 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 # then the 47-row r6-verdict tier (it crosses the horizon at r17, so
 # r16 is its last compliant seat), then q_audio_zero_crossing (r14
 # plan change, exchange-kind-only delta, verdict r8, deferred from
-# r15 by one-slot overflow), then any r15 plan-change re-certs.
-# 47 + 1 = 48 <= 50, leaving 2 free slots before re-certs.
+# r15 by one-slot overflow), then the r15 plan-change re-certs:
+# q_approx_aggregates (r14 verdict — its exact median moved off the
+# last F.percentile buffering aggregate onto group_exact_percentiles,
+# caught by the r15 source lint). 47 + 1 + 1 = 49 <= 50.
 # tests/test_registry_window.py fails if the r6 tier is missed.
 
 def _ordered_specs() -> list[QuerySpec]:

@@ -229,7 +229,20 @@ def ivf_catalog_k(sf_dir: str) -> int:
 
     import pyarrow.parquet as pq
 
-    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        # Directory-backed table (the production layout): sum num_rows
+        # across the fragment footers — still metadata-only, one footer
+        # read per file, no data scan (ADVICE r14: ParquetFile raises on
+        # a directory).
+        import pyarrow.dataset as pads
+
+        n = sum(
+            frag.metadata.num_rows
+            for frag in pads.dataset(path, format="parquet").get_fragments()
+        )
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
     return max(8, math.isqrt(n))
 
 

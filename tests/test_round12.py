@@ -590,6 +590,63 @@ def test_group_exact_percentiles_disc_boundaries(spark):
             assert got[f"disc_{tag}"] == want[f"x{i}"], (n, p, got, want)
 
 
+def test_group_exact_percentiles_skips_nulls(spark):
+    """SQL percentile_cont/percentile_disc (and DuckDB quantile_*) skip
+    NULLs; the histogram operator must too (ADVICE r14: an unfiltered
+    NULL row sorts FIRST in the ascending histogram window, occupying
+    the lowest ranks — every percentile silently shifts and ``n``
+    overcounts). Mixed-null groups must match Spark's own aggregates;
+    an all-null group must vanish (no non-null values = no row, the
+    aggregate-with-GROUP-BY analogue of NULL results)."""
+    from kafka_stream_service_spark.operators.ranks import group_exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)]
+        + [("a", None)] * 5
+        + [("b", None)] * 3,
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r
+        for r in group_exact_percentiles(
+            df, "g", "v", cont=(0.5,), disc=(0.25,)
+        ).collect()
+    }
+    assert set(rows) == {"a"}, f"all-null group must produce no row: {rows}"
+    want = (
+        df.filter("g = 'a'")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("c5"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").alias("d25"),
+        )
+        .collect()[0]
+    )
+    got = rows["a"]
+    assert got["n"] == 10, got  # non-null count only
+    assert abs(got["cont_5"] - want["c5"]) < 1e-9, (got, want)
+    assert got["disc_25"] == want["d25"], (got, want)
+
+
+def test_group_exact_percentiles_endpoint_tags(spark):
+    """p=0.0 / p=1.0 must yield distinct, non-empty column tags (ADVICE
+    r14: both stripped to '' and collided on a bare 'cont_'/'disc_'
+    alias) and the min/max values; out-of-range p must raise."""
+    import pytest
+
+    from kafka_stream_service_spark.operators.ranks import group_exact_percentiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 6)], "g string, v double"
+    )
+    row = group_exact_percentiles(
+        df, "g", "v", cont=(0.0, 1.0), disc=(0.0, 1.0)
+    ).collect()[0]
+    assert row["cont_0"] == 1.0 and row["cont_100"] == 5.0, row
+    assert row["disc_0"] == 1.0 and row["disc_100"] == 5.0, row
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        group_exact_percentiles(df, "g", "v", cont=(1.5,))
+
+
 def test_cpu_fanout_widens_narrow_scans_only(spark):
     """cpu_fanout (VERDICT r13 #3 root cause): a small file scan must
     gain a round-robin exchange so Arrow lanes use every core; a frame
@@ -606,8 +663,19 @@ def test_cpu_fanout_widens_narrow_scans_only(spark):
     assert "RoundRobinPartitioning" in plan, (
         f"small single-file scan must fan out to cluster width:\n{plan[:1200]}"
     )
-    # 2^30 bigint rows -> ~8 GiB estimated: est (64) >= 32-way cluster
-    big = spark.range(1 << 30)
+    # Size the "big" frame from THIS session's width arithmetic instead
+    # of a fixed 2^30 rows (ADVICE r14: a literal constant makes the
+    # assertion fail on any host whose defaultParallelism exceeds the
+    # implied estimate): est = ceil(rows * 8B / maxPartitionBytes) must
+    # beat defaultParallelism, so 2x the break-even row count does on
+    # every host.
+    from kafka_stream_service_spark.operators.ranks import _parse_bytes
+
+    cluster = spark.sparkContext.defaultParallelism
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    big = spark.range(2 * cluster * max_bytes // 8)
     assert cpu_fanout(big) is big, "wide input must pass through untouched"
 
 

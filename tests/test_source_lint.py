@@ -117,3 +117,46 @@ def test_collect_sites_stay_at_audited_baseline():
         f"stale _COLLECT_BASELINE entries (sites removed): {shrunk} — "
         "lower the baseline so it cannot mask a future addition"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side exact-percentile aggregate ban (round 15)
+# ---------------------------------------------------------------------------
+
+# Round 14 migrated every Spark-side percentile()/percentile_disc call
+# site onto operators/ranks.group_exact_percentiles: the built-in is a
+# TypedImperativeAggregate that buffers EVERY value of a group in one
+# reducer — |corpus|/|groups| bytes on a single task when the group
+# count is small (the audit shape), a guaranteed OOM at 100 TB. This
+# lint freezes the migration at zero. The patterns cover the ways a
+# Spark expression can reach the aggregate: the DSL attribute form
+# (F.percentile / F.percentile_disc / percentile_cont) and percentile
+# spelled inside an expr(...) / selectExpr(...) / spark.sql(...) string
+# on one line. DuckDB ORACLE SQL strings keep using percentile_disc on
+# purpose — they are the independent check, built as bare triple-quoted
+# strings never passed to a Spark expression builder, so none of these
+# patterns can match them. percentile_approx stays allowed: it is a
+# bounded sketch, not a per-group value buffer.
+_SPARK_PERCENTILE = (
+    re.compile(r"F\.percentile(?:_cont|_disc)?\s*\("),
+    re.compile(r"""(?:\bexpr|selectExpr|\.sql)\(\s*f?["'][^"']*percentile(?!_approx)"""),
+)
+
+
+def test_no_spark_side_exact_percentile_aggregates():
+    hits = []
+    for path in _py_sources():
+        if not path.exists():
+            continue
+        text = path.read_text()
+        for pat in _SPARK_PERCENTILE:
+            for m in pat.finditer(text):
+                line = text.count("\n", 0, m.start()) + 1
+                hits.append(f"{path.relative_to(REPO)}:{line}")
+    assert not hits, (
+        "Spark-side percentile()/percentile_disc aggregate call site — the "
+        "built-in buffers every value of a group in ONE reducer (OOM at "
+        "scale with few groups). Use "
+        "operators/ranks.py:group_exact_percentiles (bounded by the value "
+        f"domain) instead: {hits}"
+    )
