@@ -220,8 +220,22 @@ def ivf_knn(
     computes its n_probe nearest cells map-side (one gemm per Arrow
     batch) and explodes. The probe frame is |queries| x n_probe rows and
     broadcasts into the cell join, so the corpus still moves zero times.
+
+    Fan-out policy (r15, the r14 q_knn_ivf bench regression): the
+    operator owns the width decision for BOTH of its Arrow lanes, so
+    callers must NOT pre-fan either input. The CORPUS assignment gemm is
+    the data-scale lane and gets ranks.cpu_fanout here (a no-op at
+    production scan widths). The QUERY probe lane is broadcast-bound —
+    its output collapses into a BroadcastExchange, bounded by the
+    broadcast threshold — so fanning it buys no usable parallelism and
+    costs a real shuffle + stage (measured: the r14 call-site fan put
+    round-robin exchanges on both join inputs and moved the row
+    1.47 -> 2.02 s). plans.python_lane_offenders exempts broadcast
+    build sides for exactly this reason.
     """
     from pyspark.sql import Window as W
+
+    from .ranks import cpu_fanout
 
     # Null embeddings are rejected JVM-side BEFORE the assignment UDF:
     # an isNotNull predicate pushes to the scan, whereas the old
@@ -232,7 +246,9 @@ def ivf_knn(
     # it). With non-null input every cell id is >= 0 by construction.
     cells = (
         assign_cells(
-            corpus.filter(F.col(emb_col).isNotNull()), centroids, emb_col=emb_col
+            cpu_fanout(corpus.filter(F.col(emb_col).isNotNull())),
+            centroids,
+            emb_col=emb_col,
         )
         .select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"), "cell")
     )

@@ -317,12 +317,41 @@ def python_lane_offenders(plan: str) -> list[str]:
     ReusedExchange and cached/RDD scans count as wide (they inherit
     their producer's distribution). Returns one entry per narrow lane:
     ``"<PyNode> <- <leaf title>"``.
+
+    BROADCAST BUILD SIDES ARE EXEMPT (r15, the r14 q_knn_ivf bench
+    regression): a Python node whose ANCESTOR chain passes through a
+    BroadcastExchange computes a build side — bounded by
+    autoBroadcastJoinThreshold / an explicit broadcast hint by
+    construction (an unbounded frame there fails the broadcast itself
+    long before lane width matters) and collected to the driver
+    regardless of how many tasks produced it. Fanning such a lane to
+    cluster width adds a real shuffle + stage for zero usable
+    parallelism — measured +0.5 s on q_knn_ivf's 8-row probe branch —
+    so the right width there IS whatever the scan produced, and the
+    gate must not push authors to fan it.
     """
     nodes = _tree_nodes(plan)
+
+    def _under_broadcast(i: int) -> bool:
+        # ancestor walk: the parent of node j is the nearest preceding
+        # node one level shallower (the same depth arithmetic
+        # _children uses, inverted)
+        depth = nodes[i][0]
+        for j in range(i - 1, -1, -1):
+            if nodes[j][0] == depth - 1:
+                if nodes[j][1].startswith("BroadcastExchange"):
+                    return True
+                depth -= 1
+                if depth == 0:
+                    break
+        return False
+
     offenders: list[str] = []
     for i, (_, title, _nid) in enumerate(nodes):
         root = title.split()[0]
         if root not in _PY_NODES:
+            continue
+        if _under_broadcast(i):
             continue
         j = i
         narrow_leaf: str | None = None

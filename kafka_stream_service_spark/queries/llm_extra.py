@@ -111,11 +111,15 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the 8 nearest cells per query (the scale path next to
     q_knn_cosine_bruteforce's exact baseline)."""
     from ..operators.ivf import ivf_knn, train_ivf_centroids_sampled
-    from ..operators.ranks import cpu_fanout
 
-    # the trainer/assignment distance kernels are Arrow lanes over the
-    # corpus — fan a narrow scan to cluster width (no-op at scale)
-    e = cpu_fanout(tables(spark, sf_dir)["embeddings"])
+    # No call-site fan (r15): ivf_knn owns the width of its Arrow lanes
+    # — it fans the corpus assignment gemm internally and deliberately
+    # leaves the broadcast-bound probe lane at scan width. The r14
+    # call-site cpu_fanout wrapped BOTH derived branches and put a
+    # round-robin exchange under the 8-row broadcast probe side for
+    # nothing (1.47 -> 2.02 s). The sampled trainer is JVM-side
+    # (hash-spread orderBy+limit collect) — no Arrow lane to widen.
+    e = tables(spark, sf_dir)["embeddings"]
     cents = train_ivf_centroids_sampled(e, k=16, iterations=3, sample_size=2048)
     q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_knn(e, q, cents, k=5, n_probe=8).orderBy("query_id", "rank")

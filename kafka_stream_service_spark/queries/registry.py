@@ -178,8 +178,12 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 # r15 by one-slot overflow), then the r15 plan-change re-certs:
 # q_approx_aggregates (r14 verdict — its exact median moved off the
 # last F.percentile buffering aggregate onto group_exact_percentiles,
-# caught by the r15 source lint). 47 + 1 + 1 = 49 <= 50.
-# tests/test_registry_window.py fails if the r6 tier is missed.
+# caught by the r15 source lint) and q_knn_ivf (r14 verdict — the fan
+# moved inside ivf_knn: corpus lane fanned, broadcast-bound probe lane
+# deliberately not). 47 + 1 + 2 = 50 exactly — r15 must declare no
+# births and no further plan changes to already-certified rows, or
+# retire a row. tests/test_registry_window.py fails if the r6 tier is
+# missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]

@@ -219,6 +219,60 @@ def test_filter_consumer_drags_udf_below_the_exchange_and_is_flagged(spark):
     )
 
 
+def test_python_lane_on_broadcast_build_side_is_exempt(spark):
+    """r15 (the r14 q_knn_ivf bench regression): a Python lane whose
+    ancestor chain passes through a BroadcastExchange computes a build
+    side — bounded by the broadcast threshold and collected to the
+    driver regardless of task count — so scan-width is the RIGHT width
+    there and the gate must not demand a fan (which adds a shuffle +
+    stage for zero usable parallelism). The same lane consumed without
+    a broadcast stays flagged."""
+    from kafka_stream_service_spark.tables import tables
+
+    plus1 = F.pandas_udf(lambda s: s + 1, "long")
+    ev = tables(spark, "/root/testdata/sf0.001")["events"]
+    build = ev.filter(F.col("event_id") < 8).select(
+        "event_id", plus1(F.col("event_id")).alias("x")
+    )
+    joined = ev.join(F.broadcast(build), "event_id")
+    assert python_lane_offenders(physical_plan(joined)) == [], (
+        "broadcast build side must be exempt"
+    )
+    # the identical lane with no broadcast consumer is still narrow
+    assert python_lane_offenders(physical_plan(build)) == [
+        "ArrowEvalPython <- Scan parquet"
+    ]
+
+
+def test_q_knn_ivf_lanes_have_operator_chosen_widths(spark):
+    """The shipping IVF row (rows-only, so its plan shape IS the check):
+    the corpus assignment gemm must sit above ivf_knn's internal
+    round-robin fan; the broadcast-bound probe lane must NOT be fanned
+    — no RoundRobinPartitioning anywhere under its BroadcastExchange."""
+    from kafka_stream_service_spark.queries.registry import QUERIES
+
+    plan = physical_plan(
+        QUERIES["q_knn_ivf"].spark_fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "RoundRobinPartitioning" in plan, plan[:1500]
+    assert python_lane_offenders(plan) == [], plan[:1500]
+    # the probe branch: everything beneath the BroadcastExchange must be
+    # exchange-free (scan -> probe UDF -> explode -> broadcast)
+    from kafka_stream_service_spark.plans.inspect import _tree_nodes
+
+    nodes = _tree_nodes(plan)
+    for i, (_, title, _nid) in enumerate(nodes):
+        if not title.startswith("BroadcastExchange"):
+            continue
+        d = nodes[i][0]
+        for j in range(i + 1, len(nodes)):
+            if nodes[j][0] <= d:
+                break
+            assert not nodes[j][1].startswith("Exchange"), (
+                f"fan exchange under the broadcast build side:\n{plan[:2000]}"
+            )
+
+
 # Python lanes the WIDTH walker flags but whose one-task shape is right
 # by construction — each entry carries the bound:
 _PY_LANE_ALLOWLIST = {
