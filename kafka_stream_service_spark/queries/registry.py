@@ -180,10 +180,22 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 # last F.percentile buffering aggregate onto group_exact_percentiles,
 # caught by the r15 source lint) and q_knn_ivf (r14 verdict — the fan
 # moved inside ivf_knn: corpus lane fanned, broadcast-bound probe lane
-# deliberately not). 47 + 1 + 2 = 50 exactly — r15 must declare no
-# births and no further plan changes to already-certified rows, or
-# retire a row. tests/test_registry_window.py fails if the r6 tier is
-# missed.
+# deliberately not). 47 + 1 + 2 = 50 exactly.
+#
+# r15 OPTIMIZATION-round plan changes and their re-cert seats (the
+# optimization mandate touches plans catalog-wide; every change to a
+# certified row is seated at the earliest window with room, riding the
+# natural tier rotation where possible — the q_audio_zero_crossing
+# "rides to r16" precedent):
+# - rows plan-changed while IN the r15 window re-certify THIS round on
+#   the new plan (no extra seat);
+# - r6/r7/r8/r9-verdict rows ride their natural r16-r19 tier seats;
+# - q_holt_linear_smoothing, q_holt_winters_additive,
+#   q_forecast_backtest (all verdict r10, recursion -> grouped Arrow
+#   scan, oracle-identical at sf0.01+sf0.1): take 3 of r17's 4 spare
+#   slots (r7 tier is 46) rather than waiting for their natural r20
+#   seat. r17 = 46 + 3 = 49, one slot spare.
+# tests/test_registry_window.py fails if the r6 tier is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
     missing = [n for n in PRIORITY_ORDER if n not in QUERIES]

@@ -24,8 +24,6 @@ tie-breaking.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -281,19 +279,11 @@ _HOLT_DAILY_DUCK = """
     FROM events GROUP BY 1
 """
 
-_HOLT_VIEW_SEQ = itertools.count()
-
-
-def _register_holt_daily(spark: SparkSession, sf_dir: str) -> str:
-    """Build + materialize the Holt day-grain frame and register it
-    under a PER-INVOCATION view name (holt_daily_<n>): two catalog
-    queries share the recursion text, and a session-global name would be
-    cross-contaminated by any caller that interleaves their builders
-    (ADVICE r8). Returns the view name; callers substitute it into the
-    shared recursion text (a relation-name-only rewrite, so the IEEE
-    expression tree stays identical to the DuckDB oracle's)."""
+def _holt_daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt day-grain series: one groupBy collapses data-scale events
+    to (day_ix, x) where x is the day's exact integer cents as a double."""
     ev = tables(spark, sf_dir)["events"]
-    daily = ev.groupBy(
+    return ev.groupBy(
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("int")
         .alias("day_ix")
@@ -302,14 +292,87 @@ def _register_holt_daily(spark: SparkSession, sf_dir: str) -> str:
         .cast("double")
         .alias("x")
     )
-    # MATERIALIZE the day grain before the recursion: each recursive
-    # step re-reads the view, and over a lazy view that re-runs the
-    # events groupBy from parquet per step (measured 9.5 s -> 3.9 s warm
-    # at sf0.1 with the eager checkpoint)
-    daily = daily.localCheckpoint(eager=True)
-    view = f"holt_daily_{next(_HOLT_VIEW_SEQ)}"
-    daily.createOrReplaceTempView(view)
-    return view
+
+
+def _holt_scan_pdf(pdf):
+    """Per-series sequential Holt scan, bit-identical to the shared
+    WITH RECURSIVE text (_HOLT_CTE + _HOLT_SELECT): the anchor row is
+    day_ix = 0 (lvl = x, trend = 0) and each step walks day_ix + 1 —
+    a gap ends the curve, exactly like the recursion's equi-join.
+    Every arithmetic expression below repeats the SQL expression tree
+    verbatim (same operand order, same halvings, one FLOOR(1e6 * v)
+    per output), and Python floats ARE IEEE binary64 with correctly
+    rounded + - * /, so all state evolves bit-identically to the
+    DuckDB oracle's recursion. Optimization r15: Spark's UnionLoop ran
+    one join + exchange PER DAY (~30 micro-plans of pure per-iteration
+    overhead at any SF); one Arrow-batched scan over the grouped day
+    grain is the canonical distributed shape for sequential smoothing
+    (partition by series, scan within). Interleaved A/B at sf0.1,
+    3 alternations x 3 passes: q_holt_linear 4.1/6.9/6.6 s (HEAD leg
+    medians) -> 0.92/0.83/0.81 s, q_holt_winters 4.1/6.1/5.4 ->
+    0.82/0.86/0.82, q_forecast_backtest 3.1/3.4/4.3 -> 0.89/1.05/1.17."""
+    import math
+
+    import pandas as pd
+
+    xs = {int(d): float(x) for d, x in zip(pdf["day_ix"], pdf["x"])}
+    rows: list[tuple] = []
+    if 0 in xs:
+        x = xs[0]
+        lvl, trend = x, 0.0
+        rows.append(
+            (
+                0,
+                int(x),
+                math.floor(1000000.0 * lvl),
+                math.floor(1000000.0 * trend),
+                math.floor(1000000.0 * (lvl + trend)),
+            )
+        )
+        ix = 1
+        while ix in xs:
+            x = xs[ix]
+            new_lvl = 0.5 * x + 0.5 * (lvl + trend)
+            trend = 0.5 * ((0.5 * x + 0.5 * (lvl + trend)) - lvl) + 0.5 * trend
+            lvl = new_lvl
+            rows.append(
+                (
+                    ix,
+                    int(x),
+                    math.floor(1000000.0 * lvl),
+                    math.floor(1000000.0 * trend),
+                    math.floor(1000000.0 * (lvl + trend)),
+                )
+            )
+            ix += 1
+    return pd.DataFrame(
+        rows,
+        columns=["day_ix", "x_cents", "level_q6", "trend_q6", "forecast_next_q6"],
+    ).astype(
+        {
+            "day_ix": "int32",
+            "x_cents": "int64",
+            "level_q6": "int64",
+            "trend_q6": "int64",
+            "forecast_next_q6": "int64",
+        }
+    )
+
+
+_HOLT_SCAN_SCHEMA = (
+    "day_ix int, x_cents bigint, level_q6 bigint, trend_q6 bigint, "
+    "forecast_next_q6 bigint"
+)
+
+
+def _holt_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Holt levels (the _HOLT_SELECT projection) via one
+    grouped Arrow scan over the day grain. Shared by the smoothing row
+    and the forecast backtest."""
+    daily = _holt_daily_frame(spark, sf_dir)
+    return daily.groupBy(F.lit(1).alias("_series")).applyInPandas(
+        _holt_scan_pdf, _HOLT_SCAN_SCHEMA
+    )
 
 
 @query(
@@ -330,17 +393,21 @@ def q_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the recurrence runs on the DAY grain (30 rows here,
     366/year) after one groupBy collapses data-scale events; sequential
     smoothing of a series is inherently a per-grain scan — at 100 TB
-    the recursion depth is unchanged, only the pre-aggregation widens.
-    The recursion walks consecutive days from day 0 (the fixture has no
+    the scan depth is unchanged, only the pre-aggregation widens.
+    The scan walks consecutive days from day 0 (the fixture has no
     gaps; a gap would end the curve identically on both engines).
+
+    Optimization r15 (guide §1.2 "the distributed algorithm"): the
+    WITH RECURSIVE execution planned one join + exchange per day —
+    pure per-iteration overhead for a 30-row series (4.1-6.9 s leg
+    medians at sf0.1, vs 0.8-0.9 s after — the A/B numbers are in
+    _holt_scan_pdf's docstring); the recursion is now evaluated as ONE grouped
+    Arrow scan (_holt_scan_pdf) whose expression tree repeats the
+    recursion text verbatim, so the oracle (still the WITH RECURSIVE
+    form) stays bit-identical. WITH RECURSIVE operator coverage lives
+    on in q_hops_recursive_cte.
     """
-    view = _register_holt_daily(spark, sf_dir)
-    out = spark.sql(f"WITH RECURSIVE {_HOLT_RECURSION.replace('holt_daily', view)}")
-    # View resolution happened at analysis (spark.sql above); drop the
-    # per-invocation name so session catalog state stays flat across the
-    # driver window and repeated bench passes (ADVICE r9).
-    spark.catalog.dropTempView(view)
-    return out
+    return _holt_levels(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

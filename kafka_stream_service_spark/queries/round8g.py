@@ -8,8 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import itertools
+
 from .registry import query
-from .round8 import _HOLT_CTE, _HOLT_DAILY_DUCK, _HOLT_SELECT, _register_holt_daily
+from .round8 import _HOLT_CTE, _HOLT_DAILY_DUCK, _HOLT_SELECT, _holt_levels
+
+_BT_VIEW_SEQ = itertools.count()
 
 # The backtest projection is SHARED SQL text (like the Holt recursion
 # itself): one-step-ahead forecast for day t is the forecast_next_q6 the
@@ -61,16 +65,18 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are exact (decimal division was rejected: its rounding
     scale differs between engines — measured one-ulp flips).
 
-    Scale shape: the recursion runs on the materialized day grain (see
-    q_holt_linear_smoothing); the backtest adds two LAG windows over
-    <=366 aggregated rows. SF-invariant after the first groupBy.
+    Scale shape: the Holt scan runs on the day grain (see
+    q_holt_linear_smoothing — optimization r15 moved it off the
+    per-iteration WITH RECURSIVE execution onto one grouped Arrow
+    scan; the oracle keeps the recursive form); the backtest adds two
+    LAG windows over <=366 aggregated rows, still the SHARED
+    _BACKTEST_SELECT text so the scoring expression trees stay
+    engine-identical. SF-invariant after the first groupBy.
     """
-    view = _register_holt_daily(spark, sf_dir)
-    out = spark.sql(
-        f"WITH RECURSIVE {_HOLT_CTE}, hq AS ({_HOLT_SELECT}) {_BACKTEST_SELECT}".replace(
-            "holt_daily", view
-        )
-    )
+    hq = _holt_levels(spark, sf_dir)
+    view = f"holt_bt_{next(_BT_VIEW_SEQ)}"
+    hq.createOrReplaceTempView(view)
+    out = spark.sql(_BACKTEST_SELECT.replace("FROM hq", f"FROM {view}"))
     # Resolved at analysis — drop the per-invocation view (ADVICE r9).
     spark.catalog.dropTempView(view)
     return out

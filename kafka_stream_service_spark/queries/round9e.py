@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..tables import tables
 from .dedup2 import _h_sql, portable_hash64
 from .registry import query
-from .round8 import _HOLT_DAILY_DUCK, _register_holt_daily
+from .round8 import _HOLT_DAILY_DUCK, _holt_daily_frame
 
 # ---------------------------------------------------------------------------
 # Deterministic (hash-randomized) two-sample permutation test
@@ -217,6 +217,85 @@ _HW_SELECT = """
 """
 
 
+def _hw_scan_pdf(pdf):
+    """Per-series sequential Holt-Winters scan, bit-identical to the
+    generated recursion text (_hw_cte + _HW_SELECT): anchor day_ix = 0
+    (lvl = x, trend = 0, s0..s6 = 0), each step walks day_ix + 1 (a gap
+    ends the curve like the recursion's equi-join), dow = day_ix % 7,
+    and every expression repeats the SQL tree verbatim — including the
+    deliberate re-evaluation of lvl' inside trend'/seasonal' (SQL
+    cannot reference sibling aliases; same value either way)."""
+    import math
+
+    import pandas as pd
+
+    xs = {int(d): float(x) for d, x in zip(pdf["day_ix"], pdf["x"])}
+    rows: list[tuple] = []
+    if 0 in xs:
+        x = xs[0]
+        lvl, trend = x, 0.0
+        s = [0.0] * 7
+        rows.append(
+            (
+                0,
+                int(x),
+                math.floor(1000000.0 * lvl),
+                math.floor(1000000.0 * trend),
+                math.floor(1000000.0 * s[0]),
+                math.floor(1000000.0 * (lvl + trend + s[1 % 7])),
+            )
+        )
+        ix = 1
+        while ix in xs:
+            x = xs[ix]
+            dow = ix % 7
+            sdow = s[dow]
+            # lvl' appears verbatim inside trend'/seasonal' in the SQL;
+            # identical inputs through deterministic IEEE ops give the
+            # identical value, so evaluate it once
+            lvl_expr = 0.5 * (x - sdow) + 0.5 * (lvl + trend)
+            new_trend = 0.5 * (lvl_expr - lvl) + 0.5 * trend
+            new_s = 0.5 * (x - lvl_expr) + 0.5 * sdow
+            lvl, trend, s[dow] = lvl_expr, new_trend, new_s
+            rows.append(
+                (
+                    ix,
+                    int(x),
+                    math.floor(1000000.0 * lvl),
+                    math.floor(1000000.0 * trend),
+                    math.floor(1000000.0 * s[dow]),
+                    math.floor(1000000.0 * (lvl + trend + s[(ix + 1) % 7])),
+                )
+            )
+            ix += 1
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "day_ix",
+            "x_cents",
+            "level_q6",
+            "trend_q6",
+            "seasonal_q6",
+            "forecast_next_q6",
+        ],
+    ).astype(
+        {
+            "day_ix": "int32",
+            "x_cents": "int64",
+            "level_q6": "int64",
+            "trend_q6": "int64",
+            "seasonal_q6": "int64",
+            "forecast_next_q6": "int64",
+        }
+    )
+
+
+_HW_SCAN_SCHEMA = (
+    "day_ix int, x_cents bigint, level_q6 bigint, trend_q6 bigint, "
+    "seasonal_q6 bigint, forecast_next_q6 bigint"
+)
+
+
 @query(
     "q_holt_winters_additive",
     oracle=f"WITH RECURSIVE holt_daily AS ({_HOLT_DAILY_DUCK}), {_hw_cte()} {_HW_SELECT}",
@@ -232,21 +311,24 @@ def q_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step forecast level + trend + next-day seasonal is the
     Holt-Winters forecast equation.
 
-    Exactness: the recursion text is SHARED verbatim between Spark 4 and
-    DuckDB (both generated from the same Python f-string), inputs are
-    exact integer cents as doubles, and halving is exact in binary — so
-    all 10 state columns evolve bit-identically (the q_holt contract,
-    extended to a vector state). The per-invocation view name keeps
-    parallel builders isolated (_register_holt_daily).
+    Exactness: the oracle keeps the recursion text; the Spark side
+    evaluates the SAME expression tree (operand order, halvings, one
+    FLOOR(1e6 * v) per output — _hw_scan_pdf repeats the generated SQL
+    verbatim in Python, whose floats are IEEE binary64 with correctly
+    rounded ops), so all 10 state columns evolve bit-identically (the
+    q_holt contract, extended to a vector state).
 
     Scale shape: the recurrence runs on the day grain after one groupBy
     collapses data-scale events (366 steps/year at any SF); sequential
     smoothing is inherently a per-grain scan — at 100 TB only the
     pre-aggregation widens (same envelope as q_holt_linear_smoothing).
+    Optimization r15: the WITH RECURSIVE execution planned one join +
+    exchange per day (4.1-6.1 s interleaved-A/B leg medians at sf0.1
+    for a 30-step series, vs 0.82-0.86 s after); one grouped Arrow
+    scan removes that per-iteration overhead, same shape as the
+    q_holt_linear_smoothing migration.
     """
-    view = _register_holt_daily(spark, sf_dir)
-    sql = f"WITH RECURSIVE {_hw_cte()} {_HW_SELECT}".replace("holt_daily", view)
-    out = spark.sql(sql)
-    # Resolved at analysis — drop the per-invocation view (ADVICE r9).
-    spark.catalog.dropTempView(view)
-    return out
+    daily = _holt_daily_frame(spark, sf_dir)
+    return daily.groupBy(F.lit(1).alias("_series")).applyInPandas(
+        _hw_scan_pdf, _HW_SCAN_SCHEMA
+    )

@@ -256,6 +256,12 @@ def q_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
+    # NOTE (optimization r15, measured): hashing every occurrence and
+    # deduping the 8-byte hashes instead (guide §2.3, one exchange of
+    # longs instead of a string exchange + a hash exchange) LOSES here —
+    # interleaved A/B at sf0.1 measured 5.5-6.2 s -> 5.7-8.7 s — because
+    # portable_hash64 is md5 (~16x an xxhash64) and the distinct-first
+    # form hashes each distinct shingle once, not once per occurrence.
     h = sh.select(portable_hash64(F.col("s"), 0).alias("hv")).distinct()
     ranked = with_global_ranks(h, "hv", "hv")
     n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

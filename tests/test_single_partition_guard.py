@@ -160,8 +160,8 @@ _CATALOG_ALLOWLIST = {
     # k-th rank's residual bucket (bucket occupancy, not corpus scale);
     # the bucket census that picks it is post-aggregation (walker-safe)
     "q_conformal_coverage",
-    # recursive CTE (UnionLoop) on the materialized day grain: <= 366
-    # rows by construction, SF-invariant after the first groupBy
+    # LAG windows over the Holt day-grain scan output: <= 366 rows by
+    # construction (calendar grain), SF-invariant after the first groupBy
     "q_forecast_backtest",
 }
 
