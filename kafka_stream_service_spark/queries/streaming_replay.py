@@ -46,16 +46,25 @@ from .registry import query
 
 WM_MIN = 30  # watermark delay for the late-drop query, minutes
 
-# Fixture-scale state-store provider for the two heaviest stream-stream
-# replays (VERDICT r7 next-steps #4): the session default is RocksDB —
-# the right provider when state outgrows executor memory at 100 TB —
-# but its per-store-per-batch snapshot/upload overhead dominates these
-# replays' tiny bounded state (two-side join state / two chained agg
-# operators over <=4 micro-batches). Measured at sf0.1 (3-run medians,
-# identical output fingerprints): full-outer 7.2 s -> 4.4 s, two-level
-# agg 5.2 s -> 3.3 s with the in-memory HDFSBacked provider + single
-# sentinel chunk. Scoped per query exactly like shuffle_partitions; the
-# chaos-restart tier still covers checkpoint resume on both providers.
+# Fixture-scale state-store provider, the _run_to_memory DEFAULT since
+# r15 (originally scoped to the two heaviest stream-stream replays,
+# VERDICT r7 next-steps #4): the session default is RocksDB — the right
+# provider when state outgrows executor memory at 100 TB — but its
+# per-store-per-batch snapshot overhead dominates these replays' tiny
+# bounded state (every replay row's state is fixture-bounded BY DESIGN:
+# join buffers / dedup keys / agg partials over <=6 micro-batches).
+# r7 measurement (3-run medians, identical output fingerprints):
+# full-outer 7.2 s -> 4.4 s, two-level agg 5.2 s -> 3.3 s. r15
+# extension A/B (2 processes x 2 passes per config, sf0.1): stream
+# times q_stream_stream_join_replay 3.3-6.6 -> 2.6-4.5 s,
+# q_stream_semi_join_replay 3.6-4.5 -> 2.4-3.2 s, topk-window
+# 2.4-3.6 -> 2.0-3.1 s; RocksDB changelog checkpointing was also
+# measured and does NOT close the gap (join rows unchanged, the
+# applyInPandasWithState row got slower). Scoped per query exactly
+# like shuffle_partitions (set before start, restored after); the
+# chaos-restart tier still covers checkpoint resume on both providers,
+# and q_statestore_introspection keeps the session (RocksDB) provider
+# on its own run path.
 HDFS_STATE_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 )
@@ -173,7 +182,7 @@ def _run_to_memory(
     base: str,
     shuffle_partitions: int | None = None,
     output_mode: str = "append",
-    state_provider: str | None = None,
+    state_provider: str | None = HDFS_STATE_PROVIDER,
 ) -> DataFrame:
     """Run the stream to completion into a memory sink.
 
@@ -183,7 +192,13 @@ def _run_to_memory(
     keeps FOUR stores per partition — and the replay fixtures are small,
     so a handful of partitions beats the session's 32 by ~10x wall-clock.
     The setting is pinned into the query's checkpoint at start, so
-    restoring the session conf afterwards does not affect the run."""
+    restoring the session conf afterwards does not affect the run.
+
+    ``state_provider`` defaults to the in-memory HDFSBacked provider
+    since r15 (see the HDFS_STATE_PROVIDER note: replay state is
+    fixture-bounded by design and RocksDB's per-store-per-batch
+    snapshot overhead is 15-40% of these rows' stream time); pass None
+    to inherit the session provider (RocksDB, the production default)."""
     t0 = time.time()
     name = f"replay_{uuid.uuid4().hex[:10]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
