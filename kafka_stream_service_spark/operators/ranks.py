@@ -149,6 +149,14 @@ def with_global_ranks(
     jobs, desynchronizing spark_partition_id from the offsets
     (observed: duplicate global ranks). Callers should column-prune
     before ranking; every catalog caller does.
+
+    Optimization r15, measured and REJECTED: eagerly checkpointing the
+    INPUT too (on the theory that RangePartitioning's sampling pass
+    re-executes the child lineage) does not help — under AQE the
+    sampler reads the child's already-materialized shuffle stage, so
+    the extra checkpoint write only adds cost (interleaved A/B:
+    q_ccnet_perplexity_buckets 2.5/2.7 -> 2.9/3.0 s, q_theil_sen_slope
+    2.7/2.8 -> 3.0/3.1 s; neutral elsewhere).
     """
     if num_partitions is None:
         num_partitions = data_sized_partitions(df)

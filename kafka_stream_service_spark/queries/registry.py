@@ -195,6 +195,14 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 #   scan, oracle-identical at sf0.01+sf0.1): take 3 of r17's 4 spare
 #   slots (r7 tier is 46) rather than waiting for their natural r20
 #   seat. r17 = 46 + 3 = 49, one slot spare.
+# - q_benjamini_hochberg (verdict r11) and q_trigram_like_index
+#   (verdict r10): cpu_fanout on their scan-rooted md5 lanes (one
+#   round-robin exchange added, identity at production scan widths;
+#   oracle-identical at sf0.01). Seated in r18's spare (r8 tier is 40):
+#   r18 = 40 + 2 = 42.
+# Session-config deltas (AQE coalesce minPartitionSize floor, replay
+# state-provider default) change no logical/static physical plans and
+# book no seats.
 # tests/test_registry_window.py fails if the r6 tier is missed.
 
 def _ordered_specs() -> list[QuerySpec]:

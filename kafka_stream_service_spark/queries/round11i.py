@@ -304,8 +304,16 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d_obs"),
     )
     fam = s.select(F.col("source").alias("fam_source"), "n_s")
+    # Fan the relabeling grid's corpus side to cluster width
+    # (optimization r15, guide §2.5): the md5-per-grid-row work below
+    # multiplies a SMALL-BYTES scan (one fixture file = one task) by
+    # m x K, and the bytes-based split left all of it on one core —
+    # stage profile showed 3.8 of this row's 4.3 s in that single task.
+    # cpu_fanout is a no-op at production scan widths.
+    from ..operators.ranks import cpu_fanout
+
     rel = (
-        x.drop("source")
+        cpu_fanout(x.drop("source"))
         .crossJoin(F.broadcast(fam))
         .crossJoin(F.broadcast(g.select("n")))
         .select(

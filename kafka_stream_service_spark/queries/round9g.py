@@ -250,6 +250,12 @@ def q_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split() into the per-position slices re-evaluates it O(len) times
     # per doc (the documented decontaminate inlining trap — measured
     # 9.8 s -> 1.3 s for this distinct)
+    # Optimization r15, measured and left alone: fanning the scan-rooted
+    # shingle pass (cpu_fanout over the text projection) parallelizes
+    # its single task but does NOT move the row's wall time (interleaved
+    # A/B 5.5-5.9 s both ways) — the wall is the md5 over distinct
+    # shingles plus the rank machinery, already at cluster width. The
+    # plan is kept unchanged to avoid an idle re-cert seat.
     sh = (
         d.select(F.split("text", " ").alias("toks"))
         .select(word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles"))

@@ -92,9 +92,15 @@ def q_trigram_like_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast of the tiny pattern-gram table) and the verify scans only
     candidate docs.
     """
+    from ..operators.ranks import cpu_fanout
+
     d = tables(spark, sf_dir)["documents"]
+    # Fan the posting build to cluster width (optimization r15, guide
+    # §2.5): the trigram explode + distinct partial-aggregate ran as ONE
+    # task over the single-file fixture scan (2.4 of this row's 3.6 s,
+    # stage profile); cpu_fanout is a no-op at production scan widths.
     grams = (
-        d.select(F.col("text").alias("t"), "doc_id")
+        cpu_fanout(d.select(F.col("text").alias("t"), "doc_id"))
         .select(
             "doc_id",
             F.explode(

@@ -51,6 +51,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer is a BYTES heuristic: with the default 1 MB
+        # minPartitionSize it folds any sub-MB shuffle into ONE task,
+        # which serializes CPU-BOUND stages whose bytes are small — the
+        # portable tier's md5 lanes (16-permutation minhash signatures,
+        # permutation grids) lost 10-30x of the machine exactly there
+        # (optimization r15, stage profile: q_pair_index_snapshot spent
+        # 3.7 of 5.9 s in one task reading a 427 KB shuffle; interleaved
+        # A/B with 32k: 6.8 -> 3.0-3.5 s, q_dedup_incremental_snapshot
+        # 3.3-3.7 -> 2.3-2.5 s, no mover regressed). The floor is inert
+        # at scale: it binds only while total stage bytes / parallelism
+        # is under 32 KB — a CPU-heavy-small-bytes pathology, not a
+        # throughput regime; large stages keep their guide-sized
+        # partitions via parallelismFirst + advisory size.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "32k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE re-coalesce stages that read persisted frames: iterative
         # operators (connected components, Lloyd training) persist tiny
