@@ -101,18 +101,35 @@ def _literal_rows(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
 
 def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
     """One parquet file per chunk with ascending mod-times so the file
-    stream (maxFilesPerTrigger=1) replays chunk i as micro-batch i."""
+    stream (maxFilesPerTrigger=1) replays chunk i as micro-batch i.
+
+    The per-chunk write jobs are INDEPENDENT, so they are submitted from
+    a small thread pool (guide §2.6 "overlap independent jobs") and the
+    cluster overlaps their fixed costs; each chunk keeps its own
+    ``coalesce(1).write`` plan, so per-chunk file bytes and WITHIN-CHUNK
+    row order are identical to the sequential form — within-batch order
+    matters to first-wins dedup replays, which is why the chunks are NOT
+    unioned into one partitionBy job (that would shuffle rows inside a
+    chunk). Optimization r15: harness split medians across the replay
+    tier 0.3-0.7 s -> ~0.2-0.4 s per row."""
     t0 = time.time()
     flat = os.path.join(base, "flat")
     os.makedirs(flat)
     now = time.time()
-    for i, chunk in enumerate(df_chunks):
+
+    def _write_one(i_chunk: tuple[int, DataFrame]) -> None:
+        i, chunk = i_chunk
         staged = os.path.join(base, f"stage_{i}")
         chunk.coalesce(1).write.parquet(staged)
         (part,) = glob.glob(os.path.join(staged, "*.parquet"))
         dst = os.path.join(flat, f"{i:02d}.parquet")
         shutil.copy(part, dst)
         os.utime(dst, (now - 600 + i * 10, now - 600 + i * 10))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(len(df_chunks), 1))) as pool:
+        list(pool.map(_write_one, enumerate(df_chunks)))
     LAST_TIMINGS["write_chunks_sec"] = time.time() - t0
     return flat
 
