@@ -149,3 +149,30 @@ def publish_atomic(df, out: str, sort_cols: tuple[str, ...] = ()) -> None:
         os.rename(tmp, out)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def pin_iterative_aqe_floor(spark) -> None:
+    """Re-pin AQE's coalesce floor to 1m for THIS query's execution.
+
+    The session default is a 32k floor (session.py): it keeps CPU-bound
+    small-byte md5/Python lanes from being folded onto one task. The
+    inverse pathology hits ITERATIVE many-small-stage plans (graph
+    loops, the n-gram counting family): each of their ~10-30 tiny
+    shuffle stages gets split into more sub-32k tasks whose scheduling
+    overhead multiplies per iteration — driver-confirmed >10%
+    regressions at r15 (q_triangle_oriented 0.67x, q_label_propagation
+    0.71x, q_decontaminate_ngram 0.76x). Those queries call this at
+    build time; execution (bench/driver force the returned frame right
+    after building it) then coalesces their tiny stages back to ~1
+    task each, exactly the pre-r15 behavior for these rows.
+
+    Scoping: registry._pin_session_confs restores the session default
+    on EVERY query call, so the 1m pin cannot leak into the md5 lanes
+    the 32k floor was built for. At 100 TB both floors are inert on
+    data-scale stages (they bind only when stage bytes / parallelism is
+    sub-MB); this knob only prices tiny-stage scheduling at fixture
+    scale, so the production story is unchanged either way.
+    """
+    from ..session import AQE_MIN_PARTITION_KEY
+
+    spark.conf.set(AQE_MIN_PARTITION_KEY, "1m")

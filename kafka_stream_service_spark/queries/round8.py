@@ -316,6 +316,17 @@ def _holt_scan_pdf(pdf):
     import pandas as pd
 
     xs = {int(d): float(x) for d, x in zip(pdf["day_ix"], pdf["x"])}
+    # non-null invariant of the day grain (ADVICE r15): x = SUM(cents)
+    # over a day's events can only be NULL/NaN if every value that day is
+    # NULL — the fixture forbids it, and the replaced SQL recursion would
+    # have propagated NULL through the state columns instead of crashing;
+    # fail with a defined message rather than math.floor(nan)'s ValueError
+    bad = sorted(d for d, x in xs.items() if math.isnan(x))
+    if bad:
+        raise ValueError(
+            f"holt day grain violated its non-null invariant: NaN daily "
+            f"sum at day_ix={bad} (all-NULL events.value for those days)"
+        )
     rows: list[tuple] = []
     if 0 in xs:
         x = xs[0]
@@ -751,8 +762,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out). Fixed round count keeps the result a deterministic
     function of the input.
     """
+    from ._util import pin_iterative_aqe_floor
     from .graph_q import _candidate_edges
 
+    # iterative/many-tiny-stage row: 1m AQE floor (r16 A/B 1.43x vs 32k,
+    # the VERDICT r15 #1 reclaim — driver-confirmed 0.71x collateral)
+    pin_iterative_aqe_floor(spark)
     edges = _candidate_edges(spark, sf_dir)
     adj = (
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))

@@ -6,9 +6,9 @@ what actually happened, next to a naive baseline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-
 import itertools
+
+from pyspark.sql import DataFrame, SparkSession
 
 from .registry import query
 from .round8 import _HOLT_CTE, _HOLT_DAILY_DUCK, _HOLT_SELECT, _holt_levels

@@ -230,6 +230,16 @@ def _hw_scan_pdf(pdf):
     import pandas as pd
 
     xs = {int(d): float(x) for d, x in zip(pdf["day_ix"], pdf["x"])}
+    # non-null invariant of the day grain — same guard and rationale as
+    # round8._holt_scan_pdf (ADVICE r15): a NaN daily sum means all-NULL
+    # events.value for that day; fail with a defined message instead of
+    # math.floor(nan)'s bare ValueError
+    bad = sorted(d for d, x in xs.items() if math.isnan(x))
+    if bad:
+        raise ValueError(
+            f"holt-winters day grain violated its non-null invariant: NaN "
+            f"daily sum at day_ix={bad} (all-NULL events.value)"
+        )
     rows: list[tuple] = []
     if 0 in xs:
         x = xs[0]

@@ -144,6 +144,18 @@ def _write_chunks(df_chunks: list[DataFrame], base: str) -> str:
 # single uninterrupted run.
 CHAOS_KILL_FIRST_RUN = False
 
+# Boundedness budget for the in-memory state-provider default (VERDICT
+# r15 next-steps #8): HDFS_STATE_PROVIDER keeps every store version on
+# the executor heap, which is safe ONLY because replay fixtures are
+# bounded by design — every replay schedule above/below delivers <= 6
+# data micro-batches (plus at most one trailing no-data batch and one
+# engine-initiated extra). A future fixture that silently grows past
+# that would run unbounded state in memory; _run_to_memory counts the
+# checkpoint's committed batches after the run and fails loudly instead
+# (tests/test_streaming_replay_guard.py feeds an over-budget fixture and
+# asserts the trip).
+REPLAY_MAX_MICRO_BATCHES = 8
+
 
 class _PlannedChaosCrash(RuntimeError):
     pass
@@ -237,6 +249,23 @@ def _run_to_memory(
             q.processAllAvailable()
         finally:
             q.stop()
+        if state_provider == HDFS_STATE_PROVIDER:
+            # enforce the fixture-boundedness assumption the in-memory
+            # provider default rests on (REPLAY_MAX_MICRO_BATCHES note)
+            commits = [
+                c
+                for c in glob.glob(os.path.join(base, "ckpt", "commits", "*"))
+                if not c.endswith(".tmp")
+            ]
+            if len(commits) > REPLAY_MAX_MICRO_BATCHES:
+                raise RuntimeError(
+                    f"replay ran {len(commits)} micro-batches, over the "
+                    f"{REPLAY_MAX_MICRO_BATCHES}-batch budget the in-memory "
+                    "state-provider default assumes (state is only "
+                    "fixture-bounded within that budget); shrink the "
+                    "fixture or pass state_provider=None to run on the "
+                    "session (RocksDB) provider"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(prov_key, prev_prov)

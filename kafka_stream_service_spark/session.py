@@ -20,6 +20,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# AQE coalesce floor (see the minPartitionSize comment in get_spark).
+# Exposed as module-level helpers so the per-query scoping machinery
+# (queries/registry.py re-pins the session default on every query call;
+# iterative graph queries re-pin 1m for their own execution) reads the
+# SAME source of truth as the session builder.
+AQE_MIN_PARTITION_KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+
+
+def aqe_min_partition_size() -> str:
+    """The session-default AQE coalesce floor, env-overridable."""
+    return os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "32k")
+
 
 def cpu_count() -> int:
     try:
@@ -59,15 +71,20 @@ def get_spark(
         # (optimization r15, stage profile: q_pair_index_snapshot spent
         # 3.7 of 5.9 s in one task reading a 427 KB shuffle; interleaved
         # A/B with 32k: 6.8 -> 3.0-3.5 s, q_dedup_incremental_snapshot
-        # 3.3-3.7 -> 2.3-2.5 s, no mover regressed). The floor is inert
-        # at scale: it binds only while total stage bytes / parallelism
-        # is under 32 KB — a CPU-heavy-small-bytes pathology, not a
-        # throughput regime; large stages keep their guide-sized
-        # partitions via parallelismFirst + advisory size.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "32k"),
-        )
+        # 3.3-3.7 -> 2.3-2.5 s). The floor is NOT free: iterative
+        # many-small-stage rows pay more tiny-task scheduling per
+        # iteration, and the driver confirmed >10% regressions on the
+        # graph tier (VERDICT r15: q_triangle_oriented 0.67x,
+        # q_label_propagation 0.71x, q_decontaminate_ngram 0.76x) —
+        # those queries re-pin a 1m floor for their own execution via
+        # _util.pin_iterative_aqe_floor (optimization r16), while
+        # registry._pin_session_confs restores this session default on
+        # every other query call. The floor is inert at scale: it binds
+        # only while total stage bytes / parallelism is under 32 KB — a
+        # CPU-heavy-small-bytes pathology, not a throughput regime;
+        # large stages keep their guide-sized partitions via
+        # parallelismFirst + advisory size.
+        .config(AQE_MIN_PARTITION_KEY, aqe_min_partition_size())
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE re-coalesce stages that read persisted frames: iterative
         # operators (connected components, Lloyd training) persist tiny
