@@ -89,7 +89,19 @@ def q_stateful_timeout_sessions_replay(spark: SparkSession, sf_dir: str) -> Data
         [ev.filter(F.col("ts") < F.lit(mid)), ev.filter(F.col("ts") >= F.lit(mid))], base
     )
     sessions = build_timeout_sessions_stream(spark, ev.schema, flat)
-    out = _run_to_memory(spark, sessions, base, shuffle_partitions=8, output_mode="update")
+    # Inherit the SESSION shuffle width (no per-query pin): this row's
+    # cost is applyInPandasWithState's per-group Python execution inside
+    # addBatch (r16 durationMs breakdown: addBatch 9.7 of 10.7 s trigger
+    # total; planning/commit under 1 s), so Python-lane parallelism is
+    # what the row buys with width. The old pin of 8 dated from the
+    # RocksDB-provider era when per-partition store open/commit dominated
+    # these fixtures; with the in-memory provider default (r15) the probe
+    # reads 8/16/32 partitions = 8.5-12.4 / 7.2 / 5.7-5.8 s stream time
+    # at sf0.1 (identical 82,498 output rows). Session width also keeps
+    # the knob scale-adaptive instead of a local[32] constant. Join
+    # replays measured the OPPOSITE (4 stores/partition/batch: full-outer
+    # 2.7-5.3 s at 2 parts vs 8.6-9.2 at 32) and keep their small pins.
+    out = _run_to_memory(spark, sessions, base, output_mode="update")
     return out.select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
