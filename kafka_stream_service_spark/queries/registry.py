@@ -194,9 +194,14 @@ NEW_THIS_ROUND: tuple[str, ...] = ()
 #
 # Session-config deltas (the AQE coalesce minPartitionSize floor and
 # its per-query 1m re-pin on the iterative graph tier added in r16,
-# the replay state-provider default) change no logical/static
-# physical plans and book no seats — the q_audio_zero_crossing
-# "runtime conf books no seat" precedent from r15.
+# the replay state-provider default, the timeout replay's state
+# partition width) change no logical/static physical plans and book no
+# seats — the q_audio_zero_crossing "runtime conf books no seat"
+# precedent from r15.
+# r16 plan changes needing re-cert seats: q_stream_wiredump_sink_replay
+# (verdict r7 — micro-batches now fan to 8 sink tasks, one added
+# streaming Exchange; oracle-identical at sf0.01+sf0.1) rides its
+# NATURAL r17 seat with the rest of the r7 tier — no extra slot.
 # tests/test_registry_window.py fails if a deferred canary is missed.
 
 def _ordered_specs() -> list[QuerySpec]:
